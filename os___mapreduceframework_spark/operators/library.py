@@ -1,0 +1,53 @@
+"""Registered query library -- reference-parity queries.
+
+This module holds the flagship Search-parity queries (SURVEY.md section
+2.2). Further operator families live in sibling modules imported at the
+bottom so a single import wires the whole registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.operators.search import search_count, search_expand
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+SEARCH_WORD = "wid"  # matches the 'widget' part names in the fixtures
+
+
+@query(
+    "search_count",
+    oracle=f"""
+    SELECT p_name AS name, COUNT(*) AS cnt
+    FROM part
+    WHERE instr(p_name, '{SEARCH_WORD}') > 0
+    GROUP BY p_name
+    ORDER BY p_name
+    """,
+    doc="Flagship Search query (Search.cpp:84-125): substring filter -> "
+    "count per name -> ascending sort. Scan/filter/project/agg/sort "
+    "pipeline, reference parity per SURVEY.md section 2.2 Q1-Q5.",
+)
+def q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_count(load_table(spark, sf_dir, "part"), SEARCH_WORD, name_col="p_name")
+
+
+@query(
+    "search_expand",
+    oracle=f"""
+    WITH c AS (
+      SELECT p_name AS name, COUNT(*) AS cnt
+      FROM part
+      WHERE instr(p_name, '{SEARCH_WORD}') > 0
+      GROUP BY p_name
+    )
+    SELECT unnest(list_transform(range(1, cnt + 1), x -> name)) AS name
+    FROM c
+    ORDER BY name
+    """,
+    doc="Search output-expansion sink (Search.cpp:113-117): each matching "
+    "name repeated cnt times, ascending.",
+)
+def q_search_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_expand(load_table(spark, sf_dir, "part"), SEARCH_WORD, name_col="p_name")

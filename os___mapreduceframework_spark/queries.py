@@ -1,0 +1,66 @@
+"""Query registry: the engine's public query surface.
+
+Every operator from SURVEY.md section 2 registers here as a named query
+``(spark, sf_dir) -> DataFrame`` with (where SQL-expressible) a DuckDB
+oracle string. ``__spark_entry__.py`` exposes this registry to the
+driver's correctness harness (row-count + schema + order-insensitive
+value-hash at sf0.01).
+
+Conventions that keep the Spark result and the DuckDB oracle hash-equal:
+
+- every computed column is aliased identically on both sides;
+- money sums are computed in DECIMAL on both sides (order-independent,
+  exact) and cast to double only at the end;
+- other double outputs are rounded to a fixed scale on both sides;
+- timestamp outputs are formatted to strings on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None -> driver's rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    import os___mapreduceframework_spark.operators.library  # noqa: F401
+
+    _LOADED = True

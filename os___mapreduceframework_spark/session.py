@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Replaces the reference's parallelism control (``multiThreadLevel`` param,
+MapReduceFramework.cpp:360-361; thread creation :248/:260/:287) with Spark
+session configuration: the scheduler, work-stealing (batch-of-10 claims,
+MapReduceFramework.cpp:106-119), stage barriers (:382, :408) and the
+pipelined shuffle (:166-230) are all provided by Spark's engine and AQE.
+
+Scale notes (100 TB design): AQE is on so shuffle partition counts,
+skew-join splitting and broadcast demotion re-plan at runtime from real
+sizes; locally we pin ``spark.sql.shuffle.partitions`` to the core count
+to avoid the 200-partition default. On a real cluster the same code runs
+unchanged -- only master/memory/partition settings move to spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "os___mapreduceframework_spark",
+    parallelism: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``parallelism`` mirrors the reference's ``multiThreadLevel``
+    (MapReduceFramework.cpp:360); it sets both the local core count and
+    the shuffle partition count. Defaults to $SPARK_GRAFT_CPUS or all
+    cores.
+    """
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,62 @@
+"""Search client parity tests -- the reference's workload edge cases
+(FIXTURES.md section B; Search.cpp:98-125)."""
+
+from __future__ import annotations
+
+from os___mapreduceframework_spark.operators.search import search_count, search_expand
+from os___mapreduceframework_spark.sources import dir_entries
+from os___mapreduceframework_spark.sources.registry import DIR_ENTRIES_SCHEMA
+
+
+def _entries(spark, rows):
+    return spark.createDataFrame(rows, schema=DIR_ENTRIES_SCHEMA)
+
+
+def test_duplicate_names_across_dirs_counted(spark):
+    """Name in k>1 dirs -> count k; expansion repeats k times
+    (Search.cpp:98-111, :113-117)."""
+    df = _entries(spark, [("d1", "foo.txt"), ("d2", "foo.txt"), ("d1", "bar")])
+    out = search_count(df, "foo").collect()
+    assert [(r.name, r.cnt) for r in out] == [("foo.txt", 2)]
+    expanded = [r.name for r in search_expand(df, "foo").collect()]
+    assert expanded == ["foo.txt", "foo.txt"]
+
+
+def test_no_match_empty_output(spark):
+    """Map emits nothing -> key absent from output (Search.cpp:65-69)."""
+    df = _entries(spark, [("d1", "alpha"), ("d1", "beta")])
+    assert search_count(df, "zzz").count() == 0
+
+
+def test_output_sorted_ascending(spark):
+    """Global ascending sort by key (MapReduceFramework.cpp:341)."""
+    df = _entries(
+        spark,
+        [("d1", "zeta-x"), ("d1", "alpha-x"), ("d2", "mid-x"), ("d2", "alpha-x")],
+    )
+    names = [r.name for r in search_count(df, "x").collect()]
+    assert names == sorted(names) == ["alpha-x", "mid-x", "zeta-x"]
+
+
+def test_dir_entries_includes_dot_and_dotdot(spark, tmp_path):
+    """readdir includes '.' and '..' (Search.cpp:102); empty dir still
+    contributes both."""
+    d = tmp_path / "empty"
+    d.mkdir()
+    rows = dir_entries(spark, [str(d)]).collect()
+    assert sorted(r.name for r in rows) == [".", ".."]
+
+
+def test_dir_entries_end_to_end(spark, tmp_path):
+    """Whole Search pipeline over a real directory listing."""
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir()
+    d2.mkdir()
+    (d1 / "hit_one").touch()
+    (d1 / "miss").touch()
+    (d2 / "hit_one").touch()
+    (d2 / "hit_two").touch()
+    df = dir_entries(spark, [str(d1), str(d2)])
+    out = [(r.name, r.cnt) for r in search_count(df, "hit").collect()]
+    assert out == [("hit_one", 2), ("hit_two", 1)]
