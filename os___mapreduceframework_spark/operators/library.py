@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from os___mapreduceframework_spark.compat import run_map_reduce
 from os___mapreduceframework_spark.operators.search import search_count, search_expand
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
@@ -51,3 +52,39 @@ def q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_search_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_expand(load_table(spark, sf_dir, "part"), SEARCH_WORD, name_col="p_name")
+
+
+@query(
+    "mapreduce_search",
+    oracle=f"""
+    SELECT p_name AS name, COUNT(*) AS cnt
+    FROM part
+    WHERE instr(p_name, '{SEARCH_WORD}') > 0
+    GROUP BY p_name
+    ORDER BY p_name
+    """,
+    doc="Search client through the compat MapReduce API "
+    "(RunMapReduceFramework parity, MapReduceFramework.cpp:360-443): "
+    "user Map filters+projects (Search.cpp:65-69), user Reduce counts "
+    "(Search.cpp:72-78), engine groups by key value equality and sorts "
+    "ascending. Arrow fast path (mapInPandas + applyInPandas).",
+)
+def q_mapreduce_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("key"), F.lit(SEARCH_WORD).alias("value")
+    )
+
+    def map_fn(name, word):
+        return [(name, 1)] if word in name else []
+
+    def reduce_fn(name, ones):
+        return [(name, len(ones))]
+
+    out = run_map_reduce(
+        names,
+        map_fn,
+        reduce_fn,
+        mid_schema="key string, value long",
+        out_schema="key string, value long",
+    )
+    return out.select(F.col("key").alias("name"), F.col("value").alias("cnt"))
