@@ -62,5 +62,6 @@ def _load_all() -> None:
     if _LOADED:
         return
     import os___mapreduceframework_spark.operators.library  # noqa: F401
+    import os___mapreduceframework_spark.operators.relational  # noqa: F401
 
     _LOADED = True

@@ -40,8 +40,21 @@ DIR_ENTRIES_SCHEMA = T.StructType(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan. Filters/projections on the result are pushed
     into the scan by Catalyst (check ``PushedFilters``/``ReadSchema`` in
-    ``.explain``)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ``.explain``).
+
+    ``events.ts`` is a nanosecond parquet timestamp, which Spark's reader
+    rejects by default; we read it as raw nanos (``nanosAsLong``) and
+    truncate to microseconds (``div 1000`` -- integer division, exact),
+    matching DuckDB's own ns->us truncation so oracles agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
