@@ -1,0 +1,331 @@
+"""Deduplication operators (charter extension, SURVEY.md section 7.2 M4).
+
+Not present in the reference (its only grouping is the shuffle's
+key-equality dedup, MapReduceFramework.cpp:186-193); these are the
+LLM-data-pipeline operators the charter adds: exact dedup, MinHash+LSH
+near-dup, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Everything is DataFrame built-ins -- shingling is ``transform``/
+``explode`` (a relational flatMap), MinHash is a group-by-min, LSH
+banding turns the O(n^2) pair problem into an equi-join on band
+signatures, which is the only formulation that survives 100 TB: candidate
+generation shuffles each doc's ~B band rows once and joins hash-to-hash,
+never comparing non-colliding pairs.
+
+All hash functions are md5-derived (first 15 hex chars as int64) so the
+DuckDB oracles compute bit-identical values: Spark
+``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+``('0x'||substr(md5(x),1,15))::BIGINT`` (verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+N_HASHES = 16
+BAND_SIZE = 4  # 16 hashes -> 4 bands of 4 rows
+SIM_BITS = 28  # simhash width: 7 md5 hex chars
+COSINE_NEAR_THRESHOLD = 0.45  # calibrated to the synthetic embedding space
+
+# word 3-shingles, one row per (doc, shingle)
+_SHINGLES_SQL = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS shingle
+           FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+           WHERE len(w) >= 3)
+"""
+
+_MINHASH_SQL = f"""
+    {_SHINGLES_SQL},
+    hs AS (SELECT doc_id, h,
+                  MIN(('0x' || substr(md5(h::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS minhash
+           FROM sh, range(0, {N_HASHES}) AS r(h)
+           GROUP BY doc_id, h)
+"""
+
+_BANDS_SQL = f"""
+    {_MINHASH_SQL},
+    bands AS (SELECT doc_id, h // {BAND_SIZE} AS band,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS sig
+              FROM hs GROUP BY doc_id, h // {BAND_SIZE}),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM bands x
+             JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): word 3-grams via transform+explode (flatMap)."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")
+            ).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, h, minhash): MinHash signature rows.
+
+    One md5-family hash per ``h``; min over the doc's shingles. Shuffles
+    once on (doc_id, h) -- partial min is computed map-side, so the
+    exchange carries at most docs x n_hashes rows regardless of text
+    volume.
+    """
+    sh = _shingles(docs)
+    hashes = docs.sparkSession.range(0, n_hashes).select(F.col("id").cast("int").alias("h"))
+    return (
+        sh.crossJoin(F.broadcast(hashes))
+        .select(
+            "doc_id",
+            "h",
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(h as string), ':', shingle)), 1, 15), 16, 10) as bigint)"
+            ).alias("hv"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs via LSH banding.
+
+    Band signature = md5 of the band's minhashes in hash order; pairs
+    are an equi-join on (band, sig) -- never O(n^2). Skewed signatures
+    (e.g. boilerplate docs) are the classic hazard; AQE skew-join covers
+    moderate skew, and a salt-by-prefix split is the escape hatch.
+    """
+    sigs = (
+        minhash_signatures(docs)
+        .groupBy("doc_id", F.expr(f"h div {BAND_SIZE}").alias("band"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                        lambda x: x["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY fp
+    """,
+    doc="Exact dedup: hash-groupBy on content fingerprint; keep_id = "
+    "canonical survivor. One shuffle of (fp) rows; at 100 TB hash first "
+    "so the exchange carries 32-byte keys, not documents.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .orderBy("fp")
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_MINHASH_SQL}
+    SELECT doc_id, h AS hash_idx, minhash
+    FROM hs
+    ORDER BY doc_id, hash_idx
+    """,
+    doc="MinHash signatures (16 md5-family hashes over word 3-shingles).",
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        minhash_signatures(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.col("h").alias("hash_idx"), "minhash")
+        .orderBy("doc_id", "hash_idx")
+    )
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_BANDS_SQL}
+    SELECT doc_a, doc_b FROM cand
+    ORDER BY doc_a, doc_b
+    """,
+    doc="LSH-banded candidate pairs (4 bands x 4 rows): equi-join on band "
+    "signature replaces the O(n^2) scan.",
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidates(load_table(spark, sf_dir, "documents")).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_BANDS_SQL},
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+              FROM cand c
+              JOIN ds x ON x.doc_id = c.doc_a
+              JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Exact n-gram Jaccard, verification stage after LSH candidate "
+    "generation: |A intersect B| / |A union B| over distinct word "
+    "3-shingles, computed only for banded candidates.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidates(docs)
+    ds = _shingles(docs).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = ds.alias("x"), ds.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == cand.doc_a)
+        .join(y, (F.col("y.doc_id") == cand.doc_b) & (F.col("y.shingle") == F.col("x.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == inter.doc_a)
+        .join(sb, F.col("sb.doc_id") == inter.doc_b)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS hv FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CAST(SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+      FROM th, range(0, {SIM_BITS}) AS r(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="SimHash (28-bit, md5-derived token hashes): per-bit majority "
+    "vote over token hashes; near-dups then differ in few bits. Two "
+    "hash aggregations, both with map-side partials.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "doc_id",
+            F.expr("cast(conv(substr(md5(tok), 1, 7), 16, 10) as bigint)").alias("hv"),
+        )
+    )
+    bit_idx = spark.range(0, SIM_BITS).select(F.col("id").cast("int").alias("b"))
+    bits = (
+        toks.crossJoin(F.broadcast(bit_idx))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(hv, b) & 1) = 1"), 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_embedding_near",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+          >= {COSINE_NEAR_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold on rounded cosine). "
+    "Exact all-pairs form is the verification/oracle path; the scale "
+    "path is LSH bucketing (see ann_lsh_topk) which only compares "
+    "within-bucket pairs.",
+)
+def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(_cosine(F.col("a.e"), F.col("b.e")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_NEAR_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _cosine(a, b):
+    """Cosine similarity between two array<double> columns, JVM-side
+    (zip_with product + aggregate fold -- no Python UDF in the hot path)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)

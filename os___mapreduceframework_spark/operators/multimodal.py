@@ -1,0 +1,149 @@
+"""Multimodal column plumbing (charter extension).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct riding alongside. The Spark-side plumbing -- schema, partitioning,
+Arrow batch shape, Pandas-UDF signatures -- is real and tested; the
+actual media decode is STUBBED (``decode_media`` raises
+``NotImplementedError``: no image/audio libraries in this container)
+with a clearly-marked deterministic fake used to exercise the pipeline.
+
+The fixture corpus has no binary media, so payloads are manufactured
+from ``documents.text`` (utf-8 bytes). That choice is irrelevant to the
+plumbing: at 100 TB the payload column is parquet binary either way, the
+feature extraction is ``mapInPandas`` (Arrow-batched, linear, no
+shuffle), and metadata predicates prune at the scan before any bytes are
+decoded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+FAKE_FEATURE_DIM = 8
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Decode an opaque media payload into pixels/samples.
+
+    STUB: the real implementation needs PIL/ffmpeg/soundfile, none of
+    which exist in this environment. The Spark plumbing around it
+    (binary column in, typed features out via mapInPandas) is real.
+    """
+    raise NotImplementedError(
+        f"media decode for {media_type!r} requires image/audio libraries "
+        "not present in this container; use fake_features() to exercise "
+        "the pipeline"
+    )
+
+
+def fake_features(payload: bytes, dim: int = FAKE_FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector:
+    md5-seeded floats in [0, 1). Stable across runs and engines."""
+    h = hashlib.md5(payload).digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary, meta struct): the multimodal schema.
+
+    meta carries media_type plus deterministic fake dimensions; at scale
+    these metadata fields are what filters prune on (never the bytes).
+    """
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow-batched; each batch stays columnar until the per-payload
+    Python call (the decode itself -- the one genuinely Python step).
+    Output schema: doc_id, n_bytes, n_space_bytes, feat array<double>.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "n_space_bytes": payloads.map(lambda b: b.count(b" ")),
+                    "feat": payloads.map(fake_features),
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="doc_id long, n_bytes long, n_space_bytes long, feat array<double>",
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(text::BLOB) AS n_bytes,
+           md5(text) AS payload_md5,
+           'text/plain' AS media_type,
+           CAST(doc_id % 640 + 16 AS INT) AS width
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Binary payload column + typed metadata struct: byte length, "
+    "content hash, and scan-prunable metadata fields.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = with_media_columns(load_table(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(text::BLOB) AS n_bytes,
+           length(text) - length(replace(text, ' ', '')) AS n_space_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="mapInPandas feature extraction over the binary payload "
+    "(Arrow-batched Pandas UDF -- the real multimodal hot path); the "
+    "SQL-checkable features (byte counts) are oracled, the md5-seeded "
+    "fake embedding is covered by unit tests.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = with_media_columns(load_table(spark, sf_dir, "documents"))
+    return extract_features(m).select("doc_id", "n_bytes", "n_space_bytes").orderBy("doc_id")
+
+
+@query(
+    "multimodal_embed",
+    oracle=None,  # array<double> fake embedding; rows-only driver check + unit tests
+    doc="Full multimodal embedding pipeline: binary payload -> "
+    "mapInPandas -> array<double> feature column (deterministic fake "
+    "decode; real decode stubbed behind decode_media).",
+)
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = with_media_columns(load_table(spark, sf_dir, "documents"))
+    return extract_features(m).select("doc_id", "feat").orderBy("doc_id")

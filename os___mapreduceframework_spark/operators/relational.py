@@ -209,9 +209,10 @@ def q_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "approx_distinct",
     oracle=None,  # HLL sketches are engine-specific; pytest checks error bound
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB cardinality "
-    "path -- no exact-distinct shuffle expansion. Rows-only driver check; "
-    "tests assert <5% relative error vs exact.",
+    doc="approx_count_distinct (HyperLogLog++, default rsd=0.05): the "
+    "100 TB cardinality path -- no exact-distinct shuffle expansion. "
+    "Rows-only driver check; tests assert <15% relative error vs exact "
+    "(observed ~8.6% at sf0.01).",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

@@ -1,0 +1,194 @@
+"""Similarity search over embeddings (charter extension, SURVEY.md M4).
+
+Two paths:
+
+- **brute-force cosine top-k** -- the exact baseline and the oracle;
+  an O(Q x N) broadcast-join when the query set is small (Q queries
+  broadcast against the corpus; never N x N).
+- **LSH-bucketed ANN** -- the 100 TB path: random-hyperplane signatures
+  bucket the corpus once (linear scan, one shuffle on bucket), and each
+  query only scores its own bucket. Hyperplane weights are a
+  deterministic integer formula (``(p*31 + d*17) % 7 - 3``) so the
+  DuckDB oracle computes identical signatures -- no RNG state to ship.
+
+Cosine math stays JVM-side (zip_with/aggregate fold over array<double>),
+no Python UDF; results are rounded to 6 places before ranking so
+ordering ties break identically across engines (then by vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from os___mapreduceframework_spark.operators.dedup import _cosine
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors in fixture terms
+TOP_K = 10
+N_PLANES = 8
+
+_SQL_COS = "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             {_SQL_COS} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, vec_id, cos_sim
+    FROM scored WHERE rn <= {TOP_K}
+    ORDER BY query_id, cos_sim DESC, vec_id
+    """,
+    doc="Exact cosine top-k per query vector: small query set broadcast "
+    "against the corpus (O(Q*N), one pass over the corpus), per-query "
+    "heap via window row_number. The exactness baseline for ANN.",
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    a, b = queries_df.alias("a"), emb.alias("b")
+    cos = F.round(_cosine(F.col("a.e"), F.col("b.e")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        b.join(F.broadcast(a), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+        .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
+    )
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane signature.
+
+    bit_p = [ sum_d w(p,d) * e_d >= 0 ] with integer weights
+    w(p,d) = (p*31 + d*17) % 7 - 3; bucket = sum_p bit_p << p.
+    Linear in corpus size; the per-(vec,plane) partial sums combine
+    map-side before the (vec_id, p) exchange.
+    """
+    spark = emb.sparkSession
+    planes = spark.range(0, n_planes).select(F.col("id").cast("int").alias("p"))
+    dims = emb.select("vec_id", F.posexplode("e").alias("d", "val"))
+    return (
+        dims.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "p")
+        .agg(
+            F.sum(((F.col("p") * 31 + F.col("d") * 17) % 7 - 3) * F.col("val")).alias("s")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), p)")).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+
+
+_SQL_BUCKETS = f"""
+    dims AS (
+      SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
+      FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+    ),
+    sums AS (
+      SELECT vec_id, p, SUM(((p * 31 + d * 17) % 7 - 3) * val) AS s
+      FROM dims, range(0, {N_PLANES}) AS r(p)
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM sums GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH {_SQL_BUCKETS}
+    SELECT bucket, COUNT(*) AS n_vectors
+    FROM buckets
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="LSH bucket histogram: signature distribution of the corpus "
+    "(sanity surface for the ANN index).",
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return (
+        lsh_buckets(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_SQL_BUCKETS},
+    scored AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS vec_id,
+             {_SQL_COS} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+                                ORDER BY {_SQL_COS} DESC, qb.vec_id) AS rn
+      FROM buckets qa
+      JOIN buckets qb ON qa.bucket = qb.bucket AND qb.vec_id <> qa.vec_id
+      JOIN embeddings a ON a.vec_id = qa.vec_id
+      JOIN embeddings b ON b.vec_id = qb.vec_id
+      WHERE qa.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, vec_id, cos_sim
+    FROM scored WHERE rn <= {TOP_K}
+    ORDER BY query_id, cos_sim DESC, vec_id
+    """,
+    doc="ANN top-k via LSH bucketing: queries only score vectors in "
+    "their own bucket (equi-join on bucket -- the candidate set shrinks "
+    "~2^planes-fold; recall/speed tuned by plane count and multi-probe). "
+    "The scale path that replaces the brute-force cross join. Note: the "
+    "fixture embeddings are near-uniform random, the worst case for any "
+    "ANN index -- observed recall vs brute force is low by construction "
+    "(real corpora cluster); correctness is oracle-checked regardless.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    with_buckets = emb.join(lsh_buckets(emb), "vec_id")
+    a = with_buckets.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = with_buckets.alias("b")
+    cos = F.round(_cosine(F.col("a.e"), F.col("b.e")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        b.join(
+            F.broadcast(a),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+        .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
+    )

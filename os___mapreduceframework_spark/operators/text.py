@@ -1,0 +1,244 @@
+"""Text-analysis operators over the documents table (charter extension).
+
+Language-ID (stopword-hit heuristic), quality scoring, token statistics,
+n-gram frequency, and document fingerprinting. All expressions are
+JVM-side higher-order array functions (transform/filter/aggregate over
+the token array) -- one parquet scan, no Python in the hot path, no
+shuffle except the final aggregations. At 100 TB each of these is a
+single map-only pass (plus a tiny agg exchange where noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "de": ("der", "die", "das", "und", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "un", "une"),
+    "es": ("el", "los", "y", "en", "un", "una"),
+}
+
+_PUNCT = ".,!?;:"
+
+
+def _sql_in(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_uniq,
+           CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS BIGINT) AS total_chars,
+           ROUND(CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS BIGINT)
+                 / len(w), 6) AS avg_token_len
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Token counting per document: whitespace tokens, distinct count, "
+    "character totals, average token length -- all via higher-order "
+    "array functions on one scan.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.size(F.array_distinct("w")).alias("n_uniq"),
+            F.expr("aggregate(transform(w, t -> length(t)), 0L, (a, x) -> a + x)").alias(
+                "total_chars"
+            ),
+            F.round(
+                F.expr("aggregate(transform(w, t -> length(t)), 0L, (a, x) -> a + x)")
+                / F.size("w"),
+                6,
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    p AS (
+      SELECT doc_id, text, w,
+             length(text) - length(replace(replace(replace(replace(replace(replace(
+                 text, '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')) AS n_punct,
+             len(list_filter(w, x -> x IN ({_sql_in(STOPWORDS["en"])}))) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           n_punct,
+           ROUND(n_punct / GREATEST(length(text), 1), 6) AS punct_ratio,
+           n_stop,
+           ROUND(n_stop / len(w), 6) AS stopword_ratio,
+           CASE WHEN len(w) BETWEEN 5 AND 100000
+                 AND n_stop / len(w) BETWEEN 0.01 AND 0.6
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM p
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: length, punctuation ratio, stopword ratio, and "
+    "a composite pass/fail gate (the C4/Gopher-style heuristic filter "
+    "shape for pretraining pipelines).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    strip_punct = F.col("text")
+    for ch in _PUNCT:
+        strip_punct = F.replace(strip_punct, F.lit(ch), F.lit(""))
+    n_punct = (F.length("text") - F.length(strip_punct)).alias("n_punct")
+    n_stop = F.size(F.filter(F.col("w"), lambda x: F.array_contains(stop_arr, x)))
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            n_punct,
+            F.round(
+                (F.length("text") - F.length(strip_punct))
+                / F.greatest(F.length("text"), F.lit(1)),
+                6,
+            ).alias("punct_ratio"),
+            n_stop.alias("n_stop"),
+            F.round(n_stop / F.size("w"), 6).alias("stopword_ratio"),
+            F.when(
+                F.size("w").between(5, 100000)
+                & (n_stop / F.size("w")).between(0.01, 0.6),
+                1,
+            )
+            .otherwise(0)
+            .alias("passes_quality"),
+        )
+        .orderBy("doc_id")
+    )
+    return df
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(w, x -> x IN ({_sql_in(STOPWORDS["en"])}))) AS c_en,
+             len(list_filter(w, x -> x IN ({_sql_in(STOPWORDS["de"])}))) AS c_de,
+             len(list_filter(w, x -> x IN ({_sql_in(STOPWORDS["fr"])}))) AS c_fr,
+             len(list_filter(w, x -> x IN ({_sql_in(STOPWORDS["es"])}))) AS c_es
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN c_en >= GREATEST(c_de, c_fr, c_es) THEN 'en'
+                WHEN c_de >= GREATEST(c_fr, c_es) THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scores
+    ORDER BY doc_id
+    """,
+    doc="Language ID heuristic: stopword-hit argmax across language "
+    "lexicons with a fixed priority tiebreak (en > de > fr > es). The "
+    "n-gram-profile generalization swaps the lexicons for char-trigram "
+    "tables; the plan shape is identical.",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    def _hits(words):
+        # single-arg lambda: pyspark treats every lambda parameter
+        # (including defaults) as a lambda variable, so close over arr
+        arr = F.array(*[F.lit(s) for s in words])
+        return F.size(F.filter(F.col("w"), lambda x: F.array_contains(arr, x)))
+
+    counts = {lang: _hits(words) for lang, words in STOPWORDS.items()}
+    pred = (
+        F.when(counts["en"] >= F.greatest(counts["de"], counts["fr"], counts["es"]), "en")
+        .when(counts["de"] >= F.greatest(counts["fr"], counts["es"]), "de")
+        .when(counts["fr"] >= counts["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+             string_split(text, ' ') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS content_md5,
+           CAST(list_aggregate(
+             list_transform(w, t -> ('0x' || substr(md5(t), 1, 7))::BIGINT),
+             'sum') AS BIGINT) AS token_hash_sum
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: md5 of whitespace-normalized text plus "
+    "an order-independent rolling token-hash sum (cheap shift-tolerant "
+    "signature; md5-derived so oracles agree bit-for-bit).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("content_md5"),
+            F.expr(
+                "aggregate(transform(split(text, ' '), "
+                "t -> cast(conv(substr(md5(t), 1, 7), 16, 10) as bigint)), 0L, (a, x) -> a + x)"
+            ).alias("token_hash_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_bigram_freq",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS bigram
+      FROM t, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+    doc="Corpus bigram frequency, top-25: shingle-explode + count + "
+    "TakeOrdered (deterministic tiebreak on the bigram).",
+)
+def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))")
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )

@@ -61,7 +61,11 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    import os___mapreduceframework_spark.operators.dedup  # noqa: F401
     import os___mapreduceframework_spark.operators.library  # noqa: F401
+    import os___mapreduceframework_spark.operators.multimodal  # noqa: F401
     import os___mapreduceframework_spark.operators.relational  # noqa: F401
+    import os___mapreduceframework_spark.operators.similarity  # noqa: F401
+    import os___mapreduceframework_spark.operators.text  # noqa: F401
 
     _LOADED = True
