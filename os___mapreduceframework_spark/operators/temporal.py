@@ -1,0 +1,216 @@
+"""Temporal operators: as-of join, range join, sessionization (batch).
+
+Spark has no native as-of/range join; these are the scale-correct
+compositions (SURVEY.md section 7.4, pyspark guide "Common OLAP
+patterns"):
+
+- **as-of join** -- union the two time-tagged streams and take the last
+  qualifying row per key via a running window. One shuffle on the key,
+  no per-group pandas, no point-in-time cross join.
+- **range join** -- bucketize the range key and equi-join on bucket
+  (+/- 1 bucket), then filter the exact predicate. Turns an O(n*m)
+  theta join into an equi-join Catalyst can hash-partition; bucket
+  width trades shuffle fan-out vs post-filter selectivity.
+- **sessionization** -- lag + gap>threshold cumsum, the standard
+  window-function formulation (streaming's session_window is the same
+  semantics; see streaming module).
+
+DuckDB oracles use its native ASOF JOIN / theta join / window functions,
+so the compositions are verified against independent implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+RANGE_WINDOW_S = 300  # range-join predicate: events within 5 minutes
+SESSION_GAP_MIN = 30
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, the latest right row with matching key and
+    right_time <= left_time (ties on right_time resolved upstream).
+    Left rows keep all their columns; ``value_cols`` arrive from the
+    right (null when no qualifying right row -- LEFT ASOF semantics).
+
+    Union-tag-window formulation: right rows sort before left rows at
+    equal times (inclusive semantics), then ``last(ignorenulls)``
+    carries the latest right values forward. Cost: one hash exchange on
+    the key + per-partition sort -- the same as any window, linear at
+    100 TB, and AQE-skew-splittable.
+    """
+    left_cols = left.columns
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__kind"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in value_cols],
+    )
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__kind"),
+        *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        "__kind",
+        *left_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("__kind") == 1).drop("__kind")
+
+
+@query(
+    "asof_join_last_order",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.last_orderkey
+    FROM events e
+    ASOF LEFT JOIN o2 o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+    doc="As-of join: each event picks the user's most recent order at or "
+    "before the event time (orders deduped to max orderkey per "
+    "(custkey, date) so ties are deterministic). Union+window "
+    "composition vs DuckDB's native ASOF JOIN.",
+)
+def q_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["last_orderkey"],
+    )
+    return out.select("event_id", "user_id", "last_orderkey").orderBy("event_id")
+
+
+@query(
+    "range_join_bucketed",
+    oracle=f"""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id > a.event_id
+     AND abs(epoch_us(b.ts) - epoch_us(a.ts)) < {RANGE_WINDOW_S} * 1000000
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+    doc="Range join (event pairs within 5 minutes per user): bucketize "
+    "time into 5-minute cells, explode each left row to its cell +/- 1, "
+    "equi-join on (user, cell), then exact-filter. The theta join "
+    "becomes hash-partitionable; oracle is DuckDB's plain theta join.",
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    bucket_us = RANGE_WINDOW_S * 1_000_000
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                (F.col("us") / bucket_us).cast("long") - 1,
+                (F.col("us") / bucket_us).cast("long"),
+                (F.col("us") / bucket_us).cast("long") + 1,
+            )
+        ).alias("cell"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"),
+        (F.col("us") / bucket_us).cast("long").alias("cell"),
+    )
+    return (
+        a.join(b, ["user_id", "cell"])
+        .filter(
+            (F.col("id_b") > F.col("id_a"))
+            & (F.abs(F.col("us_b") - F.col("us_a")) < bucket_us)
+        )
+        .dropDuplicates(["user_id", "id_a", "id_b"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                   OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Batch sessionization: lag + gap>30min cumsum -> session ids. "
+    "Same semantics as streaming session_window; one exchange on "
+    "user_id.",
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )

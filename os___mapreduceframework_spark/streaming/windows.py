@@ -1,0 +1,255 @@
+"""Structured Streaming operators on the events stream (SURVEY.md M5).
+
+The reference is strictly batch (its concurrent shuffle,
+MapReduceFramework.cpp:166-230, is intra-job pipelining, not a streaming
+data model); streaming enters per the charter. Each query here reads the
+events parquet as a file-source stream (``readStream``), applies
+event-time windowing/watermarking/stateful ops, and drives the stream to
+completion through a memory sink, returning the final static result.
+Batch equivalence gives the DuckDB oracle: the same aggregation over the
+static table must produce identical results, which is exactly the
+guarantee Structured Streaming's incremental execution model makes.
+
+Scale notes: at 100 TB-equivalent rates the file source becomes Kafka
+and the memory sink becomes a Delta/parquet ``foreachBatch`` writer --
+the dataflow (watermark -> windowed state store -> output mode) is
+unchanged. Watermarks bound state store size; without them a tumbling
+aggregation over an unbounded key space leaks state forever.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from os___mapreduceframework_spark.queries import query
+
+_SINK_COUNTER = itertools.count()
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet; ts truncated to
+    microseconds exactly as the batch reader does (sources.registry)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame through a memory sink until the source is
+    exhausted; return the materialized result as a static DataFrame."""
+    name = f"stream_sink_{next(_SINK_COUNTER)}"
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Tumbling 1-hour event-time windows x event_type via Structured "
+    "Streaming (readStream -> window -> memory sink driven to "
+    "completion). Oracle is the batch-equivalent aggregation -- the "
+    "incremental-execution guarantee under test.",
+)
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                     time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS w_start,
+             value
+      FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    doc="Sliding windows (2h length, 1h slide): every event lands in two "
+    "overlapping windows; oracle expands each event to both window "
+    "starts explicitly.",
+)
+def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "sum_value",
+    ).orderBy("window_start")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                   OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Event-time session windows (30-minute gap) per user via "
+    "session_window: dynamic-length stateful windows that merge as "
+    "events arrive. Oracle is the batch lag+cumsum sessionization -- "
+    "the two formulations must agree exactly.",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Streaming stateful deduplication: dropDuplicates on "
+    "(user_id, event_type) with a watermark bounding dedup state, then "
+    "a complete-mode count.",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_completion(agg, "complete")
+    return out.orderBy("event_type")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-user running (count, sum) state updated per micro-batch, final "
+    "state emitted. The arbitrary-stateful escape hatch for operators "
+    "windowed aggregation can't express; state store bounds memory, "
+    "decimal-in-state keeps the oracle exact.",
+)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        # state: (n_events, total_value_scaled_e4) -- integer-scaled sum
+        # so accumulation is exact regardless of batch order
+        n, tot = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += int(round(float(pdf["value"].sum()) * 10_000))
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(tot / 10_000, 2)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, tot long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(out, "update").orderBy("user_id")
