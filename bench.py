@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full column
+evaluation, no driver collect bottleneck) and timed individually; the
+headline value is the summed wall time. Timings land in BENCH_r{N}.json
+and are compared against BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from os___mapreduceframework_spark import queries as registry
+from os___mapreduceframework_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# one representative per operator family (SURVEY.md section 2 coverage)
+HEADLINE = [
+    "search_count",          # reference flagship: scan+filter+agg+sort
+    "mapreduce_search",      # compat MapReduce API (Arrow path)
+    "q1_pricing_summary",    # wide aggregation
+    "join_fact_fact",        # shuffle join
+    "join_broadcast_dims",   # broadcast star join
+    "window_rank",           # window functions
+    "dedup_exact",           # hash dedup
+    "dedup_minhash_pairs",   # MinHash+LSH near-dup
+    "dedup_simhash",         # SimHash
+    "ann_bruteforce_topk",   # similarity search (exact)
+    "ann_lsh_topk",          # similarity search (ANN)
+    "text_token_stats",      # text analysis
+    "text_fingerprint",      # fingerprinting
+    "asof_join_last_order",  # as-of join
+    "sessionize_batch",      # sessionization
+    "stream_tumbling_agg",   # structured streaming
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_session(app_name="bench")
+    qs = registry.queries()
+    # warm the JVM/codegen paths so the first timed query isn't charged
+    # for class loading; queries themselves are never pre-run
+    materialize(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,13 +38,36 @@ _SHINGLES_SQL = """
            WHERE len(w) >= 3)
 """
 
-_MINHASH_SQL = f"""
+# Universal-hash family over ONE md5 per shingle: x = md5_60bit % p, then
+# h_j(x) = ((2j+1)*x + 7919j + 13) mod p  (p = 2^31 - 1, Mersenne prime).
+# (2j+1) < 2^6 and x < 2^31 keep the product far inside int64 in both
+# engines. 16x fewer md5 evaluations than hashing (j, shingle) pairs --
+# the md5 was 80% of the minhash wall time at sf0.1.
+_MH_PRIME = 2_147_483_647
+
+def _mh_expr(j: int) -> str:
+    return f"((2 * {j} + 1) * x + 7919 * {j} + 13) % {_MH_PRIME}"
+
+
+# All 16 minhashes as parallel MIN aggregates over ONE pass of the
+# shingle rows (no x16 row expansion before the aggregation -- the
+# exchange carries docs x 1 wide row), then unpivoted to signature rows.
+_MINHASH_SQL = (
+    f"""
     {_SHINGLES_SQL},
-    hs AS (SELECT doc_id, h,
-                  MIN(('0x' || substr(md5(h::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS minhash
-           FROM sh, range(0, {N_HASHES}) AS r(h)
-           GROUP BY doc_id, h)
-"""
+    sx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MH_PRIME} AS x
+           FROM sh),
+    hsw AS (SELECT doc_id, """
+    + ", ".join(f"MIN({_mh_expr(j)}) AS mh_{j}" for j in range(N_HASHES))
+    + """
+            FROM sx GROUP BY doc_id),
+    hs AS ("""
+    + "\n UNION ALL ".join(
+        f"SELECT doc_id, {j} AS h, mh_{j} AS minhash FROM hsw" for j in range(N_HASHES)
+    )
+    + ")"
+)
 
 _BANDS_SQL = f"""
     {_MINHASH_SQL},
@@ -79,20 +102,28 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     exchange carries at most docs x n_hashes rows regardless of text
     volume.
     """
-    sh = _shingles(docs)
-    hashes = docs.sparkSession.range(0, n_hashes).select(F.col("id").cast("int").alias("h"))
-    return (
-        sh.crossJoin(F.broadcast(hashes))
-        .select(
-            "doc_id",
-            "h",
-            F.expr(
-                "cast(conv(substr(md5(concat(cast(h as string), ':', shingle)), 1, 15), 16, 10) as bigint)"
-            ).alias("hv"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("minhash"))
+    sx = _shingles(docs).select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {_MH_PRIME}"
+        ).alias("x"),
     )
+    wide = sx.groupBy("doc_id").agg(
+        *[F.min(F.expr(_mh_expr(j))).alias(f"mh_{j}") for j in range(n_hashes)]
+    )
+    return wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("h"), F.col(f"mh_{j}").alias("minhash")
+                    )
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("hm"),
+    ).select("doc_id", F.col("hm.h").alias("h"), F.col("hm.minhash").alias("minhash"))
 
 
 def lsh_candidates(docs: DataFrame) -> DataFrame:
@@ -239,13 +270,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
-    th AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS hv FROM toks
+    tf AS (  -- hash + count once per distinct (doc, token): the bit
+             -- expansion below then runs on vocab-sized rows, not tokens
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS hv, COUNT(*) AS cnt
+      FROM toks GROUP BY doc_id, tok
     ),
     bits AS (
       SELECT doc_id, b,
-             CAST(SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
-      FROM th, range(0, {SIM_BITS}) AS r(b)
+             CAST(SUM(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS s
+      FROM tf, range(0, {SIM_BITS}) AS r(b)
       GROUP BY doc_id, b
     )
     SELECT doc_id,
@@ -259,21 +292,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash aggregations, both with map-side partials.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = (
+    tf = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")  # hash+weight once per distinct token
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "doc_id",
             F.expr("cast(conv(substr(md5(tok), 1, 7), 16, 10) as bigint)").alias("hv"),
+            "cnt",
         )
     )
     bit_idx = spark.range(0, SIM_BITS).select(F.col("id").cast("int").alias("b"))
     bits = (
-        toks.crossJoin(F.broadcast(bit_idx))
+        tf.crossJoin(F.broadcast(bit_idx))
         .groupBy("doc_id", "b")
         .agg(
             F.sum(
-                F.when(F.expr("(shiftright(hv, b) & 1) = 1"), 1).otherwise(-1)
+                F.when(F.expr("(shiftright(hv, b) & 1) = 1"), F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
             ).alias("s")
         )
     )

