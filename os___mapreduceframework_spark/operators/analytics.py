@@ -1,0 +1,291 @@
+"""Multi-join analytical queries (TPC-H Q3/Q5/Q6/Q10/Q12 shapes,
+adapted to the fixture schemas in FIXTURES.md).
+
+The reference has no joins at all (SURVEY.md section 2.3: grep over both
+files confirms no second-input operator); these queries are the charter
+surface that proves the engine composes scans, selective filters,
+broadcast + shuffle joins, partial aggregation, and top-k into the plans
+a 100 TB warehouse needs:
+
+- dimension tables (region/nation, and customer/supplier at small SF)
+  are broadcast -- the lineitem/orders fact sides are never shuffled for
+  a dim join;
+- fact-fact joins (orders * lineitem) shuffle on the join key once and
+  AQE coalesces the post-shuffle partitions;
+- every filter lands in the parquet scan (PushedFilters), every top-k is
+  a TakeOrderedAndProject (no global sort of the aggregate output).
+
+FP-stability follows the relational.py conventions: money math in
+DECIMAL on both sides, cast to double after a scale-2 round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+_PRICE = "decimal(18,4)"
+_RATE = "decimal(8,4)"
+
+# revenue = SUM(l_extendedprice * (1 - l_discount)) in exact decimal
+_REVENUE = (
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)"
+)
+
+
+def _revenue_col():
+    return (
+        F.sum(
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1) - F.col("l_discount").cast(_RATE))
+        )
+        .cast("decimal(38,4)")
+        .alias("_rev_dec")
+    )
+
+
+def _rev_to_double(df: DataFrame) -> DataFrame:
+    return df.withColumn("revenue", F.round("_rev_dec", 2).cast("double")).drop(
+        "_rev_dec"
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REVENUE} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter (1/5 of customers) "
+    "broadcast into orders, fact-fact shuffle join to lineitem, "
+    "aggregate, top-10. The customer side is broadcast so the orders "
+    "scan never shuffles for it; the final top-k is "
+    "TakeOrderedAndProject over ~group-count rows, not a global sort.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _revenue_col()
+    )
+    return (
+        _rev_to_double(agg)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {_REVENUE} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table star join. region->nation->supplier "
+    "and customer are broadcast (each orders-of-magnitude smaller than "
+    "the facts); the only shuffle joins are orders*customer-key and "
+    "lineitem*orders. Region filter prunes 4/5 of nations before any "
+    "fact row is touched.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    agg = joined.groupBy("n_name").agg(_revenue_col())
+    return _rev_to_double(agg).select("n_name", "revenue").orderBy(
+        F.desc("revenue"), "n_name"
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate, zero joins, one "
+    "global agg row. All three predicates push to the parquet scan; "
+    "at 100 TB this is the I/O-bound roofline query -- row-group "
+    "statistics skip most of the file.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(_PRICE)
+                    * F.col("l_discount").cast(_RATE)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {_REVENUE} AS revenue,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: quarter of orders, returned lines only, "
+    "revenue per customer, top-20. nation broadcast; returnflag filter "
+    "pushed to the lineitem scan (dictionary-encoded column -> cheap "
+    "row-group skipping at scale).",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        _revenue_col()
+    )
+    return (
+        _rev_to_double(agg)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal").cast(_PRICE), 2).cast("double").alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+           COUNT(*) AS all_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q12 shape (adapted: fixtures lack receipt/commit dates, "
+    "so 'late' = shipped >60 days after order date): fact-fact join + "
+    "conditional aggregation. One shuffle on the order key; the CASE "
+    "aggregates fold into the same partial/final hash aggregate.",
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late_lines"),
+            F.count(F.lit(1)).alias("all_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -61,6 +61,8 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    import os___mapreduceframework_spark.operators.advanced  # noqa: F401
+    import os___mapreduceframework_spark.operators.analytics  # noqa: F401
     import os___mapreduceframework_spark.operators.dedup  # noqa: F401
     import os___mapreduceframework_spark.operators.library  # noqa: F401
     import os___mapreduceframework_spark.operators.multimodal  # noqa: F401

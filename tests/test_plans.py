@@ -52,6 +52,36 @@ def test_range_join_no_cartesian(spark):
     assert_plan(df, absent=("CartesianProduct", "BroadcastNestedLoopJoin"))
 
 
+def test_q3_broadcasts_customer_side(spark):
+    """The filtered customer dim must broadcast -- the orders/lineitem
+    fact sides never shuffle for a dim join."""
+    df = ALL["q3_shipping_priority"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
+
+
+def test_q5_star_join_no_cartesian(spark):
+    df = ALL["q5_local_supplier_volume"](spark, TEST_SF_DIR)
+    assert_plan(df, contains=("BroadcastHashJoin",), absent=("CartesianProduct",))
+
+
+def test_q6_filters_reach_scan(spark):
+    df = ALL["q6_forecast_revenue"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    read_schema = scan.split("ReadSchema: ")[1]
+    assert read_schema.count(":") == 4, read_schema[:300]
+    assert "PushedFilters: []" not in plan
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    df = ALL["subquery_exists"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan, plan[:2000]
+
+
 def test_search_count_whole_stage_codegen(spark):
     """The flagship pipeline stays inside whole-stage codegen (no
     Python/row-at-a-time operators in the hot path)."""
