@@ -1,0 +1,163 @@
+"""File-format sources & sinks: CSV / JSON / ORC round-trips and
+partitioned-parquet writes with partition pruning.
+
+The reference's only source is a directory listing (Search.cpp:98-111)
+and its only sink is stdout expansion (Search.cpp:113-117). The engine
+generalizes both to Spark's format surface: every query here WRITES a
+fixture-derived relation in the format under test to a scratch dir,
+reads it back, and computes an aggregate the DuckDB oracle reproduces
+from the original parquet -- so a value-hash match proves the sink and
+the source are both lossless.
+
+Scale notes: each sink writes one file per task (no driver funnel);
+the partitioned write demonstrates the layout (`status=X/part-*.parquet`)
+that turns a predicate into directory-level pruning at 100 TB
+(PartitionFilters in the scan, asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+# shared agg so every round-trip proves value-level fidelity
+_AGG_ORACLE = """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+_LI_COLS = ("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+_LI_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]
+)
+
+
+def _subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 2)
+        .select(*_LI_COLS)
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="CSV sink + source: write the relation as headered CSV (one "
+    "file per task), read it back with an explicit schema (no "
+    "inference scan), aggregate. Timestamps survive via ISO-8601; the "
+    "hash match against the parquet-derived oracle proves losslessness.",
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("csv_roundtrip")
+    _subset(spark, sf_dir).write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(_LI_SCHEMA).option("header", True).csv(path)
+    return _agg(back)
+
+
+@query(
+    "source_json_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="JSON-lines sink + source with explicit schema on read (schema "
+    "inference would need an extra full scan -- never at 100 TB).",
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("json_roundtrip")
+    _subset(spark, sf_dir).write.mode("overwrite").json(path)
+    back = spark.read.schema(_LI_SCHEMA).json(path)
+    return _agg(back)
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="ORC sink + source: the second columnar format, with the same "
+    "predicate-pushdown/column-pruning path as parquet.",
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("orc_roundtrip")
+    _subset(spark, sf_dir).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return _agg(back)
+
+
+@query(
+    "source_partitioned_pruning",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Hive-style partitioned parquet sink (partitionBy=o_orderstatus)"
+    " + pruned source: the status predicate becomes a PartitionFilter, "
+    "so non-matching directories are never listed or read. THE layout "
+    "decision for 100 TB fact tables (partition by the dominant "
+    "predicate column; low cardinality keeps file counts sane).",
+)
+def q_source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("partitioned_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned scan itself (pre-aggregation) for plan assertions."""
+    path = _scratch("partitioned_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    return spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")

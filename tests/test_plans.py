@@ -82,6 +82,20 @@ def test_exists_decorrelates_to_semi_join(spark):
     assert "LeftSemi" in plan or "ExistenceJoin" in plan, plan[:2000]
 
 
+def test_partitioned_write_prunes_on_read(spark):
+    """Hive-layout write + predicate on the partition column = directory
+    pruning (PartitionFilters), not a data filter over all files."""
+    from os___mapreduceframework_spark.sources.formats import (
+        partitioned_scan_for_audit,
+    )
+
+    df = partitioned_scan_for_audit(spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    pf = scan.split("PartitionFilters: ")[1]
+    assert pf.startswith("[isnotnull") or "o_orderstatus" in pf.split("]")[0], pf[:120]
+
+
 def test_search_count_whole_stage_codegen(spark):
     """The flagship pipeline stays inside whole-stage codegen (no
     Python/row-at-a-time operators in the hot path)."""
