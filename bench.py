@@ -29,6 +29,9 @@ HEADLINE = [
     "search_count",          # reference flagship: scan+filter+agg+sort
     "mapreduce_search",      # compat MapReduce API (Arrow path)
     "q1_pricing_summary",    # wide aggregation
+    "q3_shipping_priority",  # 3-table join + top-k
+    "q5_local_supplier_volume",  # 6-table star join
+    "q6_forecast_revenue",   # scan-bound filter+agg
     "join_fact_fact",        # shuffle join
     "join_broadcast_dims",   # broadcast star join
     "window_rank",           # window functions
