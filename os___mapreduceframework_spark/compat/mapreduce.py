@@ -90,8 +90,6 @@ def run_map_reduce(
     if mid_schema is None or out_schema is None:
         return _rdd_path(df, k1, v1, map_fn, reduce_fn, parallelism)
 
-    num_parts = parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
     def map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keys, vals = [], []
@@ -111,11 +109,13 @@ def run_map_reduce(
             vals.append(v3)
         return pd.DataFrame({"key": keys, "value": vals})
 
-    reduced = (
-        mapped.repartition(num_parts, "key")
-        .groupBy("key")
-        .applyInPandas(reduce_group, schema=out_schema)
-    )
+    # groupBy().applyInPandas hash-partitions on the key itself; an extra
+    # repartition would be a second exchange. Only pre-partition when the
+    # caller explicitly overrides parallelism (the reference's
+    # multiThreadLevel), mirroring F9.
+    if parallelism:
+        mapped = mapped.repartition(parallelism, "key")
+    reduced = mapped.groupBy("key").applyInPandas(reduce_group, schema=out_schema)
     return reduced.orderBy("key")
 
 

@@ -69,15 +69,24 @@ _MINHASH_SQL = (
     + ")"
 )
 
-_BANDS_SQL = f"""
-    {_MINHASH_SQL},
-    bands AS (SELECT doc_id, h // {BAND_SIZE} AS band,
-                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS sig
-              FROM hs GROUP BY doc_id, h // {BAND_SIZE}),
+# band signatures straight off the wide minhash row (no unpivot+regroup)
+_BANDS_SQL = (
+    _MINHASH_SQL
+    + ",\n    bands AS ("
+    + "\n UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5("
+        + " || ',' || ".join(
+            f"mh_{j}::VARCHAR" for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+        )
+        + ") AS sig FROM hsw"
+        for band in range(N_HASHES // BAND_SIZE)
+    )
+    + """),
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
              FROM bands x
              JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
 """
+)
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
@@ -94,6 +103,21 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): all minhashes as parallel MIN aggregates
+    over ONE pass of the shingle rows (one md5 per shingle, universal
+    hash family on top). The exchange carries docs x 1 wide rows."""
+    sx = _shingles(docs).select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {_MH_PRIME}"
+        ).alias("x"),
+    )
+    return sx.groupBy("doc_id").agg(
+        *[F.min(F.expr(_mh_expr(j))).alias(f"mh_{j}") for j in range(n_hashes)]
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, h, minhash): MinHash signature rows.
 
@@ -102,15 +126,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     exchange carries at most docs x n_hashes rows regardless of text
     volume.
     """
-    sx = _shingles(docs).select(
-        "doc_id",
-        F.expr(
-            f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {_MH_PRIME}"
-        ).alias("x"),
-    )
-    wide = sx.groupBy("doc_id").agg(
-        *[F.min(F.expr(_mh_expr(j))).alias(f"mh_{j}") for j in range(n_hashes)]
-    )
+    wide = _minhash_wide(docs, n_hashes)
     return wide.select(
         "doc_id",
         F.explode(
@@ -134,21 +150,33 @@ def lsh_candidates(docs: DataFrame) -> DataFrame:
     (e.g. boilerplate docs) are the classic hazard; AQE skew-join covers
     moderate skew, and a salt-by-prefix split is the escape hatch.
     """
-    sigs = (
-        minhash_signatures(docs)
-        .groupBy("doc_id", F.expr(f"h div {BAND_SIZE}").alias("band"))
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                        lambda x: x["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("sig")
-        )
-    )
+    wide = _minhash_wide(docs)
+    # band sigs straight off the wide row: no unpivot-to-16-rows and no
+    # second exchange -- each doc contributes N_HASHES/BAND_SIZE band rows
+    sigs = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh_{j}").cast("string")
+                                    for j in range(
+                                        band * BAND_SIZE, (band + 1) * BAND_SIZE
+                                    )
+                                ],
+                            )
+                        ).alias("sig"),
+                    )
+                    for band in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
@@ -270,60 +298,60 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
-    tf AS (  -- hash + count once per distinct (doc, token): the bit
-             -- expansion below then runs on vocab-sized rows, not tokens
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS hv, COUNT(*) AS cnt
-      FROM toks GROUP BY doc_id, tok
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS hv FROM toks
     ),
-    bits AS (
-      SELECT doc_id, b,
-             CAST(SUM(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS s
-      FROM tf, range(0, {SIM_BITS}) AS r(b)
-      GROUP BY doc_id, b
+    sums AS (  -- all {SIM_BITS} bit-majority sums in ONE aggregation pass
+      SELECT doc_id,
+    """
+    + ",\n".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(SIM_BITS)
+    )
+    + """
+      FROM th GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits
-    GROUP BY doc_id
+           CAST("""
+    + " + ".join(
+        f"(CASE WHEN s_{b} >= 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIM_BITS)
+    )
+    + """ AS BIGINT) AS simhash
+    FROM sums
     ORDER BY doc_id
     """,
     doc="SimHash (28-bit, md5-derived token hashes): per-bit majority "
-    "vote over token hashes; near-dups then differ in few bits. Two "
-    "hash aggregations, both with map-side partials.",
+    "vote over token hashes; near-dups then differ in few bits. All 28 "
+    "bit sums are parallel aggregates in ONE pass over the token rows "
+    "(no 28x bit expansion, no per-doc token dedup stage): the single "
+    "exchange carries docs x 1 wide partial-agg rows -- at 100 TB the "
+    "shuffle volume is doc-count-bound, not token-count-bound.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tf = (
+    th = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")  # hash+weight once per distinct token
-        .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "doc_id",
             F.expr("cast(conv(substr(md5(tok), 1, 7), 16, 10) as bigint)").alias("hv"),
-            "cnt",
         )
     )
-    bit_idx = spark.range(0, SIM_BITS).select(F.col("id").cast("int").alias("b"))
-    bits = (
-        tf.crossJoin(F.broadcast(bit_idx))
-        .groupBy("doc_id", "b")
-        .agg(
+    sums = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(shiftright(hv, b) & 1) = 1"), F.col("cnt")).otherwise(
-                    -F.col("cnt")
-                )
-            ).alias("s")
-        )
+                F.when(F.expr(f"(shiftright(hv, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s_{b}")
+            for b in range(SIM_BITS)
+        ]
     )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
-            ).alias("simhash")
+    simhash = None
+    for b in range(SIM_BITS):
+        term = F.when(F.col(f"s_{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .orderBy("doc_id")
-    )
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 @query(
