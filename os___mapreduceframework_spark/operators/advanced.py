@@ -325,6 +325,184 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           len(list(n_name)) AS n_nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations_concat
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="Collection aggregates: collect_list (sorted for determinism -- "
+    "shuffle arrival order is not stable) and the string_agg/listagg "
+    "equivalent via array_join; surfaced as scalars because engines "
+    "render array values differently. Collection aggs don't "
+    "partial-combine meaningfully; keep them for dimension-sized "
+    "groups only.",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .select(
+            "n_regionkey",
+            F.size("nations").alias("n_nations"),
+            F.array_join("nations", "|").alias("nations_concat"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Bivariate statistical aggregates: corr / covar_samp / "
+    "regr_slope. All decompose into distributive moment sums, so they "
+    "partial-aggregate map-side like any SUM. Rounded: moment "
+    "accumulation order differs between engines at the ulp level.",
+)
+def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "qty_disc_covar"
+            ),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "price_per_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(ROUND(CAST(MAX(o_totalprice) AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Argmin/argmax aggregates (min_by/max_by): the single-pass "
+    "replacement for the self-join-on-extremum anti-pattern. "
+    "(o_totalprice values are unique per group in the fixtures, so the "
+    "tie-unspecified semantics never bite the oracle.)",
+)
+def q_agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.round(F.max(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             list_distinct(string_split(text, ' ')) AS dw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(dw) AS n_distinct,
+           len(list_intersect(dw, ['the', 'a', 'of', 'and', 'to']))
+             AS n_stopword_kinds,
+           len(w) - len(dw) AS n_repeats
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Per-row array set operations: array_distinct / array_intersect "
+    "against a literal set -- row-local (no shuffle), codegen-resident; "
+    "the relational alternative (explode + join + re-group) would "
+    "shuffle the whole token stream.",
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to"]])
+    return (
+        docs.select(
+            "doc_id",
+            F.split("text", " ").alias("w"),
+            F.array_distinct(F.split("text", " ")).alias("dw"),
+        )
+        .select(
+            "doc_id",
+            F.size("dw").alias("n_distinct"),
+            F.size(F.array_intersect("dw", stop)).alias("n_stopword_kinds"),
+            (F.size("w") - F.size("dw")).alias("n_repeats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN l_discount = 0 THEN NULL
+                      ELSE l_extendedprice / l_discount END, 4) AS price_per_disc,
+           CASE WHEN l_quantity = 0 THEN NULL
+                -- trunc: Spark's double->bigint cast truncates, DuckDB's rounds
+                ELSE CAST(trunc(l_extendedprice) AS BIGINT)
+                     % CAST(trunc(l_quantity) AS BIGINT)
+             END AS price_mod_qty
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey <= 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="try_divide/try_mod: NULL-on-error arithmetic instead of "
+    "fail-the-job -- the ANSI-mode-safe pattern for dirty data at "
+    "scale (a single bad row must not kill a 100 TB pipeline).",
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") <= 2000)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(
+                F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))
+            ),
+            4,
+        ).alias("price_per_disc"),
+        F.try_mod(
+            F.col("l_extendedprice").cast("bigint"),
+            F.nullif(F.col("l_quantity").cast("bigint"), F.lit(0)),
+        ).alias("price_mod_qty"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
     "cross_join_bounded",
     oracle="""
     SELECT r_name, status, COUNT(*) AS n

@@ -1,0 +1,108 @@
+"""Streaming joins: stream-static enrichment and stream-stream joins.
+
+Completes the Structured Streaming surface (streaming/windows.py covers
+windows/watermarks/stateful ops). Oracles are batch-equivalent SQL over
+the same events table -- the incremental-execution guarantee under test,
+as in the rest of the streaming module.
+
+Scale notes:
+
+- **stream-static**: the static dim is re-broadcast per micro-batch; no
+  state store involvement. The 100 TB form is a broadcast (or Delta
+  snapshot) dim join against a Kafka stream -- identical dataflow.
+- **stream-stream**: both sides buffer in the state store; the
+  watermark + time-range predicate bound how long rows wait for a
+  match, which is what keeps state finite at production rates. Without
+  the time bound, Spark (correctly) refuses the inner join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+from os___mapreduceframework_spark.streaming.windows import (
+    events_stream,
+    run_to_completion,
+)
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Stream-static join: purchase events enriched with the customer "
+    "dimension (broadcast per micro-batch, no state store), aggregated "
+    "by market segment. Oracle = the batch join.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_to_completion(agg, "complete").orderBy("c_mktsegment")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY v.user_id, view_id, purchase_id
+    """,
+    doc="Stream-stream inner join with event-time bound: each view "
+    "matched to the same user's purchases within the following hour. "
+    "Watermarks on both sides + the time-range predicate let Spark "
+    "evict buffered rows from the state store once no future match is "
+    "possible -- the only formulation with finite state at 100 TB "
+    "rates. Oracle = the batch theta join.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    return run_to_completion(joined, "append").orderBy(
+        "user_id", "view_id", "purchase_id"
+    )
