@@ -1,0 +1,178 @@
+"""Scale-pattern operators: skew-salted aggregation, the SQL entry
+surface, and IVF approximate-nearest-neighbor search.
+
+These exist to demonstrate, as first-class tested queries, the three
+patterns the 100 TB charter leans on hardest:
+
+- **salting**: a hot key (Zipf token, boilerplate doc, null-heavy join
+  key) overwhelms one reducer. Two-phase aggregation over a
+  deterministic salt spreads the hot key across ``N_SALT`` partial
+  groups, then merges -- the classic skew rewrite AQE can't always do
+  for you (AQE splits skewed *partitions*, not skewed *groups* inside
+  an aggregation).
+- **SQL interface**: every DataFrame query in this engine is equally
+  expressible through ``spark.sql`` over registered fixture views --
+  same Catalyst plan, same oracle. One registered query proves the
+  path end-to-end.
+- **IVF ANN**: the inverted-file index (k-means coarse quantizer +
+  probe-nearest-cells) -- the standard scale path for similarity
+  search when LSH recall disappoints. Train k centroids (tiny,
+  driver-held, broadcast back), assign each corpus vector to its cell
+  (linear, one pass), and each query scores only ``N_PROBE`` cells.
+  Training is sampled + seeded; not SQL-expressible, so rows-only
+  driver check + structural/recall unit tests (tests/test_scale.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from os___mapreduceframework_spark.operators.dedup import _cosine
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table, register_views
+
+N_SALT = 8
+IVF_K = 8  # coarse-quantizer cells
+IVF_PROBE = 2  # cells scored per query
+IVF_TOP_K = 10
+N_QUERIES = 5
+
+
+@query(
+    "salted_token_count",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+    doc="Two-phase skew-salted aggregation: count per (token, salt) "
+    "first (hot tokens spread over 8 partial groups, map-side combine "
+    "still applies), then merge partials per token. Result is "
+    "identical to the direct group-by -- the oracle IS the unsalted "
+    "formulation -- but no single reducer ever owns a hot token's "
+    "full stream. The rewrite for Zipf-distributed keys at 100 TB.",
+)
+def q_salted_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # deterministic salt from doc_id: same token lands on up to N_SALT
+    # distinct partial groups
+    partial = (
+        toks.withColumn("salt", (F.col("doc_id") % N_SALT).cast("int"))
+        .groupBy("tok", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+    return (
+        partial.groupBy("tok")
+        .agg(F.sum("pn").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+    )
+
+
+@query(
+    "sql_interface_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="The spark.sql entry path: fixture tables registered as temp "
+    "views, query text handed to Catalyst directly. Same optimized "
+    "plan as the DataFrame formulation -- proves the engine's SQL "
+    "surface end-to-end.",
+)
+def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        WHERE l_quantity >= 30
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+def ivf_index(emb: DataFrame, k: int = IVF_K, seed: int = 42):
+    """(assignments, centroids): k-means coarse quantizer.
+
+    Training runs on the corpus via pyspark.ml KMeans (seeded); the k
+    centroid vectors are driver-held (k * dim floats -- tiny) and
+    re-broadcast for assignment/probing. At 100 TB you train on a
+    sample and assign with one linear pass, exactly this dataflow.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select("vec_id", array_to_vector("e").alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(vecs)
+    assignments = model.transform(vecs).select(
+        "vec_id", F.col("prediction").alias("cell")
+    )
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, centroid array<double>",
+    )
+    return assignments, centroids
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=None,  # k-means training is not SQL-expressible; rows-only
+    doc="IVF ANN: corpus bucketed into IVF_K k-means cells (one linear "
+    "assignment pass), each query scores only its IVF_PROBE nearest "
+    "cells -- candidate set shrinks k/nprobe-fold vs brute force. "
+    "Structural + recall properties unit-tested in tests/test_scale.py "
+    "(driver check is rows-only: seeded-sample training isn't "
+    "SQL-expressible).",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assignments, centroids = ivf_index(emb)
+    corpus = emb.join(assignments, "vec_id")
+
+    # each query probes its IVF_PROBE nearest centroids
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("cdist").desc(), F.col("cell"))
+    probes = (
+        queries_df.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", _cosine(F.col("qe"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= IVF_PROBE)
+        .select("query_id", "qe", "cell")
+    )
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .drop("rn")
+        .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
+    )

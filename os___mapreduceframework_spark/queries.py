@@ -67,6 +67,7 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.operators.library  # noqa: F401
     import os___mapreduceframework_spark.operators.multimodal  # noqa: F401
     import os___mapreduceframework_spark.operators.relational  # noqa: F401
+    import os___mapreduceframework_spark.operators.scale  # noqa: F401
     import os___mapreduceframework_spark.operators.similarity  # noqa: F401
     import os___mapreduceframework_spark.operators.temporal  # noqa: F401
     import os___mapreduceframework_spark.operators.text  # noqa: F401

