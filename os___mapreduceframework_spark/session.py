@@ -43,6 +43,15 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # size scan splits to the fixture SF so single-file tables still
+        # scan in parallel (sf0.1 lineitem is ~11 MB -- one task at the
+        # 128 MB default); on a real cluster at 100 TB the default is
+        # right and this moves to spark-submit with the other sizing
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
