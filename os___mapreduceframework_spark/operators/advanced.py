@@ -325,6 +325,80 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS orders_last_90d,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+    FROM orders
+    WHERE o_custkey < 300
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Value-based RANGE frame (orders within the trailing 90 days -- "
+    "frame bounds in seconds over the epoch sort key) and a sliding "
+    "3-ROWS moving average. Both frames evaluate in one pass per "
+    "partition after the single hash exchange.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w_range = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, 0)
+    )
+    w_rows = W.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w_range).alias("orders_last_90d"),
+        F.round(F.avg("o_totalprice").over(w_rows), 4).alias("moving_avg_3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_in_priority
+    FROM orders
+    WHERE o_orderkey <= 3000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="Distribution window functions: ntile / percent_rank / "
+    "cume_dist / first_value. (o_totalprice ties broken by key so both "
+    "engines agree.)",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("o_orderkey").over(w).alias("cheapest_in_priority"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "agg_collect",
     oracle="""
     SELECT n_regionkey,
