@@ -155,6 +155,82 @@ def q_source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_BUCKETS = 8
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Write orders and lineitem bucketed by the join key (order key)
+    into the session catalog (idempotent per sf_dir)."""
+    marker = spark.conf.get("spark.graft.bucketed.for", "")
+    if marker == sf_dir and spark.catalog.tableExists("bucketed_orders"):
+        return
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # explicit external-table paths keep the data in the scratch dir
+    # (default would be ./spark-warehouse under the caller's cwd)
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(_N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _scratch("bucketed_orders"))
+        .saveAsTable("bucketed_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(_N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", _scratch("bucketed_lineitem"))
+        .saveAsTable("bucketed_lineitem")
+    )
+    spark.conf.set("spark.graft.bucketed.for", sf_dir)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Co-located join via bucketed tables: both facts written "
+    "bucketBy(8, order key) + sortBy, so the join needs NO exchange on "
+    "either side (asserted in tests/test_plans.py -- the scan's bucket "
+    "layout satisfies the join's distribution requirement). THE "
+    "pre-organization that amortizes one shuffle across every future "
+    "join on that key -- the difference between re-shuffling 100 TB "
+    "per query and never shuffling it again.",
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_bucketed_tables(spark, sf_dir)
+    orders = spark.table("bucketed_orders")
+    li = spark.table("bucketed_lineitem")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def bucketed_join_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation bucketed join for plan assertions."""
+    _ensure_bucketed_tables(spark, sf_dir)
+    orders = spark.table("bucketed_orders")
+    li = spark.table("bucketed_lineitem")
+    return orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+
+
 def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruned scan itself (pre-aggregation) for plan assertions."""
     path = _scratch("partitioned_orders")

@@ -96,6 +96,22 @@ def test_partitioned_write_prunes_on_read(spark):
     assert pf.startswith("[isnotnull") or "o_orderstatus" in pf.split("]")[0], pf[:120]
 
 
+def test_bucketed_join_needs_no_exchange(spark):
+    """Both sides bucketed+sorted on the join key: the sort-merge join
+    must read bucket layout directly -- zero Exchange operators."""
+    from os___mapreduceframework_spark.sources.formats import bucketed_join_for_audit
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_for_audit(spark, TEST_SF_DIR)
+        plan = executed_plan(df)
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_search_count_whole_stage_codegen(spark):
     """The flagship pipeline stays inside whole-stage codegen (no
     Python/row-at-a-time operators in the hot path)."""
