@@ -1,0 +1,55 @@
+"""Harness-contract robustness: path quirks, registry idempotence,
+empty-result paths, and clean failure on bad input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from os___mapreduceframework_spark import queries as registry
+from os___mapreduceframework_spark.operators.search import search_count
+from os___mapreduceframework_spark.sources import load_table
+from tests.conftest import TEST_SF_DIR
+
+
+def test_registry_idempotent():
+    first = registry.queries()
+    second = registry.queries()
+    assert set(first) == set(second)
+    assert all(first[k] is second[k] for k in first)
+    assert set(registry.oracle_sql()) <= set(first)
+
+
+def test_trailing_slash_sf_dir(spark):
+    a = registry.queries()["search_count"](spark, TEST_SF_DIR).collect()
+    b = registry.queries()["search_count"](spark, TEST_SF_DIR + "/").collect()
+    assert a == b
+
+
+def test_nonexistent_sf_dir_raises_cleanly(spark):
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/sf-nope", "part").collect()
+
+
+def test_search_word_with_no_matches_is_empty(spark):
+    part = load_table(spark, TEST_SF_DIR, "part")
+    out = search_count(part, "zzz-no-such-substring", name_col="p_name")
+    assert out.count() == 0
+
+
+def test_every_query_returns_stable_schema(spark):
+    """Two invocations of the same query produce the same schema (the
+    driver smoke-checks schema stability)."""
+    for name in ["search_count", "q1_pricing_summary", "dedup_simhash"]:
+        fn = registry.queries()[name]
+        s1 = fn(spark, TEST_SF_DIR).schema
+        s2 = fn(spark, TEST_SF_DIR).schema
+        assert s1 == s2, name
+
+
+def test_filters_on_empty_result_compose(spark):
+    li = load_table(spark, TEST_SF_DIR, "lineitem")
+    empty = li.filter(F.col("l_quantity") < -1)
+    agg = empty.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    assert agg.count() == 0
