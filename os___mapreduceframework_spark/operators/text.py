@@ -242,3 +242,50 @@ def q_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(25)
     )
+
+
+# BPE-ish pre-tokenization regex (GPT-2 style, simplified to the subset
+# whose semantics agree between Java regex (Spark) and RE2 (DuckDB)):
+# a token is an optional leading space + letter run, digit run, or
+# punctuation run.
+_BPE_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_extract_all(text, '{_BPE_RE}') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_bpe_tokens,
+           len(list_distinct(toks)) AS n_uniq_bpe,
+           ROUND(length(text) / GREATEST(len(toks), 1), 6) AS chars_per_token
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="BPE-style pre-tokenization (GPT-2-shape regex: optional space + "
+    "letter/digit/punct run) and the chars-per-token compression ratio "
+    "-- the charter's 'BPE-ish regex' token counter. regexp_extract_all "
+    "runs JVM-side in one scan pass; the pattern subset is chosen so "
+    "Java regex and RE2 tokenize identically.",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("text"),
+            F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_bpe_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_uniq_bpe"),
+            F.round(
+                F.length("text") / F.greatest(F.size("toks"), F.lit(1)), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
