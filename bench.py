@@ -55,9 +55,13 @@ def materialize(df) -> None:
 def main() -> None:
     spark = get_session(app_name="bench")
     qs = registry.queries()
-    # warm the JVM/codegen paths so the first timed query isn't charged
-    # for class loading; queries themselves are never pre-run
-    materialize(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
+    # warm the JVM/codegen paths and the Python worker pool so the first
+    # timed query isn't charged for class loading or interpreter
+    # startup (executors reuse workers in steady state); queries
+    # themselves are never pre-run
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    materialize(region)
+    materialize(region.mapInPandas(lambda it: it, schema=region.schema))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -43,6 +43,9 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize per-batch overhead on the
+        # Pandas-UDF paths (compat API, multimodal, stateful streaming)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # size scan splits to the fixture SF so single-file tables still
         # scan in parallel (sf0.1 lineitem is ~11 MB -- one task at the
         # 128 MB default); on a real cluster at 100 TB the default is
