@@ -253,3 +253,91 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_completion(out, "update").orderBy("user_id")
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="foreachBatch sink: each micro-batch is handed to arbitrary "
+    "batch-DataFrame code (here: parquet append to a scratch dir -- at "
+    "scale, the Delta/upsert escape hatch streaming sinks can't "
+    "express). The final result is read back from the files the sink "
+    "wrote, so the oracle verifies the whole write path.",
+)
+def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_io", "foreach_batch_sink"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ev = events_stream(spark, sf_dir).select("event_type", "value")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), "spark_graft_io", "fbs_ckpt_%d" % next(_SINK_COUNTER)),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_tumbling_append",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           COUNT(*) AS n
+    FROM events, mx
+    GROUP BY 1
+    HAVING MAX(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR)
+           <= (SELECT time_bucket(INTERVAL 1 HOUR, m) FROM mx)
+    ORDER BY window_start
+    """,
+    doc="Append-mode tumbling windows: only windows CLOSED by the "
+    "watermark are emitted (the production pattern -- downstream "
+    "consumers see each window exactly once, immutable). With a 0-delay "
+    "watermark the final open window is withheld; the oracle reproduces "
+    "that via the max-event-time cutoff.",
+)
+def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_completion(agg, "append")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n",
+    ).orderBy("window_start")

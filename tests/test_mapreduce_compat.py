@@ -126,3 +126,34 @@ def test_search_client_via_compat(spark):
         spark=spark,
     ).collect()
     assert [(r.key, r.value) for r in got] == [("foo.txt", 2), ("xfoo", 1)]
+
+
+def test_parallelism_override_controls_partitions(spark):
+    """parallelism mirrors the reference's multiThreadLevel
+    (MapReduceFramework.cpp:360, hard-coded 5 in Search.cpp:112): the
+    reduce stage runs with exactly that many partitions, and results
+    are identical regardless."""
+    from os___mapreduceframework_spark.compat import run_map_reduce
+
+    data = [(f"k{i % 7}", str(i)) for i in range(100)]
+    df = spark.createDataFrame(data, schema="key string, value string")
+
+    def map_fn(k, v):
+        return [(k, 1)]
+
+    def reduce_fn(k, vals):
+        return [(k, len(vals))]
+
+    out5 = run_map_reduce(
+        df, map_fn, reduce_fn,
+        mid_schema="key string, value long",
+        out_schema="key string, value long",
+        parallelism=5,
+    )
+    out_default = run_map_reduce(
+        df, map_fn, reduce_fn,
+        mid_schema="key string, value long",
+        out_schema="key string, value long",
+    )
+    assert out5.collect() == out_default.collect()
+    assert [r["key"] for r in out5.collect()] == sorted(f"k{i}" for i in range(7))
