@@ -60,3 +60,42 @@ def test_dir_entries_end_to_end(spark, tmp_path):
     df = dir_entries(spark, [str(d1), str(d2)])
     out = [(r.name, r.cnt) for r in search_count(df, "hit").collect()]
     assert out == [("hit_one", 2), ("hit_two", 1)]
+
+
+def test_pluggable_dir_source_matches_driver_listing(spark, tmp_path):
+    """The Python Data Source API source (one partition per directory,
+    listing on executors) returns exactly the driver-side dir_entries
+    relation, including '.'/'..' and cross-dir duplicates."""
+    from os___mapreduceframework_spark.sources.dir_source import read_dir_entries
+    from os___mapreduceframework_spark.sources.registry import dir_entries
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir()
+    d2.mkdir()
+    (d1 / "common.txt").write_text("x")
+    (d2 / "common.txt").write_text("y")
+    (d1 / "only_a.log").write_text("z")
+
+    dirs = [str(d1), str(d2)]
+    via_source = sorted(map(tuple, read_dir_entries(spark, dirs).collect()))
+    via_driver = sorted(map(tuple, dir_entries(spark, dirs).collect()))
+    assert via_source == via_driver
+    assert (str(d1), "common.txt") in via_source
+    assert (str(d2), "common.txt") in via_source
+    assert (str(d1), ".") in via_source
+
+
+def test_pluggable_dir_source_search_end_to_end(spark, tmp_path):
+    """Search flagship over the pluggable source: reference pipeline
+    (Search.cpp:84-125) with the scan running as a real Spark source."""
+    from os___mapreduceframework_spark.operators.search import search_count
+    from os___mapreduceframework_spark.sources.dir_source import read_dir_entries
+
+    d = tmp_path / "files"
+    d.mkdir()
+    for n in ["widget_a.txt", "widget_b.txt", "gear.txt"]:
+        (d / n).write_text("")
+    out = search_count(read_dir_entries(spark, [str(d)]), "widget", name_col="name")
+    rows = [(r["name"], r["cnt"]) for r in out.collect()]
+    assert rows == [("widget_a.txt", 1), ("widget_b.txt", 1)]
