@@ -395,3 +395,93 @@ def _cosine(a, b):
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     return dot / (na * nb)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the candidate-pair
+    graph via iterative min-label propagation.
+
+    Each node starts labeled with itself; every iteration each node
+    takes the min label over itself and its neighbors, until a fixpoint
+    (converges in O(graph diameter) iterations -- near-dup clusters are
+    shallow). Per iteration: one join + one aggregate, all DataFrame
+    ops; ``localCheckpoint`` truncates the lineage so the plan does not
+    grow exponentially across iterations (THE iterative-algorithm
+    hazard on Spark). At 100 TB this is the standard large-graph CC
+    dataflow (GraphFrames does the same joins).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH {_BANDS_SQL},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    r AS (
+      WITH RECURSIVE reach(s, t) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.s, e.b FROM reach JOIN edges e ON reach.t = e.a
+      )
+      SELECT s, t FROM reach
+    )
+    SELECT s AS doc_id, MIN(t) AS cluster_id, MIN(t) = s AS is_keeper
+    FROM r GROUP BY s
+    ORDER BY doc_id
+    """,
+    doc="Near-dup clustering: LSH candidate pairs -> connected "
+    "components (iterative min-label propagation, localCheckpoint per "
+    "iteration) -> cluster id + keeper flag (min doc_id survives). The "
+    "final stage of the dedup pipeline: what a 100 TB curation job "
+    "actually deletes with. Oracle: DuckDB recursive-CTE transitive "
+    "closure over the same candidate graph.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = lsh_candidates(load_table(spark, sf_dir, "documents"))
+    cc = connected_components(cand)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
+    ).orderBy("doc_id")

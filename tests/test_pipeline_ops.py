@@ -84,3 +84,18 @@ def test_approx_distinct_error_bound(spark, duck):
     m = ap.sort_values("l_returnflag").reset_index(drop=True)
     rel_err = (abs(m["approx_orders"] - ex["eo"]) / ex["eo"]).max()
     assert rel_err < 0.15, f"approx_count_distinct rel err {rel_err:.3f}"
+
+
+def test_connected_components_literal_graph(spark):
+    """Min-label propagation on a known graph: {1-2, 2-3} and {10-11}
+    plus the chain transitivity 1-2-3 -> one cluster labeled 1."""
+    from os___mapreduceframework_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], schema="doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
