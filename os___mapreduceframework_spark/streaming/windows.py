@@ -285,13 +285,13 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
 
+    # fresh checkpoint per invocation: a reused checkpoint pins the old
+    # source path and fails with 'Wrong basePath' on a different sf_dir
+    ckpt = tempfile.mkdtemp(prefix="fbs_ckpt_", dir=tempfile.gettempdir())
     q = (
         ev.writeStream.foreachBatch(write_batch)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), "spark_graft_io", "fbs_ckpt_%d" % next(_SINK_COUNTER)),
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
