@@ -88,3 +88,40 @@ def q_mapreduce_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_schema="key string, value long",
     )
     return out.select(F.col("key").alias("name"), F.col("value").alias("cnt"))
+
+
+@query(
+    "mapreduce_wordcount",
+    oracle="""
+    SELECT tok AS key, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY tok
+    """,
+    doc="Classic MapReduce wordcount through the compat API: Map "
+    "tokenizes (0..n emissions per record -- the flatMap multiplicity "
+    "of MapReduceFramework.cpp:112), Reduce counts, output sorted by "
+    "key (MapReduceFramework.cpp:341). The second compat demo beyond "
+    "Search, proving arbitrary user callables, not just the reference "
+    "client.",
+)
+def q_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+
+    def map_fn(doc_id, text):
+        for tok in text.split(" "):
+            yield (tok, 1)
+
+    def reduce_fn(tok, ones):
+        yield (tok, len(ones))
+
+    out = run_map_reduce(
+        docs,
+        map_fn,
+        reduce_fn,
+        mid_schema="key string, value long",
+        out_schema="key string, value long",
+    )
+    return out.select("key", F.col("value").alias("cnt"))

@@ -122,3 +122,26 @@ def test_search_count_whole_stage_codegen(spark):
     # should be inside one
     assert "*(1)" in plan and "*(2)" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+EXPECTED_MAX_SHUFFLES = {
+    # query name -> max Exchange operators tolerated in the plan; a
+    # regression above this means an extra shuffle crept in
+    "search_count": 2,        # agg + final sort
+    "q1_pricing_summary": 2,  # agg + final sort
+    "q6_forecast_revenue": 1, # single global agg
+    "join_broadcast_dims": 2, # agg + sort (joins broadcast, no shuffle)
+    "dedup_simhash": 2,       # one agg + final sort
+    "salted_token_count": 2,  # two-phase agg (partial agg is map-side)
+    "topk_orders": 0,         # TakeOrderedAndProject only
+}
+
+
+def test_shuffle_budget(spark):
+    """Count Exchange operators per headline plan against the designed
+    budget -- shuffle regressions are caught mechanically."""
+    for name, budget in EXPECTED_MAX_SHUFFLES.items():
+        df = ALL[name](spark, TEST_SF_DIR)
+        plan = executed_plan(df)
+        n = sum(line.count("+- Exchange ") for line in plan.splitlines())
+        assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n{plan[:1500]}"
