@@ -176,3 +176,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """Skew-proof equi-join: replicate the (small) dim side ``n_salt``
+    times and scatter each fact row to one replica.
+
+    A hot fact key no longer lands on one reducer -- its rows spread
+    over ``n_salt`` (key, salt) partitions, each joining its own dim
+    replica. Cost: dim side inflated n_salt-fold (fine when dim is the
+    small side -- the usual case; a hot-hot join needs hot-key
+    isolation instead, see ROADMAP). Result is exactly the plain join.
+
+    The salt comes from a hash of the fact's whole row (xxhash64 --
+    JVM-side, no Python), so it is deterministic per row and uniform.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salt)).cast("int")
+    )
+    salts = fact.sparkSession.range(0, n_salt).select(
+        F.col("id").cast("int").alias("__salt")
+    )
+    salted_dim = dim.crossJoin(F.broadcast(salts))
+    return salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+    ).drop("__salt")
