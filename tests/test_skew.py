@@ -66,3 +66,49 @@ def test_salt_spreads_hot_key(spark):
     assert len(per_salt) == 8
     counts = [r["count"] for r in per_salt]
     assert max(counts) < sum(counts) * 0.5
+
+
+def test_watermark_bounds_streaming_state(spark):
+    """Soak: a windowed aggregation over an unbounded deterministic
+    rate-micro-batch source must keep state-store rows bounded -- the
+    watermark evicts closed windows. Without eviction, state rows grow
+    linearly with batches (the 100 TB leak)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "1000")
+        .option("numPartitions", "2")
+        .option("startTimestamp", "0")
+        .option("advancePerBatch", "1000")  # 1s of event time per batch
+        .load()
+    )
+    agg = (
+        src.withWatermark("timestamp", "2 seconds")
+        .groupBy(F.window("timestamp", "1 second"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 25
+        batches = 0
+        while _time.time() < deadline and batches < 12:
+            _time.sleep(1)
+            p = q.lastProgress
+            if p:
+                batches = p["batchId"]
+        p = q.lastProgress
+        assert p is not None and batches >= 6, f"only {batches} batches ran"
+        state_rows = p["stateOperators"][0]["numRowsTotal"]
+        # ~1 open window + <=2s watermark lag; linear growth would give
+        # >= batches rows. Bound generously but sub-linearly.
+        assert state_rows <= 6, f"state leaked: {state_rows} rows after {batches} batches"
+    finally:
+        q.stop()
