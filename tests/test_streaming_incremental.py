@@ -1,0 +1,111 @@
+"""Incremental streaming dedup: the cross-micro-batch contract.
+
+The registered query's oracle only exercises the single-batch case (the
+fixture is one parquet file). These tests replay a two-batch stream with
+``maxFilesPerTrigger=1`` and pin the semantics that distinguish
+*incremental* dedup from batch-window dedup:
+
+1. first-seen-wins ACROSS batches: a later batch containing a smaller
+   doc_id for an existing fingerprint does NOT steal the canonical;
+2. every document is emitted exactly once, in its arrival batch;
+3. state carries only the canonical id (per-fingerprint memory is O(1)).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from os___mapreduceframework_spark.streaming.incremental import incremental_dedup
+
+_SEQ = itertools.count()
+
+
+def _run_two_batches(spark, batch1: list[tuple], batch2: list[tuple]):
+    """Write two parquet files, stream them one file per micro-batch,
+    collect the update-mode output per batch."""
+    root = tempfile.mkdtemp(prefix="inc_dedup_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    cols = ["doc_id", "fp"]
+    # distinct file names; written sequentially so mod-times order them
+    pd.DataFrame(batch1, columns=cols).to_parquet(os.path.join(src, "b1.parquet"))
+    pd.DataFrame(batch2, columns=cols).to_parquet(os.path.join(src, "b2.parquet"))
+    os.utime(os.path.join(src, "b2.parquet"), times=None)
+
+    docs = (
+        spark.readStream.schema("doc_id long, fp string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = incremental_dedup(docs)
+
+    batches: dict[int, pd.DataFrame] = {}
+
+    def capture(batch_df, batch_id):
+        batches[batch_id] = batch_df.toPandas()
+
+    name = f"inc_dedup_sink_{next(_SEQ)}"
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(root, ignore_errors=True)
+    return batches
+
+
+def test_first_seen_wins_across_batches(spark):
+    # batch 1: doc 10 creates cluster for fp "a"; batch 2 brings doc 3
+    # (smaller id, same fp) -- it must become a DUPLICATE of 10, because
+    # 10 was seen first. A batch-window recompute would flip this.
+    batches = _run_two_batches(
+        spark,
+        batch1=[(10, "a"), (20, "b")],
+        batch2=[(3, "a"), (21, "b"), (30, "c")],
+    )
+    all_rows = pd.concat(batches.values(), ignore_index=True)
+    got = {
+        int(r.doc_id): (int(r.cluster_id), int(r.is_duplicate))
+        for r in all_rows.itertuples()
+    }
+    assert got == {
+        10: (10, 0),
+        20: (20, 0),
+        3: (10, 1),   # first-seen canonical survives
+        21: (20, 1),
+        30: (30, 0),
+    }
+
+
+def test_each_doc_emitted_once_in_arrival_batch(spark):
+    batches = _run_two_batches(
+        spark,
+        batch1=[(1, "x"), (2, "x")],
+        batch2=[(3, "x")],
+    )
+    assert len(batches) >= 2
+    ordered = [batches[k] for k in sorted(batches)]
+    ids_per_batch = [sorted(int(d) for d in b["doc_id"]) for b in ordered if len(b)]
+    assert ids_per_batch == [[1, 2], [3]]
+    # in-batch ties break by min(doc_id)
+    first = ordered[0]
+    assert int(first.loc[first.doc_id == 2, "cluster_id"].iloc[0]) == 1
+
+
+def test_registered_query_matches_oracle_shape(spark, duck):
+    from os___mapreduceframework_spark import queries as registry
+    from tests.conftest import TEST_SF_DIR, assert_matches_oracle
+
+    registry._load_all()
+    q = registry.REGISTRY["stream_incremental_dedup"]
+    assert_matches_oracle(q.fn(spark, TEST_SF_DIR), duck, q.oracle)
