@@ -392,3 +392,250 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: order-priority counts for orders with at least "
+    "one late-shipped line. The correlated EXISTS carries a non-equi "
+    "conjunct (l_shipdate > o_orderdate + 60 days); Catalyst "
+    "decorrelates it into a left-semi join on the order key with the "
+    "date comparison as a join residual -- the fact is touched once, "
+    "no per-row subquery execution.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT order_count, COUNT(*) AS n_custs
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS order_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY order_count
+    ORDER BY n_custs DESC, order_count DESC
+    """,
+    doc="TPC-H Q13 shape: distribution of per-customer order counts, "
+    "counting only non-urgent orders but keeping order-less customers "
+    "(LEFT OUTER with the filter in the join condition, NOT the WHERE "
+    "-- moving it to WHERE would silently drop the zero bucket). Two "
+    "aggregations: the second groups on the first's output, which is "
+    "already tiny, so only the first shuffles meaningful data.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return (
+        per_cust.groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("order_count"))
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 2500)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier variety per part "
+    "brand/type, excluding low-balance suppliers via NOT IN. NOT IN is "
+    "null-aware: Catalyst plans it as a null-aware anti join "
+    "(broadcast, since the exclusion set is tiny); the p_size filter "
+    "pushes to the part scan before the fact join.",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    low_bal = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2500)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(low_bal), F.col("l_suppkey") == F.col("bad_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS agg_partkey,
+                 CAST(0.2 AS DECIMAL(8,4)) * AVG(CAST(l_quantity AS DECIMAL(18,4)))
+                   AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) pa
+      ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity AS DECIMAL(18,4)) < qty_threshold
+    """,
+    doc="TPC-H Q17 shape: revenue from small-quantity lines, where "
+    "'small' is a correlated per-part average (written as its "
+    "decorrelated form: the per-part aggregate joined back to the "
+    "fact -- exactly what Catalyst rewrites the correlated scalar "
+    "subquery into). The threshold is computed in DECIMAL so the "
+    "comparison is exact on both engines; the brand filter prunes the "
+    "part side before the join.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (
+            F.lit(0.2).cast(_RATE) * F.avg(F.col("l_quantity").cast(_PRICE))
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("agg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity").cast(_PRICE) < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast(_PRICE)) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {_REVENUE} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: revenue under an OR-of-conjuncts predicate "
+    "mixing both join sides. Catalyst keeps the equi-join key "
+    "(p_partkey = l_partkey) out of the disjunction, pushes the "
+    "single-side residues (brand/size, quantity) beneath the join "
+    "where derivable, and evaluates the cross-side disjunction as a "
+    "join filter -- a hash join, never a nested loop.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & q.between(20, 40))
+    )
+    return _rev_to_double(
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(_revenue_col())
+    ).select("revenue")
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_custs,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) >
+          (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+           WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: well-funded customers with no urgent orders, "
+    "per market segment. Composes an uncorrelated scalar subquery (the "
+    "positive-balance average, computed once and broadcast as a "
+    "literal-like single-row side) with a NOT EXISTS anti join on the "
+    "urgent-order keys. DECIMAL average keeps the > comparison exact "
+    "across engines.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("urgent_custkey"))
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast(_PRICE)).alias("avg_bal"))
+    )
+    return (
+        cust.join(
+            F.broadcast(urgent), F.col("c_custkey") == F.col("urgent_custkey"), "left_anti"
+        )
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast(_PRICE) > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(F.col("c_acctbal").cast(_PRICE)), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

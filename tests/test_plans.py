@@ -124,6 +124,39 @@ def test_search_count_whole_stage_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_q4_exists_decorrelates_with_residual(spark):
+    """The correlated EXISTS (date comparison against the outer row)
+    must become one semi join, not a per-row subquery."""
+    df = ALL["q4_order_priority"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    df = ALL["q16_supplier_variety"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_keeps_hash_join(spark):
+    """OR-of-conjuncts across both join sides: the equi key must stay
+    out of the disjunction -- hash join, never a nested loop."""
+    df = ALL["q19_disjunctive_predicates"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "HashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    df = ALL["q22_dormant_customers"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
 EXPECTED_MAX_SHUFFLES = {
     # query name -> max Exchange operators tolerated in the plan; a
     # regression above this means an extra shuffle crept in
