@@ -167,6 +167,14 @@ EXPECTED_MAX_SHUFFLES = {
     "dedup_simhash": 2,       # one agg + final sort
     "salted_token_count": 2,  # two-phase agg (partial agg is map-side)
     "topk_orders": 0,         # TakeOrderedAndProject only
+    "q4_order_priority": 2,   # semi-join shuffle pair; tiny agg reuses
+    "q13_customer_distribution": 3,  # outer join + 1st agg; 2nd agg is tiny
+    "q16_supplier_variety": 3,  # joins broadcast; 2-phase distinct + sort
+    "q17_small_quantity_revenue": 2,  # per-part agg + join repartition
+    "q19_disjunctive_predicates": 1,  # broadcast join, single global agg
+    "q22_dormant_customers": 3,  # joins broadcast; avg + final agg/sort
+    "q14_promo_revenue": 1,   # broadcast dim, single global agg
+    "q10_returned_items": 1,  # dims broadcast; one fact shuffle
 }
 
 
