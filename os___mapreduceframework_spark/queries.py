@@ -61,6 +61,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    import os___mapreduceframework_spark.compat.udtf_map  # noqa: F401
     import os___mapreduceframework_spark.operators.advanced  # noqa: F401
     import os___mapreduceframework_spark.operators.analytics  # noqa: F401
     import os___mapreduceframework_spark.operators.dedup  # noqa: F401
