@@ -112,3 +112,47 @@ def test_watermark_bounds_streaming_state(spark):
         assert state_rows <= 6, f"state leaked: {state_rows} rows after {batches} batches"
     finally:
         q.stop()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join rewrite must actually fire on a hot key: the
+    final adaptive plan carries SortMergeJoin(skew=true), meaning the
+    oversized reduce partition was split at mapper granularity instead
+    of serializing one straggler task. Thresholds are scaled down to
+    fixture size (the 100 TB defaults are 256m/5x); the fact side gets
+    a round-robin repartition first because AQE can only split a skewed
+    partition along mapper boundaries -- a single-mapper shuffle (one
+    small parquet split) is unsplittable and AQE correctly declines."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = (
+            _skewed_fact(spark)
+            .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(20))))
+            .repartition(8)
+        )
+        dim = spark.range(0, 10000, 1, 4).select(
+            F.col("id").alias("dk"), (F.col("id") % 7).alias("grp")
+        )
+        j = fact.join(dim, fact["k"] == dim["dk"])
+        n = j.count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        # the rewrite must not change results: every fact row joins once
+        expected = fact.count()
+        assert n == expected, (n, expected)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
