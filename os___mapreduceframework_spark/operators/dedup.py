@@ -70,7 +70,7 @@ _MINHASH_SQL = (
 )
 
 # band signatures straight off the wide minhash row (no unpivot+regroup)
-_BANDS_SQL = (
+_BANDS_ONLY_SQL = (
     _MINHASH_SQL
     + ",\n    bands AS ("
     + "\n UNION ALL ".join(
@@ -81,7 +81,12 @@ _BANDS_SQL = (
         + ") AS sig FROM hsw"
         for band in range(N_HASHES // BAND_SIZE)
     )
-    + """),
+    + ")"
+)
+
+_BANDS_SQL = (
+    _BANDS_ONLY_SQL
+    + """,
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
              FROM bands x
              JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
@@ -142,18 +147,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     ).select("doc_id", F.col("hm.h").alias("h"), F.col("hm.minhash").alias("minhash"))
 
 
-def lsh_candidates(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs via LSH banding.
-
-    Band signature = md5 of the band's minhashes in hash order; pairs
-    are an equi-join on (band, sig) -- never O(n^2). Skewed signatures
-    (e.g. boilerplate docs) are the classic hazard; AQE skew-join covers
-    moderate skew, and a salt-by-prefix split is the escape hatch.
-    """
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures, md5 of each band's
+    minhashes in hash order. Band sigs come straight off the wide
+    minhash row: no unpivot-to-16-rows and no second exchange -- each
+    doc contributes N_HASHES/BAND_SIZE band rows."""
     wide = _minhash_wide(docs)
-    # band sigs straight off the wide row: no unpivot-to-16-rows and no
-    # second exchange -- each doc contributes N_HASHES/BAND_SIZE band rows
-    sigs = wide.select(
+    return wide.select(
         "doc_id",
         F.explode(
             F.array(
@@ -177,6 +177,17 @@ def lsh_candidates(docs: DataFrame) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs via LSH banding.
+
+    Band signature = md5 of the band's minhashes in hash order; pairs
+    are an equi-join on (band, sig) -- never O(n^2). Skewed signatures
+    (e.g. boilerplate docs) are the classic hazard; AQE skew-join covers
+    moderate skew, and a salt-by-prefix split is the escape hatch.
+    """
+    sigs = band_signatures(docs)
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(

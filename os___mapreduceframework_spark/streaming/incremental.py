@@ -31,9 +31,12 @@ place -- here, one state partition, incrementally.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from os___mapreduceframework_spark.operators.dedup import _BANDS_ONLY_SQL, band_signatures
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.streaming.windows import run_to_completion
 
@@ -94,6 +97,148 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_minhash_dedup(
+    docs_stream: DataFrame, state_dir: str
+) -> DataFrame:
+    """Streaming NEAR-dup dedup: MinHash/LSH cluster assignment at
+    arrival time via foreachBatch + a band-key registry.
+
+    Per micro-batch (all relational, no driver loops over rows):
+
+    1. compute LSH band signatures for the batch's documents
+       (operators.dedup.band_signatures -- same family as the batch
+       dedup_minhash_pairs operator);
+    2. look up each signature in the accumulated registry
+       (band, sig) -> canonical doc_id of the earliest doc that held it;
+    3. assign ``cluster_id``: the minimum matched registry canonical if
+       any band was seen before (first-seen-wins -- a later doc joins
+       the existing cluster even if its own id is smaller), else the
+       minimum batch-mate doc_id sharing a band (one-hop LSH
+       assignment, deterministic);
+    4. append the batch's (band, sig, canonical) keys to the registry
+       (append + min-on-read ≡ an upsert; at scale the registry is a
+       Delta/Iceberg table and step 4 is a MERGE, step 2 a key-join
+       against it).
+
+    First-seen-wins across batches: a later near-dup can only join an
+    existing cluster, never steal its canonical. Assignment is one-hop
+    (no transitive closure at arrival); periodic compaction with the
+    batch ``dedup_clusters`` connected-components operator is the
+    completion path, exactly how production ingest dedup splits
+    online-assignment from offline-consolidation.
+
+    Returns the static assignments frame (doc_id, cluster_id,
+    is_duplicate) after the stream drains.
+    """
+    import shutil
+
+    registry_dir = os.path.join(state_dir, "band_registry")
+    out_dir = os.path.join(state_dir, "assignments")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        batch_df = batch_df.cache()
+        sigs = band_signatures(batch_df).cache()
+        # one-hop minimum among batch-mates holding the same band key
+        batch_min = sigs.groupBy("band", "sig").agg(
+            F.min("doc_id").alias("batch_canon")
+        )
+        try:
+            registry = spark.read.parquet(registry_dir).groupBy("band", "sig").agg(
+                F.min("canonical").alias("reg_canon")
+            )
+        except Exception:  # first batch: no registry yet
+            registry = None
+        per_doc = sigs.join(batch_min, ["band", "sig"])
+        if registry is not None:
+            per_doc = per_doc.join(registry, ["band", "sig"], "left_outer")
+        else:
+            per_doc = per_doc.withColumn("reg_canon", F.lit(None).cast("long"))
+        # first-seen-wins: a registry hit (min ignores the null misses)
+        # outranks batch-mates -- a later near-dup joins the existing
+        # cluster even when its own id is smaller
+        assigned = per_doc.groupBy("doc_id").agg(
+            F.coalesce(F.min("reg_canon"), F.min("batch_canon")).alias("cluster_id")
+        )
+        # docs with no shingles (no band rows) are their own cluster
+        full = (
+            batch_df.select("doc_id")
+            .join(assigned, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+            .withColumn(
+                "is_duplicate",
+                (F.col("doc_id") != F.col("cluster_id")).cast("int"),
+            )
+        )
+        full.write.mode("append").parquet(out_dir)
+        # register this batch's keys under the cluster minimum per key
+        new_keys = (
+            sigs.join(full.select("doc_id", "cluster_id"), "doc_id")
+            .groupBy("band", "sig")
+            .agg(F.min("cluster_id").alias("canonical"))
+        )
+        new_keys.write.mode("append").parquet(registry_dir)
+        sigs.unpersist()
+        batch_df.unpersist()
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="inc_mh_ckpt_")
+    q = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    spark = docs_stream.sparkSession
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:  # empty stream: nothing was written
+        return spark.createDataFrame(
+            [], "doc_id long, cluster_id long, is_duplicate int"
+        )
+
+
+@query(
+    "stream_incremental_minhash",
+    oracle=f"""
+    WITH {_BANDS_ONLY_SQL},
+    m AS (SELECT x.doc_id, MIN(y.doc_id) AS cluster_id
+          FROM bands x
+          JOIN bands y ON x.band = y.band AND x.sig = y.sig
+          GROUP BY x.doc_id)
+    SELECT d.doc_id,
+           COALESCE(m.cluster_id, d.doc_id) AS cluster_id,
+           CAST(d.doc_id <> COALESCE(m.cluster_id, d.doc_id) AS INT)
+             AS is_duplicate
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="Incremental near-dup over the documents stream: LSH band keys "
+    "registered as docs arrive (foreachBatch + band registry); each doc "
+    "gets min(one-hop band-mates, registry canonicals) at arrival. The "
+    "fixture arrives as one batch, so the oracle is the one-hop batch "
+    "LSH assignment; cross-batch first-seen is pinned in "
+    "tests/test_streaming_incremental.py.",
+)
+def q_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_io", "inc_minhash_state"
+    )
+    docs = documents_stream(spark, sf_dir).select("doc_id", "text")
+    out = incremental_minhash_dedup(docs, state_dir)
+    return out.orderBy("doc_id")
 
 
 @query(

@@ -109,3 +109,75 @@ def test_registered_query_matches_oracle_shape(spark, duck):
     registry._load_all()
     q = registry.REGISTRY["stream_incremental_dedup"]
     assert_matches_oracle(q.fn(spark, TEST_SF_DIR), duck, q.oracle)
+
+
+def _run_minhash_two_batches(spark, batch1: list[tuple], batch2: list[tuple]):
+    """Stream two parquet files of (doc_id, text) one per micro-batch
+    through incremental_minhash_dedup; return {doc_id: cluster_id}."""
+    import shutil
+
+    from os___mapreduceframework_spark.streaming.incremental import (
+        incremental_minhash_dedup,
+    )
+
+    root = tempfile.mkdtemp(prefix="inc_mh_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    cols = ["doc_id", "text"]
+    pd.DataFrame(batch1, columns=cols).to_parquet(os.path.join(src, "b1.parquet"))
+    pd.DataFrame(batch2, columns=cols).to_parquet(os.path.join(src, "b2.parquet"))
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = incremental_minhash_dedup(docs, os.path.join(root, "state"))
+    got = {int(r.doc_id): int(r.cluster_id) for r in out.collect()}
+    shutil.rmtree(root, ignore_errors=True)
+    return got
+
+
+WORDS = "the quick brown fox jumps over a lazy dog near riverbank ".split()
+
+
+def _doc(*words):
+    return " ".join(words)
+
+
+def test_minhash_first_seen_wins_across_batches(spark):
+    # identical texts share every band; batch 2's doc 3 must JOIN doc
+    # 10's existing cluster (first-seen), not found its own despite the
+    # smaller id. doc 99 is unrelated (disjoint vocabulary).
+    same = _doc(*WORDS, *WORDS)
+    other = _doc(*["alpha beta gamma delta epsilon zeta eta theta"] * 3)
+    got = _run_minhash_two_batches(
+        spark,
+        batch1=[(10, same), (99, other)],
+        batch2=[(3, same)],
+    )
+    assert got[10] == 10
+    assert got[3] == 10, got  # joined the existing cluster
+    assert got[99] == 99
+
+
+def test_minhash_batch_mates_cluster_within_batch(spark):
+    same = _doc(*WORDS, *WORDS)
+    got = _run_minhash_two_batches(
+        spark,
+        batch1=[(7, same), (5, same)],
+        batch2=[(9, _doc("unrelated", "tokens", "entirely", "different",
+                          "vocabulary", "set"))],
+    )
+    assert got[5] == 5 and got[7] == 5  # one-hop min within the batch
+    assert got[9] == 9
+
+
+def test_minhash_short_doc_is_own_cluster(spark):
+    # a doc with <3 words has no shingles/bands: own cluster, present
+    got = _run_minhash_two_batches(
+        spark,
+        batch1=[(1, "hi there")],
+        batch2=[(2, "hi there")],
+    )
+    assert got == {1: 1, 2: 2}
