@@ -6,8 +6,10 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is materialized through the noop sink (full column
 evaluation, no driver collect bottleneck) and timed individually; the
-headline value is the summed wall time. Timings land in BENCH_r{N}.json
-and are compared against BASELINE.md.
+per-query figure is the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+runs -- single-shot timings swing ~±15% locally, dominated by JIT and
+page-cache state -- and the headline value is the summed medians.
+Timings land in BENCH_r{N}.json and are compared against BASELINE.md.
 """
 
 from __future__ import annotations
@@ -63,12 +65,17 @@ def main() -> None:
     materialize(region)
     materialize(region.mapInPandas(lambda it: it, schema=region.schema))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        spread = f" (min {min(samples):.3f} max {max(samples):.3f})" if n_runs > 1 else ""
+        print(f"# {name}: {timings[name]:.3f}s{spread}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     # F12 parity artifact: the reference logs per-phase wall times to
     # .MapReduceFramework.log (MapReduceFramework.cpp:388-392, :413-417,
@@ -83,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
