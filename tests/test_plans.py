@@ -150,6 +150,25 @@ def test_q19_disjunction_keeps_hash_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q7_q8_snowflake_dims_broadcast(spark):
+    """The nation self-aliases and every other dim must broadcast; the
+    only shuffle joins are fact-fact edges."""
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        df = ALL[name](spark, TEST_SF_DIR)
+        plan = executed_plan(df)
+        assert "BroadcastHashJoin" in plan, (name, plan[:1500])
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q15_scalar_max_is_single_row_broadcast(spark):
+    df = ALL["q15_top_supplier"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the max-revenue side is a 1-row aggregate joined via broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:1500]
+
+
 def test_q22_anti_join_and_broadcast_scalar(spark):
     df = ALL["q22_dormant_customers"](spark, TEST_SF_DIR)
     plan = executed_plan(df)
