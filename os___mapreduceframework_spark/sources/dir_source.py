@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 
@@ -54,9 +59,57 @@ class DirEntriesReader(DataSourceReader):
             yield (d, e)
 
 
+class DirEntriesStreamReader(SimpleDataSourceStreamReader):
+    """Streaming directory watcher: each micro-batch emits entries whose
+    mtime advanced past the last offset (the pattern of Spark's own file
+    source, expressed through the Python Data Source API).
+
+    Offsets are a single ``{"mtime_ns": N}`` watermark -- O(1) state no
+    matter how many entries exist, checkpointable, replayable. Unlike
+    the batch reader there is no ``.``/``..`` parity row (arrival
+    semantics are meaningless for them) and listing runs driver-side:
+    ``SimpleDataSourceStreamReader`` is the right tool for
+    metadata-sized control streams; a data-volume source would use the
+    partitioned ``DataSourceStreamReader`` instead.
+    """
+
+    def __init__(self, options):
+        raw = options.get("paths", "")
+        self.dirs = [p for p in raw.split(",") if p]
+
+    def initialOffset(self):
+        return {"mtime_ns": 0}
+
+    def _scan(self, min_exclusive_ns: int):
+        rows, max_ns = [], min_exclusive_ns
+        for d in self.dirs:
+            try:
+                with os.scandir(d) as it:
+                    for e in it:
+                        ns = e.stat().st_mtime_ns
+                        if ns > min_exclusive_ns:
+                            rows.append((d, e.name))
+                            max_ns = max(max_ns, ns)
+            except OSError:
+                continue
+        return rows, max_ns
+
+    def read(self, start: dict):
+        rows, max_ns = self._scan(start["mtime_ns"])
+        return iter(rows), {"mtime_ns": max_ns}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay after failure: everything that advanced past `start`
+        # (mtimes are stable, so this reproduces the original batch)
+        rows, _ = self._scan(start["mtime_ns"])
+        return iter(rows)
+
+
 class DirEntriesDataSource(DataSource):
     """``spark.read.format("dir_entries")`` -- the Search scan as a
-    pluggable source. Option ``paths``: comma-separated directories."""
+    pluggable source. Option ``paths``: comma-separated directories.
+    Also streamable: ``spark.readStream.format("dir_entries")`` tails
+    the same directories, emitting entries as they appear."""
 
     @classmethod
     def name(cls) -> str:
@@ -72,6 +125,9 @@ class DirEntriesDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return DirEntriesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return DirEntriesStreamReader(self.options)
 
 
 def read_dir_entries(spark, dirs: list[str]):

@@ -53,3 +53,52 @@ def test_filters_on_empty_result_compose(spark):
     empty = li.filter(F.col("l_quantity") < -1)
     agg = empty.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
     assert agg.count() == 0
+
+
+def test_streaming_dir_source_tails_new_entries(spark):
+    """The dir_entries Python Data Source also streams: a first
+    availableNow run drains existing entries; files created afterwards
+    are picked up by a second run resuming from the same checkpoint
+    (mtime-watermark offsets persist)."""
+    import os
+    import tempfile
+
+    from os___mapreduceframework_spark.sources.dir_source import (
+        DirEntriesDataSource,
+    )
+
+    spark.dataSource.register(DirEntriesDataSource)
+    root = tempfile.mkdtemp(prefix="dir_stream_")
+    watched = os.path.join(root, "watched")
+    os.makedirs(watched)
+    ckpt = os.path.join(root, "ckpt")
+
+    for f in ("a.txt", "b.txt"):
+        open(os.path.join(watched, f), "w").write("x")
+
+    def drain():
+        seen = []
+
+        def capture(batch_df, batch_id):
+            seen.extend((r["dir"], r["name"]) for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("dir_entries")
+            .option("paths", watched)
+            .load()
+            .writeStream.foreachBatch(capture)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(n for _, n in seen)
+
+    assert drain() == ["a.txt", "b.txt"]
+
+    # later-created entries arrive incrementally on resume
+    import time
+
+    time.sleep(0.01)  # ensure a strictly larger mtime_ns
+    open(os.path.join(watched, "c.txt"), "w").write("x")
+    assert drain() == ["c.txt"]
