@@ -47,6 +47,11 @@ HEADLINE = [
     "asof_join_last_order",  # as-of join
     "sessionize_batch",      # sessionization
     "stream_tumbling_agg",   # structured streaming
+    "q4_order_priority",     # correlated EXISTS -> semi join
+    "q8_market_share",       # 7-table snowflake, all dims broadcast
+    "q13_customer_distribution",  # outer join + double aggregation
+    "udtf_search_count",     # Python UDTF map + native reduce
+    "stream_incremental_dedup",   # stateful streaming dedup
 ]
 
 

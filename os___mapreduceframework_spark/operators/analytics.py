@@ -416,7 +416,15 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # merge hint: both sides are facts -- without it, small-SF statistics
+    # put the 2-column lineitem projection under the broadcast threshold
+    # and Catalyst broadcasts a FACT (3.8 s locally, fatal at 100 TB).
+    # Sort-merge on the order key is the shape that scales and spills.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .hint("merge")
+    )
     return (
         orders.join(
             li,

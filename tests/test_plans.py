@@ -126,10 +126,13 @@ def test_search_count_whole_stage_codegen(spark):
 
 def test_q4_exists_decorrelates_with_residual(spark):
     """The correlated EXISTS (date comparison against the outer row)
-    must become one semi join, not a per-row subquery."""
+    must become one semi join, not a per-row subquery -- and a
+    SORT-MERGE semi join: both sides are facts, so the merge hint must
+    hold against small-SF statistics that would broadcast lineitem."""
     df = ALL["q4_order_priority"](spark, TEST_SF_DIR)
     plan = executed_plan(df)
     assert "LeftSemi" in plan, plan[:2000]
+    assert "SortMergeJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
 
 
@@ -186,7 +189,7 @@ EXPECTED_MAX_SHUFFLES = {
     "dedup_simhash": 2,       # one agg + final sort
     "salted_token_count": 2,  # two-phase agg (partial agg is map-side)
     "topk_orders": 0,         # TakeOrderedAndProject only
-    "q4_order_priority": 2,   # semi-join shuffle pair; tiny agg reuses
+    "q4_order_priority": 4,   # SMJ semi pair (facts never broadcast) + tiny agg + sort
     "q13_customer_distribution": 3,  # outer join + 1st agg; 2nd agg is tiny
     "q16_supplier_variety": 3,  # joins broadcast; 2-phase distinct + sort
     "q17_small_quantity_revenue": 2,  # per-part agg + join repartition
