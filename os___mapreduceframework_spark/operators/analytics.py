@@ -458,7 +458,13 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    # merge hint: orders is a fact (same trap as q4 -- the 3-column
+    # projection slips under the broadcast threshold at bench SF)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+        .hint("merge")
+    )
     per_cust = (
         cust.join(
             orders,

@@ -39,6 +39,37 @@ def assert_plan(df: DataFrame, *, contains: tuple[str, ...] = (), absent: tuple[
     return plan
 
 
+FACT_TABLES = ("lineitem", "orders.parquet", "events")
+
+
+def raw_fact_broadcasts(df: DataFrame, facts: tuple[str, ...] = FACT_TABLES) -> list[str]:
+    """Fact tables must never broadcast: at production scale they are
+    TBs, and a plan that broadcasts one only 'works' because small-SF
+    statistics put a narrow projection under the threshold (that trap
+    cost q4_order_priority 3.8 s locally and would be fatal on a
+    cluster). Returns the offending fact names: every BroadcastExchange
+    subtree that contains a RAW fact FileScan -- an *aggregated*
+    derivative (e.g. q18's per-order quantity sums) is legitimately
+    small and not flagged."""
+    plan = executed_plan(df)
+    lines = plan.splitlines()
+    offenders = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        indent = len(line) - len(line.lstrip())
+        sub = []
+        for l2 in lines[i + 1 :]:
+            if l2.strip() and len(l2) - len(l2.lstrip()) <= indent:
+                break
+            sub.append(l2)
+        subtxt = "\n".join(sub)
+        if "HashAggregate" in subtxt or "SortAggregate" in subtxt:
+            continue
+        offenders.extend(f for f in facts if f in subtxt)
+    return sorted(set(offenders))
+
+
 def phase_timings_listener(spark: SparkSession, log_path: str):
     """Attach a QueryExecutionListener appending one JSON line per query
     with wall time in seconds (correct units, unlike the reference's

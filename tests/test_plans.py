@@ -190,7 +190,7 @@ EXPECTED_MAX_SHUFFLES = {
     "salted_token_count": 2,  # two-phase agg (partial agg is map-side)
     "topk_orders": 0,         # TakeOrderedAndProject only
     "q4_order_priority": 4,   # SMJ semi pair (facts never broadcast) + tiny agg + sort
-    "q13_customer_distribution": 3,  # outer join + 1st agg; 2nd agg is tiny
+    "q13_customer_distribution": 4,  # SMJ pair (facts never broadcast); 1st agg reuses; 2nd tiny + sort
     "q16_supplier_variety": 3,  # joins broadcast; 2-phase distinct + sort
     "q17_small_quantity_revenue": 2,  # per-part agg + join repartition
     "q19_disjunctive_predicates": 1,  # broadcast join, single global agg
@@ -198,6 +198,25 @@ EXPECTED_MAX_SHUFFLES = {
     "q14_promo_revenue": 1,   # broadcast dim, single global agg
     "q10_returned_items": 1,  # dims broadcast; one fact shuffle
 }
+
+
+def test_no_raw_fact_broadcast_in_headline_plans(spark):
+    """Every non-streaming headline bench query, planned against the
+    BENCH scale factor (realistic file-size statistics), must not
+    broadcast a raw fact scan -- the q4 trap as a mechanical gate.
+    Streaming entries are excluded because building their result frame
+    executes the stream."""
+    import os
+
+    from bench import HEADLINE, SF_DIR
+    from os___mapreduceframework_spark.plans.audit import raw_fact_broadcasts
+
+    sf_dir = SF_DIR if os.path.isdir(SF_DIR) else TEST_SF_DIR
+    for name in HEADLINE:
+        if name.startswith("stream_"):
+            continue
+        offenders = raw_fact_broadcasts(ALL[name](spark, sf_dir))
+        assert not offenders, f"{name} broadcasts raw fact(s): {offenders}"
 
 
 def test_shuffle_budget(spark):
