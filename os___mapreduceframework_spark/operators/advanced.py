@@ -75,8 +75,15 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    urgent = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    # the filter is selective but unbounded (scales with the orders
+    # fact), so the semi-join side must still shuffle, not broadcast
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 300000)
+        )
+        .hint("merge")
     )
     return (
         cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_semi")
@@ -100,10 +107,13 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    # ~10% of the lineitem fact survives the filter -- far too big to
+    # broadcast at scale; merge hint pins the shuffle plan
     big = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") > 45)
         .select("l_partkey")
+        .hint("merge")
     )
     return (
         part.join(big, part["p_partkey"] == big["l_partkey"], "left_anti")

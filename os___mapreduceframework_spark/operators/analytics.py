@@ -876,3 +876,256 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+    FROM costs
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+      AND supply_cost = (SELECT MIN(c2.supply_cost) FROM costs c2
+                         WHERE c2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (adapted: the fixtures have no partsupp table, "
+    "so lineitem plays the part-supplier cost relation with "
+    "MIN(l_extendedprice) as the supply cost). The correlated "
+    "min-cost-per-part subquery decorrelates to a window MIN over the "
+    "part key -- one shuffle on l_partkey, reused by the window and "
+    "the part join; region/nation/supplier dims are broadcast. At "
+    "100 TB the costs aggregate is the only fact shuffle.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    costs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    # correlated MIN over the part -> window MIN on the grouped costs
+    # (window input is already hash-partitioned by l_partkey from the
+    # groupBy, so no extra exchange)
+    best = (
+        costs.withColumn(
+            "min_cost", F.min("supply_cost").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .drop("min_cost")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    SELECT l_partkey AS ps_partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_quantity AS DECIMAL(18,4))) >
+      (SELECT CAST(0.001 AS DECIMAL(8,4))
+              * SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_quantity AS DECIMAL(18,4)))
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       WHERE n_name = 'NATION_9')
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 shape (adapted: value = extendedprice*quantity over "
+    "lineitem instead of partsupp). HAVING against a scalar subquery "
+    "over the whole filtered table: computed as the sum-of-the-group-"
+    "sums (exact DECIMAL, so one fact scan feeds both sides) broadcast "
+    "back as a one-row threshold. All money math DECIMAL end-to-end; "
+    "double only at output.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    supp_keys = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = F.sum(
+        F.col("l_extendedprice").cast(_PRICE) * F.col("l_quantity").cast(_PRICE)
+    ).alias("_val_dec")
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(supp_keys), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(val)
+    )
+    # total = sum of the per-part DECIMAL sums: exact, and reuses the
+    # grouped result instead of a second fact scan
+    threshold = per_part.agg(
+        (F.lit("0.001").cast("decimal(8,4)") * F.sum("_val_dec")).alias("_thresh")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("_val_dec") > F.col("_thresh"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("_val_dec", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "q20_promo_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_9', 'NATION_6')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 40)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (adapted: shipped quantity from lineitem "
+    "stands in for partsupp availability). Nested IN subqueries: the "
+    "part-name filter broadcast-semi-joins into the fact, a grouped "
+    "HAVING picks heavy (supplier, part) pairs, and the distinct "
+    "supplier set semi-joins the nation-filtered supplier dim. "
+    "l_quantity is integral so the double SUM threshold is exact.",
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    heavy_supps = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_9", "NATION_6")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy_supps, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, n_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 120 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 120 DAY)
+    GROUP BY s_name, n_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (adapted: the fixtures lack commit/receipt "
+    "dates, so 'late' = shipped >120 days after the order date). The "
+    "EXISTS / NOT-EXISTS pair over the same fact decorrelates to one "
+    "per-order aggregate -- distinct suppliers and distinct LATE "
+    "suppliers -- joined back on o_orderkey: a line qualifies iff it "
+    "is late, the order has another supplier, and it supplies the "
+    "order's only late supplier. The orderkey shuffle from the "
+    "orders join is reused by both the aggregate and the join-back, "
+    "so the fact shuffles once; no self-join of lineitem survives.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")
+    )
+    per_order = lines.groupBy("o_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("nsupp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    qualifying = lines.filter(F.col("late")).join(
+        per_order.filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1)),
+        "o_orderkey",
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -336,7 +336,10 @@ def q_join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    # orders is a fact: merge hint keeps small-SF stats from broadcasting
+    # it (at 100 TB the semi join must shuffle both sides; same trap as
+    # q4_order_priority, see BASELINE.md)
+    o = load_table(spark, sf_dir, "orders").hint("merge")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
@@ -358,7 +361,8 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    # fact side: never broadcast (see q_join_semi note)
+    o = load_table(spark, sf_dir, "orders").hint("merge")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -382,7 +386,8 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    # fact side: never broadcast (see q_join_semi note)
+    o = load_table(spark, sf_dir, "orders").hint("merge")
     return (
         c.join(o, o.o_custkey == c.c_custkey, "left")
         .groupBy("c_custkey")

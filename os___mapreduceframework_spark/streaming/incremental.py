@@ -99,8 +99,82 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def compact_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Offline consolidation for the incremental MinHash dedup state:
+    collapse one-hop assignment chains into full connected components.
+
+    Online assignment (incremental_minhash_dedup) is one-hop by design:
+    a doc takes the min canonical among its band-mates *at arrival*, so
+    a batch containing B~A and C~B (where C shares no band with A) ends
+    with C -> B while B -> A. Completion is an offline pass -- exactly
+    the online-assign / offline-consolidate split production ingest
+    dedup uses. The component graph is
+
+    - chain edges: every non-identity assignment (doc -> cluster), and
+    - registry collisions: (canonical -> min canonical) per band key,
+      covering clusters first linked by later batches re-registering an
+      existing key under a different canonical.
+
+    Both state dirs are rewritten so subsequent micro-batches assign
+    against the compacted canonicals. Returns the compacted assignments
+    frame (doc_id, cluster_id, is_duplicate). At 100 TB the state is a
+    Delta/Iceberg table and this is the periodic MERGE-rewrite job; the
+    CC operator is the same min-label propagation as the batch
+    dedup_clusters query.
+    """
+    from os___mapreduceframework_spark.operators.dedup import connected_components
+
+    registry_dir = os.path.join(state_dir, "band_registry")
+    out_dir = os.path.join(state_dir, "assignments")
+    assignments = spark.read.parquet(out_dir)
+    registry = spark.read.parquet(registry_dir)
+
+    key_min = registry.groupBy("band", "sig").agg(F.min("canonical").alias("kmin"))
+    reg_edges = (
+        registry.join(key_min, ["band", "sig"])
+        .filter(F.col("canonical") != F.col("kmin"))
+        .select(F.col("canonical").alias("doc_a"), F.col("kmin").alias("doc_b"))
+    )
+    chain_edges = (
+        assignments.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b"))
+    )
+    edges = chain_edges.union(reg_edges).distinct()
+    roots = connected_components(edges).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("root")
+    )
+
+    compacted = (
+        assignments.join(roots, assignments["doc_id"] == roots["node"], "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("root", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_duplicate", (F.col("doc_id") != F.col("cluster_id")).cast("int")
+        )
+        # materialize before overwriting the dir the plan reads from
+        .localCheckpoint(eager=True)
+    )
+    compacted.write.mode("overwrite").parquet(out_dir)
+
+    new_registry = (
+        registry.join(roots, registry["canonical"] == roots["node"], "left_outer")
+        .select(
+            "band",
+            "sig",
+            F.coalesce("root", F.col("canonical")).alias("canonical"),
+        )
+        .groupBy("band", "sig")
+        .agg(F.min("canonical").alias("canonical"))
+        .localCheckpoint(eager=True)
+    )
+    new_registry.write.mode("overwrite").parquet(registry_dir)
+    return spark.read.parquet(out_dir)
+
+
 def incremental_minhash_dedup(
-    docs_stream: DataFrame, state_dir: str
+    docs_stream: DataFrame, state_dir: str, compact_every: int | None = None
 ) -> DataFrame:
     """Streaming NEAR-dup dedup: MinHash/LSH cluster assignment at
     arrival time via foreachBatch + a band-key registry.
@@ -124,9 +198,9 @@ def incremental_minhash_dedup(
 
     First-seen-wins across batches: a later near-dup can only join an
     existing cluster, never steal its canonical. Assignment is one-hop
-    (no transitive closure at arrival); periodic compaction with the
-    batch ``dedup_clusters`` connected-components operator is the
-    completion path, exactly how production ingest dedup splits
+    (no transitive closure at arrival); ``compact_state`` is the
+    completion path -- pass ``compact_every=N`` to run it inline after
+    every N-th micro-batch, exactly how production ingest dedup splits
     online-assignment from offline-consolidation.
 
     Returns the static assignments frame (doc_id, cluster_id,
@@ -188,6 +262,8 @@ def incremental_minhash_dedup(
         new_keys.write.mode("append").parquet(registry_dir)
         sigs.unpersist()
         batch_df.unpersist()
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_state(spark, state_dir)
 
     import tempfile
 

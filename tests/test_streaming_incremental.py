@@ -181,3 +181,81 @@ def test_minhash_short_doc_is_own_cluster(spark):
         batch2=[(2, "hi there")],
     )
     assert got == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# compaction: one-hop chains -> full connected components (compact_state)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_state_collapses_chains_and_registry_collisions(spark):
+    """One-hop online assignment can leave C->B while B->A (chain), and
+    the registry can hold the same band key under two canonicals (linked
+    only later). Compaction must collapse both to the component min and
+    rewrite the on-disk state. Built from synthetic state so the chain
+    is deterministic (engineering a real LSH chain from texts is
+    probabilistic by nature)."""
+    from os___mapreduceframework_spark.streaming.incremental import compact_state
+
+    root = tempfile.mkdtemp(prefix="compact_")
+    out_dir = os.path.join(root, "assignments")
+    reg_dir = os.path.join(root, "band_registry")
+    os.makedirs(out_dir)
+    os.makedirs(reg_dir)
+    # chain: 3 -> 2 -> 1; singleton 9; registry collision links 7 and 5
+    pd.DataFrame(
+        [(1, 1, 0), (2, 1, 1), (3, 2, 1), (5, 5, 0), (7, 7, 0), (9, 9, 0)],
+        columns=["doc_id", "cluster_id", "is_duplicate"],
+    ).to_parquet(os.path.join(out_dir, "p.parquet"))
+    pd.DataFrame(
+        [(0, "s1", 1), (1, "s2", 5), (1, "s2", 7)],
+        columns=["band", "sig", "canonical"],
+    ).to_parquet(os.path.join(reg_dir, "p.parquet"))
+
+    got = {
+        int(r.doc_id): (int(r.cluster_id), int(r.is_duplicate))
+        for r in compact_state(spark, root).collect()
+    }
+    assert got == {
+        1: (1, 0),
+        2: (1, 1),
+        3: (1, 1),  # chain collapsed: was 3 -> 2
+        5: (5, 0),
+        7: (5, 1),  # registry collision merged 7 into 5
+        9: (9, 0),
+    }
+    # on-disk registry rewritten: one row per key, compacted canonicals
+    reg = {
+        (int(r.band), str(r.sig)): int(r.canonical)
+        for r in spark.read.parquet(reg_dir).collect()
+    }
+    assert reg == {(0, "s1"): 1, (1, "s2"): 5}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_minhash_compact_every_preserves_assignments(spark):
+    """compact_every wiring: with identical texts across batches the
+    one-hop assignments are already transitive, so inline compaction
+    must be a no-op on the visible result -- and later batches must
+    still resolve against the rewritten (compacted) registry."""
+    from os___mapreduceframework_spark.streaming.incremental import (
+        incremental_minhash_dedup,
+    )
+
+    same = _doc(*WORDS, *WORDS)
+    root = tempfile.mkdtemp(prefix="inc_mh_ce_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, batch in enumerate([[(10, same)], [(20, same)], [(3, same)]]):
+        pd.DataFrame(batch, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, f"b{i}.parquet")
+        )
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = incremental_minhash_dedup(docs, os.path.join(root, "state"), compact_every=2)
+    got = {int(r.doc_id): int(r.cluster_id) for r in out.collect()}
+    assert got == {10: 10, 20: 10, 3: 10}
+    shutil.rmtree(root, ignore_errors=True)
