@@ -259,3 +259,59 @@ def test_minhash_compact_every_preserves_assignments(spark):
     got = {int(r.doc_id): int(r.cluster_id) for r in out.collect()}
     assert got == {10: 10, 20: 10, 3: 10}
     shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# live Search pipeline: the dir watcher feeding the flagship aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_live_search_counts_watched_dirs(spark):
+    """Entries visible at start drain into the exact batch answer:
+    substring-filtered, counted per name ACROSS watched dirs (duplicate
+    names in two dirs -> cnt 2, Search.cpp:98-111 semantics)."""
+    from os___mapreduceframework_spark.streaming.live_search import (
+        drain_live_search,
+    )
+
+    root = tempfile.mkdtemp(prefix="live_search_")
+    d1, d2 = os.path.join(root, "d1"), os.path.join(root, "d2")
+    os.makedirs(d1)
+    os.makedirs(d2)
+    for d, names in ((d1, ["app.log", "notes.txt"]), (d2, ["app.log", "sys.log"])):
+        for n in names:
+            open(os.path.join(d, n), "w").write("x")
+
+    out = drain_live_search(spark, [d1, d2], "log", os.path.join(root, "ckpt"))
+    got = {r["name"]: r["cnt"] for r in out.collect()}
+    assert got == {"app.log": 2, "sys.log": 1}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_live_search_accumulates_across_restarts(spark):
+    """The live contract: a resumed pipeline (same checkpoint) folds new
+    entries into the EXISTING aggregation state -- counts accumulate,
+    nothing is recounted, non-matching names stay filtered out."""
+    from os___mapreduceframework_spark.streaming.live_search import (
+        drain_live_search,
+    )
+
+    root = tempfile.mkdtemp(prefix="live_search_resume_")
+    watched = os.path.join(root, "watched")
+    os.makedirs(watched)
+    ckpt = os.path.join(root, "ckpt")
+    open(os.path.join(watched, "app.log"), "w").write("x")
+
+    first = drain_live_search(spark, [watched], "log", ckpt)
+    assert {r["name"]: r["cnt"] for r in first.collect()} == {"app.log": 1}
+
+    import time
+
+    time.sleep(0.01)  # strictly-larger mtime_ns for the watcher offset
+    open(os.path.join(watched, "error.log"), "w").write("x")
+    open(os.path.join(watched, "readme.md"), "w").write("x")
+
+    second = drain_live_search(spark, [watched], "log", ckpt)
+    got = {r["name"]: r["cnt"] for r in second.collect()}
+    assert got == {"app.log": 1, "error.log": 1}
+    shutil.rmtree(root, ignore_errors=True)
