@@ -1,0 +1,241 @@
+"""Composed training-data curation operators over the documents table.
+
+The individual charter operators (operators.text, operators.dedup) each
+do one thing; a real pretraining-data pipeline chains them: language
+gate -> quality gate -> dedup -> mix/budget selection -> corpus stats.
+These queries pin the COMPOSED shapes as single declarative plans --
+the point being that the whole chain stays one Catalyst plan (one scan,
+gates fused into it, one window for dedup, tiny final aggregates)
+instead of N materialized intermediate datasets.
+
+Scale notes (100 TB corpus):
+
+- curation_pipeline: gates are scan-fused predicates (no shuffle); the
+  exact-dedup window shuffles once on the content fingerprint (the
+  min-per-key window is AQE-coalescible and skew-free since md5 keys
+  are uniform); the per-source summary is a partial+final agg over the
+  survivors only.
+- text_tfidf_top: two shuffles by design (tf by (doc, term), df by
+  term) plus a 1-row broadcast for N; the term-keyed join broadcasts
+  nothing large. Zipf-skewed hot terms are exactly what AQE skew-split
+  handles; the final top-k is TakeOrderedAndProject, never a global
+  sort.
+- curation_token_budget: the running-sum window is a SINGLE-partition
+  window by construction (a global greedy budget is inherently
+  sequential); it must only ever run on the heavily-reduced gated
+  survivor set, which the plan guarantees by fusing the gates below it.
+  At extreme scale the same selection is done per-stratum first
+  (partitionBy source) and merged, trading exactness for parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from os___mapreduceframework_spark.operators.text import STOPWORDS, _sql_in
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+# shared gate definitions (Spark side) ---------------------------------------
+
+
+def _with_gates(docs: DataFrame) -> DataFrame:
+    """Annotate documents with pred_lang / passes_quality / fingerprint
+    -- the same heuristics as text_lang_id, text_quality and
+    text_fingerprint, fused into one projection."""
+    docs = docs.withColumn("w", F.split("text", " "))
+
+    def _hits(words):
+        arr = F.array(*[F.lit(s) for s in words])
+        return F.size(F.filter(F.col("w"), lambda x: F.array_contains(arr, x)))
+
+    counts = {lang: _hits(words) for lang, words in STOPWORDS.items()}
+    pred = (
+        F.when(counts["en"] >= F.greatest(counts["de"], counts["fr"], counts["es"]), "en")
+        .when(counts["de"] >= F.greatest(counts["fr"], counts["es"]), "de")
+        .when(counts["fr"] >= counts["es"], "fr")
+        .otherwise("es")
+    )
+    n_stop = counts["en"]
+    quality = F.when(
+        F.size("w").between(5, 100000) & (n_stop / F.size("w")).between(0.01, 0.6), 1
+    ).otherwise(0)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size("w").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        pred.alias("pred_lang"),
+        quality.alias("passes_quality"),
+        (n_stop / F.size("w")).alias("stop_ratio"),
+        fp.alias("fp"),
+    )
+
+
+_GATES_SQL = f"""
+    gated AS (
+      SELECT doc_id, source, text,
+             string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_sql_in(STOPWORDS["en"])}))) AS c_en,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_sql_in(STOPWORDS["de"])}))) AS c_de,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_sql_in(STOPWORDS["fr"])}))) AS c_fr,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ({_sql_in(STOPWORDS["es"])}))) AS c_es,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    annotated AS (
+      SELECT doc_id, source, n_tokens, n_chars, fp,
+             c_en / len(w) AS stop_ratio,
+             CASE WHEN c_en >= GREATEST(c_de, c_fr, c_es) THEN 'en'
+                  WHEN c_de >= GREATEST(c_fr, c_es) THEN 'de'
+                  WHEN c_fr >= c_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang,
+             CASE WHEN len(w) BETWEEN 5 AND 100000
+                   AND c_en / len(w) BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS passes_quality
+      FROM gated
+    )
+"""
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH {_GATES_SQL},
+    kept AS (
+      SELECT *,
+             MIN(doc_id) OVER (PARTITION BY fp) AS canonical
+      FROM annotated
+      WHERE pred_lang = 'en' AND passes_quality = 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept
+    WHERE doc_id = canonical
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="The composed curation pipeline as ONE plan: language gate "
+    "(stopword argmax = 'en') -> quality gate (C4-style heuristics) -> "
+    "exact dedup (min doc_id per content fingerprint, window) -> "
+    "per-source corpus summary. Gates fuse into the scan; the only "
+    "data-sized shuffle is the dedup window on uniform md5 keys.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    annotated = _with_gates(load_table(spark, sf_dir, "documents"))
+    kept = annotated.filter(
+        (F.col("pred_lang") == "en") & (F.col("passes_quality") == 1)
+    ).withColumn("canonical", F.min("doc_id").over(Window.partitionBy("fp")))
+    return (
+        kept.filter(F.col("doc_id") == F.col("canonical"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET = 5_000
+
+
+@query(
+    "curation_token_budget",
+    oracle=f"""
+    WITH {_GATES_SQL},
+    ranked AS (
+      SELECT doc_id, source, n_tokens, stop_ratio,
+             CAST(SUM(n_tokens) OVER (ORDER BY stop_ratio DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM annotated
+      WHERE pred_lang = 'en' AND passes_quality = 1
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {TOKEN_BUDGET}
+    ORDER BY cum_tokens
+    """,
+    doc="Token-budget selection (training-mix building): gated docs "
+    "greedily taken in quality order (stopword-ratio desc, doc_id "
+    "tiebreak) until the cumulative token count hits the budget -- a "
+    "running-sum window + filter. The global window runs only on the "
+    "gated survivors; the per-stratum variant parallelizes it at scale.",
+)
+def q_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    annotated = _with_gates(load_table(spark, sf_dir, "documents"))
+    ranked = annotated.filter(
+        (F.col("pred_lang") == "en") & (F.col("passes_quality") == 1)
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            Window.orderBy(F.col("stop_ratio").desc(), "doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("cum_tokens")
+    )
+
+
+@query(
+    "text_tfidf_top",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ORDER BY tfidf DESC, tf.term, tf.doc_id
+    LIMIT 25
+    """,
+    doc="TF-IDF, top-25 (doc, term) pairs: term frequency per doc, "
+    "document frequency per term, idf from a 1-row broadcast count. "
+    "Two designed shuffles (tf, df) + a term-keyed join; top-k is "
+    "TakeOrderedAndProject with full tiebreaks.",
+)
+def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy(F.col("tfidf").desc(), "term", "doc_id")
+        .limit(25)
+    )

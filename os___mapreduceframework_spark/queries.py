@@ -64,6 +64,7 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.compat.udtf_map  # noqa: F401
     import os___mapreduceframework_spark.operators.advanced  # noqa: F401
     import os___mapreduceframework_spark.operators.analytics  # noqa: F401
+    import os___mapreduceframework_spark.operators.curation  # noqa: F401
     import os___mapreduceframework_spark.operators.dedup  # noqa: F401
     import os___mapreduceframework_spark.operators.library  # noqa: F401
     import os___mapreduceframework_spark.operators.multimodal  # noqa: F401

@@ -227,3 +227,24 @@ def test_shuffle_budget(spark):
         plan = executed_plan(df)
         n = sum(line.count("+- Exchange ") for line in plan.splitlines())
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n{plan[:1500]}"
+
+
+def test_curation_pipeline_single_scan_no_python(spark):
+    """The composed curation pipeline must stay ONE fused plan: a single
+    documents scan (gates are projections on it), no Python operators,
+    one dedup-window shuffle."""
+    df = ALL["curation_pipeline"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_topk_and_broadcast_count(spark):
+    """TF-IDF: the corpus-size side is a 1-row broadcast, the top-25 is
+    TakeOrderedAndProject, and the term join is never a cartesian
+    product over the token explosion."""
+    df = ALL["text_tfidf_top"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
