@@ -239,3 +239,132 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tfidf").desc(), "term", "doc_id")
         .limit(25)
     )
+
+
+PER_SOURCE_BUDGET = 500
+
+
+@query(
+    "curation_token_budget_stratified",
+    oracle=f"""
+    WITH {_GATES_SQL},
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY stop_ratio DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM annotated
+      WHERE pred_lang = 'en' AND passes_quality = 1
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {PER_SOURCE_BUDGET}
+    ORDER BY source, cum_tokens
+    """,
+    doc="Stratified token-budget selection: the scale path for "
+    "curation_token_budget -- the greedy running sum runs PER SOURCE "
+    "(partitionBy window, parallel across strata) with an equal "
+    "per-source budget, which is also how balanced training mixes are "
+    "actually built. One shuffle on source; no single-partition window.",
+)
+def q_curation_token_budget_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    annotated = _with_gates(load_table(spark, sf_dir, "documents"))
+    ranked = annotated.filter(
+        (F.col("pred_lang") == "en") & (F.col("passes_quality") == 1)
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            Window.partitionBy("source")
+            .orderBy(F.col("stop_ratio").desc(), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= PER_SOURCE_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS bigram
+      FROM t, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    per_bigram AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM per_bigram GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq
+      FROM t
+    )
+    SELECT s.doc_id,
+           ROUND(s.top_bigram_count / s.n_bigrams, 6) AS top_bigram_frac,
+           ROUND(1.0 - k.n_uniq / k.n_tokens, 6) AS dup_token_ratio,
+           CASE WHEN s.top_bigram_count / s.n_bigrams <= 0.2
+                 AND 1.0 - k.n_uniq / k.n_tokens <= 0.5
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM stats s JOIN toks k ON s.doc_id = k.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="Within-document repetition gate (the Gopher-style repetition "
+    "filters): top-bigram mass fraction + duplicate-token ratio, with "
+    "a composite pass/fail. One bigram-explode aggregation shuffled by "
+    "(doc_id, bigram) -- self-contained per doc, so it scales as a "
+    "map-side-combinable agg; no cross-document state.",
+)
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bg = (
+        t.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    stats = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_count"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    toks = t.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_uniq"),
+    )
+    top_frac = F.col("top_bigram_count") / F.col("n_bigrams")
+    dup_ratio = F.lit(1.0) - F.col("n_uniq") / F.col("n_tokens")
+    return (
+        stats.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            F.round(dup_ratio, 6).alias("dup_token_ratio"),
+            F.when((top_frac <= 0.2) & (dup_ratio <= 0.5), 1)
+            .otherwise(0)
+            .alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )

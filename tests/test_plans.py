@@ -248,3 +248,13 @@ def test_tfidf_topk_and_broadcast_count(spark):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_budget_window_is_partitioned(spark):
+    """The stratified budget must hash-partition its window on source
+    (parallel across strata) -- never the single-partition global window
+    that curation_token_budget deliberately accepts."""
+    df = ALL["curation_token_budget_stratified"](spark, TEST_SF_DIR)
+    plan = executed_plan(df)
+    assert "hashpartitioning(source" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
