@@ -52,6 +52,9 @@ HEADLINE = [
     "q13_customer_distribution",  # outer join + double aggregation
     "udtf_search_count",     # Python UDTF map + native reduce
     "stream_incremental_dedup",   # stateful streaming dedup
+    "curation_pipeline",     # composed gates + dedup + summary, one plan
+    "text_tfidf_top",        # tf/df double shuffle + broadcast count
+    "events_time_rollup",    # grouping-sets time hierarchy
 ]
 
 

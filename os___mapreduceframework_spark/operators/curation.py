@@ -321,9 +321,10 @@ def q_curation_token_budget_stratified(spark: SparkSession, sf_dir: str) -> Data
     """,
     doc="Within-document repetition gate (the Gopher-style repetition "
     "filters): top-bigram mass fraction + duplicate-token ratio, with "
-    "a composite pass/fail. One bigram-explode aggregation shuffled by "
-    "(doc_id, bigram) -- self-contained per doc, so it scales as a "
-    "map-side-combinable agg; no cross-document state.",
+    "a composite pass/fail. The per-doc token stats ride along the "
+    "bigram explode, so the whole operator is ONE map-side-combinable "
+    "aggregation path -- no join, and (the audited trap) no broadcast "
+    "of a raw documents projection; no cross-document state.",
 )
 def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_table(spark, sf_dir, "documents").select(
@@ -333,6 +334,8 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.filter(F.size("w") >= 2)
         .select(
             "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.size(F.array_distinct("w")).alias("n_uniq"),
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))"
@@ -342,23 +345,23 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = (
         bg.groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_uniq").alias("n_uniq"),
+        )
         .groupBy("doc_id")
         .agg(
             F.max("c").alias("top_bigram_count"),
             F.sum("c").alias("n_bigrams"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_uniq").alias("n_uniq"),
         )
-    )
-    toks = t.select(
-        "doc_id",
-        F.size("w").alias("n_tokens"),
-        F.size(F.array_distinct("w")).alias("n_uniq"),
     )
     top_frac = F.col("top_bigram_count") / F.col("n_bigrams")
     dup_ratio = F.lit(1.0) - F.col("n_uniq") / F.col("n_tokens")
     return (
-        stats.join(toks, "doc_id")
-        .select(
+        stats.select(
             "doc_id",
             F.round(top_frac, 6).alias("top_bigram_frac"),
             F.round(dup_ratio, 6).alias("dup_token_ratio"),

@@ -214,3 +214,55 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(date_trunc('day', ts)) = 0
+                THEN strftime(date_trunc('day', ts), '%Y-%m-%d') END AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') END AS hour,
+           CAST(GROUPING(date_trunc('day', ts)) * 2
+                + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS lvl,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)), ())
+    ORDER BY lvl, day, hour
+    """,
+    doc="Time-hierarchy rollup over the events hypertable (the "
+    "TimescaleDB continuous-aggregate shape): hourly, daily, and "
+    "grand-total aggregates in ONE pass via GROUPING SETS on "
+    "date_trunc buckets -- Spark expands the sets map-side, so the "
+    "fact scans once and each grain is a partial+final agg. At 100 TB "
+    "the coarse grains are near-free riders on the hourly shuffle; "
+    "the incremental-refresh variant is stream_tumbling_agg.",
+)
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    rolled = (
+        ev.select(day.alias("d"), hour.alias("h"), "value")
+        .groupingSets(
+            [["d", "h"], ["d"], []],
+            F.col("d"),
+            F.col("h"),
+        )
+        .agg(
+            (F.grouping("d") * 2 + F.grouping("h")).alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return rolled.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "lvl",
+        "n",
+        "sum_value",
+    ).orderBy("lvl", "day", "hour")

@@ -56,6 +56,12 @@ def get_session(
         )
         .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # plan-string metadata (DataFilters/PushedFilters/ReadSchema) is
+        # truncated at this many chars BEFORE the golden-plan normalizer
+        # sees it; at the 100-char default the "..." cut lands mid
+        # expression-id, so the normalized snapshot shifts whenever id
+        # widths change (tests/plans goldens become order-dependent)
+        .config("spark.sql.maxMetadataStringLength", "10000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
