@@ -55,6 +55,7 @@ HEADLINE = [
     "curation_pipeline",     # composed gates + dedup + summary, one plan
     "text_tfidf_top",        # tf/df double shuffle + broadcast count
     "events_time_rollup",    # grouping-sets time hierarchy
+    "search_count_indexed",  # flagship via trigram index (fused inline)
 ]
 
 

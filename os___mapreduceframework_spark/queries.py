@@ -66,6 +66,7 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.operators.analytics  # noqa: F401
     import os___mapreduceframework_spark.operators.curation  # noqa: F401
     import os___mapreduceframework_spark.operators.dedup  # noqa: F401
+    import os___mapreduceframework_spark.operators.indexing  # noqa: F401
     import os___mapreduceframework_spark.operators.library  # noqa: F401
     import os___mapreduceframework_spark.operators.multimodal  # noqa: F401
     import os___mapreduceframework_spark.operators.relational  # noqa: F401

@@ -1,0 +1,88 @@
+"""Trigram / inverted-index search: index-served plans must equal the
+scan plans exactly (oracle parity is covered by test_oracle_parity; here
+we pin scan-vs-index equivalence on adversarial inputs the fixtures
+don't contain)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from os___mapreduceframework_spark.operators.indexing import (
+    inverted_index,
+    search_count_indexed,
+    trigram_index,
+)
+from os___mapreduceframework_spark.operators.search import search_count
+
+
+def _names(spark, rows):
+    return spark.createDataFrame([(n,) for n in rows], "name string")
+
+
+NAMES = [
+    "widget alpha",
+    "widget alpha",  # duplicate -> cnt=2 must survive the index path
+    "gadget",
+    "wi",  # shorter than the query word
+    "abcXabc",  # holds all grams of "abcabc" without containing it
+    "abcabc",
+    "xyzwidx",  # contains 'wid' mid-string
+]
+
+
+@pytest.mark.parametrize("word", ["wid", "widget", "abcabc", "zzz", "get a"])
+def test_indexed_equals_scan(spark, word):
+    df = _names(spark, NAMES)
+    got = search_count_indexed(df, word).collect()
+    want = search_count(df, word).collect()
+    assert got == want
+
+
+def test_false_positive_candidate_is_verified_away(spark):
+    # "abcXabc" holds every trigram of "abcabc" -> index candidate, but
+    # the verify predicate must reject it (trigram containment is
+    # necessary, not sufficient)
+    df = _names(spark, ["abcXabc", "abcabc"])
+    rows = search_count_indexed(df, "abcabc").collect()
+    assert [(r["name"], r["cnt"]) for r in rows] == [("abcabc", 1)]
+
+
+def test_short_word_falls_back_to_scan(spark):
+    df = _names(spark, NAMES)
+    got = search_count_indexed(df, "wi").collect()
+    want = search_count(df, "wi").collect()
+    assert got == want and len(got) >= 3
+
+
+def test_index_carries_multiplicity(spark):
+    # duplicate names are one posting with cnt=2, not two postings
+    idx = trigram_index(_names(spark, NAMES))
+    wid = idx.filter((F.col("gram") == "wid") & (F.col("name") == "widget alpha"))
+    assert [(r["cnt"],) for r in wid.collect()] == [(2,)]
+
+
+def test_materialized_index_serves_without_base_scan(spark, tmp_path):
+    """The deployment shape: once the posting relation is materialized,
+    a query is served entirely from it -- the plan must not scan the
+    base table (inline builds fuse with the scan instead; module doc)."""
+    from os___mapreduceframework_spark.plans.audit import executed_plan
+    from os___mapreduceframework_spark.sources import load_table
+    from tests.conftest import TEST_SF_DIR
+
+    names = load_table(spark, TEST_SF_DIR, "part")
+    path = str(tmp_path / "trigram_idx")
+    trigram_index(names, "p_name").write.parquet(path)
+    served = search_count_indexed(
+        names, "wid", "p_name", index=spark.read.parquet(path)
+    )
+    assert "part.parquet" not in executed_plan(served)
+    assert served.collect() == search_count(names, "wid", "p_name").collect()
+
+
+def test_inverted_index_distinct_tokens_per_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {(r["doc_id"], r["token"]) for r in inverted_index(docs).collect()}
+    assert rows == {(1, "a"), (1, "b"), (2, "b"), (2, "c")}
