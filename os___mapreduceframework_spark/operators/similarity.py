@@ -267,3 +267,60 @@ def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             greatest(list_max(list_transform(embedding::DOUBLE[],
+                                              x -> abs(x))), 1e-30) AS maxabs
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, maxabs,
+             list_transform(e, x -> CAST(round(x * 127 / maxabs) AS BIGINT))
+               AS qe
+      FROM m
+    )
+    SELECT vec_id, ROUND(maxabs / 127, 6) AS scale,
+           CAST(list_sum(qe) AS BIGINT) AS q_sum,
+           CAST(list_min(qe) AS BIGINT) AS q_min,
+           CAST(list_max(qe) AS BIGINT) AS q_max
+    FROM q
+    ORDER BY vec_id
+    """,
+    doc="Scalar int8 quantization of the embedding column: per-vector "
+    "max-abs scale, q_i = round(x_i * 127 / maxabs) in [-127, 127] -- "
+    "4x storage cut for ANN candidate scoring (rescore survivors at "
+    "full precision). All JVM-side array lambdas, one scan-local pass, "
+    "no shuffle until the manifest sort; the oracle matches on the "
+    "integer codes (q_sum/min/max) so the quantized artifact itself is "
+    "hash-verified, not just its shape. The 1e-30 floor guards the "
+    "all-zero vector.",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    m = emb.select(
+        "vec_id",
+        "e",
+        F.greatest(
+            F.array_max(F.transform("e", lambda x: F.abs(x))), F.lit(1e-30)
+        ).alias("maxabs"),
+    )
+    q = m.select(
+        "vec_id",
+        "maxabs",
+        F.transform(
+            "e", lambda x: F.round(x * 127 / F.col("maxabs")).cast("long")
+        ).alias("qe"),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("maxabs") / 127, 6).alias("scale"),
+        F.aggregate("qe", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qe").alias("q_min"),
+        F.array_max("qe").alias("q_max"),
+    ).orderBy("vec_id")

@@ -1,0 +1,177 @@
+"""Training-data export operators (charter extension, SURVEY.md M4):
+sequence packing, deterministic hash-sharded export, and mergeable
+distinct-vocabulary sketches.
+
+The reference ends its pipeline at a sorted stdout sink
+(Search.cpp:113-117); an LLM-data engine ends at training shards. These
+operators cover the last mile: pack documents into fixed-token-length
+training sequences, export the corpus as deterministically sharded
+parquet, and summarize vocabulary size with mergeable sketches --
+each expressed as DataFrame transforms so Catalyst plans them.
+
+Scale notes (100 TB):
+
+- **Packing** runs one window per source partition (parallel across
+  sources, the same layout curation_token_budget_stratified uses). A
+  single global stream would serialize into one window partition; if
+  one giant source dominates, sub-split it with a hash-salt on doc_id
+  ranges and offset the per-split cumulative sums by a broadcast
+  per-split total (two-pass scan, both parallel).
+- **Sharding** is a hash-prefix partition of the key space: shard
+  assignment is a pure scan-local expression (no shuffle to decide),
+  and the write is `partitionBy(shard)` so each output directory is an
+  independently consumable training shard. md5-prefix sharding is
+  reproducible across engines, runs, and repartitioning -- rerunning
+  the export on an appended corpus moves no existing document to a new
+  shard (unlike round-robin / monotonically_increasing_id).
+- **Vocabulary sketch**: HLL sketches are the mergeable-state pattern:
+  per-source sub-aggregates are tiny fixed-size buffers, the global
+  union is exact over sketches (commutative + idempotent), so a 100 TB
+  vocabulary count never materializes the token set. The same shape
+  serves per-shard -> corpus rollups of any distinct-count statistic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Assign each document to a fixed-length training sequence (pack):
+    concatenate documents in doc_id order within each source and chunk
+    the token stream every ``seq_len`` tokens; a document's pack is the
+    chunk its first token lands in (GPT-style boundary-agnostic
+    packing). Deterministic given the corpus -- no RNG, no partition-
+    order dependence. Returns (source, doc_id, toks, pack_id)."""
+    toks = F.size(F.split("text", " "))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        docs.select("source", "doc_id", toks.alias("toks"))
+        .withColumn("start", F.sum("toks").over(w) - F.col("toks"))
+        .withColumn("pack_id", F.floor(F.col("start") / seq_len))
+        .drop("start")
+    )
+
+
+@query(
+    "training_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS toks
+      FROM documents
+    ), c AS (
+      SELECT source, toks,
+             SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - toks AS start
+      FROM t
+    )
+    SELECT source, CAST(start // {SEQ_LEN} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+    doc=f"Sequence packing manifest: documents chunked into {SEQ_LEN}-"
+    "token training sequences per source (running token count -> pack "
+    "assignment), summarized as docs/tokens per pack. The window runs "
+    "per source partition so packing parallelizes across sources; the "
+    "manifest is what a loader joins against to materialize each pack "
+    "(module doc covers the giant-single-source split).",
+)
+def q_training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pack_sequences(docs)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@query(
+    "training_shard_export",
+    oracle="""
+    SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="Hash-sharded training export: every document lands in shard "
+    "md5(doc_id)[0] (16 shards), written as partitionBy(shard) parquet "
+    "and read back for the per-shard manifest -- the hash match proves "
+    "the exported artifact, not just the plan. Shard choice is a "
+    "scan-local expression (no shuffle to decide, stable under "
+    "re-runs/appends); each shard directory is an independently "
+    "consumable, statistically-uniform sample of the corpus.",
+)
+def q_training_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("training_shards")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    )
+    docs.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "vocab_hll_rollup",
+    # no oracle: HLL estimates are engine-specific (Datasketches in
+    # Spark vs DuckDB's own HLL); accuracy vs the exact count is pinned
+    # in tests/test_training.py instead.
+    doc="Mergeable distinct-vocabulary sketch: one HLL sketch of the "
+    "token set per source (map-side combinable fixed-size state), then "
+    "a sketch-union rollup to the corpus-wide estimate -- distinct "
+    "counting whose shuffle carries kilobyte sketches instead of the "
+    "token set. The per-source/global two-level shape is the standard "
+    "100 TB rollup for any distinct statistic; accuracy vs exact is "
+    "asserted in tests (rows-only driver check).",
+)
+def q_vocab_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    per_source = toks.groupBy("source").agg(F.hll_sketch_agg("tok").alias("sk"))
+    global_row = per_source.agg(
+        F.lit("ALL").alias("source"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("est_distinct_tokens"),
+    )
+    per_source_est = per_source.select(
+        "source",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_tokens"),
+    )
+    return per_source_est.unionByName(global_row).orderBy("source")

@@ -74,6 +74,7 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.operators.similarity  # noqa: F401
     import os___mapreduceframework_spark.operators.temporal  # noqa: F401
     import os___mapreduceframework_spark.operators.text  # noqa: F401
+    import os___mapreduceframework_spark.operators.training  # noqa: F401
     import os___mapreduceframework_spark.sources.formats  # noqa: F401
     import os___mapreduceframework_spark.streaming.incremental  # noqa: F401
     import os___mapreduceframework_spark.streaming.joins  # noqa: F401

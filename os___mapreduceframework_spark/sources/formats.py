@@ -139,12 +139,69 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "predicate column; low cardinality keeps file counts sane).",
 )
 def q_source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = _partitioned_orders(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders Hive-partitioned by o_orderstatus and read it back
+    (overwrite per call -- sf_dir may differ between calls)."""
     path = _scratch("partitioned_orders")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return spark.read.parquet(path)
+
+
+_STATUS_DIM = [("F", "finished"), ("O", "open"), ("P", "pending")]
+
+
+def dpp_join_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned fact joined to a dim filtered on a NON-partition
+    attribute: the partition values to keep are only known at runtime,
+    so static pruning cannot apply -- dynamic partition pruning must
+    inject the dim's keys into the fact scan's PartitionFilters."""
+    dim = spark.createDataFrame(
+        _STATUS_DIM, "o_orderstatus string, status_name string"
+    ).filter(F.col("status_name") == "finished")
+    return _partitioned_orders(spark, sf_dir).join(F.broadcast(dim), "o_orderstatus")
+
+
+@query(
+    "join_dpp_pruned",
+    oracle="""
+    WITH dim(o_orderstatus, status_name) AS (
+      VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending')
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN dim USING (o_orderstatus)
+    WHERE status_name = 'finished'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Dynamic partition pruning: the fact is partitioned on the join "
+    "key but the predicate lives on the dim's attribute, so the "
+    "partitions to read are unknown until the dim is filtered at "
+    "runtime. Catalyst reuses the dim's broadcast as a subquery inside "
+    "the fact scan's PartitionFilters (dynamicpruningexpression, "
+    "asserted in tests/test_plans.py) -- at 100 TB this is the star-"
+    "schema pattern that turns 'scan the whole fact' into 'scan the "
+    "dim-selected partitions only' with zero user hints.",
+)
+def q_join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        back.groupBy("o_orderpriority")
+        dpp_join_for_audit(spark, sf_dir)
+        .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
@@ -233,7 +290,4 @@ def bucketed_join_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruned scan itself (pre-aggregation) for plan assertions."""
-    path = _scratch("partitioned_orders")
-    orders = load_table(spark, sf_dir, "orders")
-    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    return spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return _partitioned_orders(spark, sf_dir).filter(F.col("o_orderstatus") == "F")

@@ -4,8 +4,11 @@ aggregation). 100 TB design assertions, checked at any SF."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from os___mapreduceframework_spark import queries as registry
 from os___mapreduceframework_spark.plans.audit import assert_plan, executed_plan
+from os___mapreduceframework_spark.sources import load_table
 from tests.conftest import TEST_SF_DIR
 
 ALL = registry.queries()
@@ -94,6 +97,57 @@ def test_partitioned_write_prunes_on_read(spark):
     scan = next(line for line in plan.splitlines() if "FileScan" in line)
     pf = scan.split("PartitionFilters: ")[1]
     assert pf.startswith("[isnotnull") or "o_orderstatus" in pf.split("]")[0], pf[:120]
+
+
+def test_dpp_prunes_partitions_via_join(spark):
+    """Dim filtered on a non-partition attribute + fact partitioned on
+    the join key = dynamic partition pruning: the fact scan's
+    PartitionFilters must contain a runtime dynamicpruningexpression
+    (the dim's broadcast reused as a pruning subquery)."""
+    from os___mapreduceframework_spark.sources.formats import dpp_join_for_audit
+
+    df = dpp_join_for_audit(spark, TEST_SF_DIR)
+    plan = executed_plan(df, run=True)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Runtime bloom-filter join pruning: a selective filter on the
+    build side of a shuffle join injects might_contain(bloom) into the
+    probe side's scan, cutting shuffle volume before the exchange. The
+    size thresholds are lowered so the optimization triggers at test SF
+    (at 100 TB the defaults -- creation side <= 10 MB post-filter,
+    application side >= 10 GB -- fire on exactly this shape unaided)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, TEST_SF_DIR, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        sel = (
+            load_table(spark, TEST_SF_DIR, "orders")
+            .filter(F.col("o_totalprice") < 1000.0)
+            .select("o_orderkey")
+        )
+        j = li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+        plan = executed_plan(j, run=True)
+        assert "might_contain" in plan, plan[:2000]
+        # the bloom probe must sit on the FACT (application) side scan
+        probe_side = plan.lower().split("might_contain")[0]
+        assert "lineitem" not in probe_side.split("filescan")[-1]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_bucketed_join_needs_no_exchange(spark):
