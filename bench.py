@@ -56,6 +56,8 @@ HEADLINE = [
     "text_tfidf_top",        # tf/df double shuffle + broadcast count
     "events_time_rollup",    # grouping-sets time hierarchy
     "search_count_indexed",  # flagship via trigram index (fused inline)
+    "join_dpp_pruned",       # dynamic partition pruning via dim join
+    "training_shard_export", # sharded parquet write + readback manifest
 ]
 
 

@@ -137,6 +137,116 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(m).select("doc_id", "n_bytes", "n_space_bytes").orderBy("doc_id")
 
 
+RESIZE_TARGET = 224  # aspect-preserving fit box (pixels)
+MAX_FRAMES = 8  # frames sampled per video
+
+
+def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Aspect-preserving resize plumbing via mapInPandas: compute the
+    fit-into-box output dimensions (pure integer math, oracle-checkable)
+    and produce the resized payload. The pixel resample itself is the
+    stubbed decode step -- the stand-in truncates the payload to the
+    output pixel budget, keeping the bytes-in/bytes-out dataflow and
+    Arrow batch shape real. Output: doc_id, out_w, out_h, n_bytes_out.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w, h = pdf["width"], pdf["height"]
+            long_side = w.combine(h, max)
+            out_w = (w * target) // long_side
+            out_h = (h * target) // long_side
+            budget = out_w * out_h
+            resized = [
+                p[:b] for p, b in zip(pdf["payload"], budget)
+            ]  # decode_media()+resample at 100 TB; deterministic stub here
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes_out": [len(r) for r in resized],
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(
+        batches, schema="doc_id long, out_w long, out_h long, n_bytes_out long"
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(text::BLOB) AS n_bytes,
+             doc_id % 640 + 16 AS w, doc_id % 480 + 16 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           (w * {RESIZE_TARGET}) // greatest(w, h) AS out_w,
+           (h * {RESIZE_TARGET}) // greatest(w, h) AS out_h,
+           least(n_bytes, ((w * {RESIZE_TARGET}) // greatest(w, h))
+                          * ((h * {RESIZE_TARGET}) // greatest(w, h)))
+             AS n_bytes_out
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Aspect-preserving resize over the media column (fit into "
+    f"{RESIZE_TARGET}px box): mapInPandas computes output dims and the "
+    "resized payload per Arrow batch. Dimensions and the byte budget "
+    "are integer math the oracle verifies exactly; the pixel resample "
+    "is the stubbed decode (truncation stand-in keeps the dataflow "
+    "real). Scan-local, no shuffle until the manifest sort.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = with_media_columns(load_table(spark, sf_dir, "documents"))
+    return resize_media(m).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, doc_id % 300 + 30 AS n_frames,
+             (doc_id % 300 + 30 + {MAX_FRAMES - 1}) // {MAX_FRAMES} AS step
+      FROM documents
+    )
+    SELECT doc_id, n_frames, CAST(f AS BIGINT) AS frame_idx
+    FROM v, unnest(range(0, n_frames, step)) AS u(f)
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Video frame sampling: per-video uniform stride over the frame "
+    f"index space (ceil stride caps the sample at {MAX_FRAMES} frames "
+    "exactly), realized as sequence()+explode so the sample plan is "
+    "relational and the per-frame decode (stubbed) only ever sees "
+    "sampled indices. Frame count rides in metadata -- the bytes are "
+    "untouched until a downstream decode consumes the sampled frames.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 300 + 30).alias("n_frames"),
+    ).withColumn(
+        "step", F.floor((F.col("n_frames") + MAX_FRAMES - 1) / MAX_FRAMES)
+    )
+    return (
+        v.select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.col("step"))
+            ).alias("frame_idx"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 @query(
     "multimodal_embed",
     oracle=None,  # array<double> fake embedding; rows-only driver check + unit tests

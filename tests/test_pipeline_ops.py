@@ -70,6 +70,40 @@ def test_multimodal_pipeline_shapes(spark):
     assert out[0].feat == fake_features(b"ab cd")
 
 
+def test_resize_fits_box_preserving_aspect(spark):
+    """Long side lands exactly on the target; output never exceeds the
+    box; byte budget caps the resized payload."""
+    from os___mapreduceframework_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        resize_media,
+    )
+
+    df = _docs(spark, [(100, "x" * 400), (639, "y" * 10)])
+    out = resize_media(with_media_columns(df)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.out_w <= RESIZE_TARGET and r.out_h <= RESIZE_TARGET
+        assert max(r.out_w, r.out_h) == RESIZE_TARGET
+        assert r.n_bytes_out <= r.out_w * r.out_h
+
+
+def test_frame_sample_capped_at_max_frames(spark):
+    from os___mapreduceframework_spark import queries as registry
+    from os___mapreduceframework_spark.operators.multimodal import MAX_FRAMES
+    from tests.conftest import TEST_SF_DIR
+
+    rows = registry.queries()["multimodal_frame_sample"](
+        spark, TEST_SF_DIR
+    ).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in per_doc.items():
+        n_frames = doc_id % 300 + 30
+        assert len(idxs) <= MAX_FRAMES, (doc_id, idxs)
+        assert idxs[0] == 0 and all(i < n_frames for i in idxs)
+
+
 def test_approx_distinct_error_bound(spark, duck):
     """HLL++ estimate within 15% of exact (rsd=0.05 default, ~8.6%
     observed at sf0.01)."""
