@@ -45,6 +45,9 @@ index serves queries without touching the base table at all).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from os___mapreduceframework_spark.operators.library import SEARCH_WORD
@@ -199,3 +202,61 @@ def q_text_search_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+_N_IDX_BUCKETS = 16
+_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+
+
+def _ensure_trigram_table(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the part-name trigram index as a bucketed+sorted
+    catalog table, once per sf_dir (marker conf, same idempotence
+    scheme as the bucketed join tables). This is the build-once
+    artifact the module doc describes: bucketBy(gram) makes a query's
+    posting lookup a bucket-pruned scan, sortBy(gram) gives row-group
+    min/max pruning within each bucket."""
+    marker = spark.conf.get("spark.graft.trigram_index.for", "")
+    if marker == sf_dir and spark.catalog.tableExists("trigram_idx_part"):
+        return
+    os.makedirs(_SCRATCH, exist_ok=True)
+    names = load_table(spark, sf_dir, "part")
+    (
+        trigram_index(names, "p_name")
+        .write.mode("overwrite")
+        .bucketBy(_N_IDX_BUCKETS, "gram")
+        .sortBy("gram")
+        .option("path", os.path.join(_SCRATCH, "trigram_idx_part"))
+        .saveAsTable("trigram_idx_part")
+    )
+    spark.conf.set("spark.graft.trigram_index.for", sf_dir)
+
+
+def index_served_search_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_trigram_table(spark, sf_dir)
+    names = load_table(spark, sf_dir, "part")
+    return search_count_indexed(
+        names, SEARCH_WORD, "p_name", index=spark.table("trigram_idx_part")
+    )
+
+
+@query(
+    "search_count_index_served",
+    oracle=f"""
+    SELECT p_name AS name, COUNT(*) AS cnt
+    FROM part
+    WHERE instr(p_name, '{SEARCH_WORD}') > 0
+    GROUP BY p_name
+    ORDER BY p_name
+    """,
+    doc="Flagship Search query served from the MATERIALIZED bucketed "
+    "trigram index (build-once/query-many: the index is a "
+    "bucketBy(gram)+sortBy catalog table, built once per sf_dir). The "
+    "plan never scans the base table; with bucketed scan enabled the "
+    "grams' IN-filter prunes to its buckets (SelectedBucketsCount, "
+    "pinned in tests/test_indexing.py) and sortBy gives row-group "
+    "pruning inside each. Per-query cost is O(query grams' postings) "
+    "-- the amortized-index deployment the inline variant "
+    "(search_count_indexed) only simulates.",
+)
+def q_search_count_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return index_served_search_for_audit(spark, sf_dir)

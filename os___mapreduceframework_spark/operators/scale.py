@@ -108,19 +108,28 @@ def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_index(emb: DataFrame, k: int = IVF_K, seed: int = 42):
+def ivf_index(
+    emb: DataFrame, k: int = IVF_K, seed: int = 42, train: DataFrame | None = None
+):
     """(assignments, centroids): k-means coarse quantizer.
 
-    Training runs on the corpus via pyspark.ml KMeans (seeded); the k
-    centroid vectors are driver-held (k * dim floats -- tiny) and
-    re-broadcast for assignment/probing. At 100 TB you train on a
-    sample and assign with one linear pass, exactly this dataflow.
+    Training runs via pyspark.ml KMeans (seeded) on ``train`` when
+    given, else the full corpus; ASSIGNMENT always covers the full
+    corpus in one linear pass. The k centroid vectors are driver-held
+    (k * dim floats -- tiny) and re-broadcast for assignment/probing.
+    At 100 TB you train on a sample and assign everything -- exactly
+    the ``train=`` dataflow (ann_ivf_sampled_topk).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
-    vecs = emb.select("vec_id", array_to_vector("e").alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=10).fit(vecs)
+    def to_vec(df: DataFrame) -> DataFrame:
+        return df.select("vec_id", array_to_vector("e").alias("features"))
+
+    vecs = to_vec(emb)
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(
+        to_vec(train) if train is not None else vecs
+    )
     assignments = model.transform(vecs).select(
         "vec_id", F.col("prediction").alias("cell")
     )
@@ -147,7 +156,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     assignments, centroids = ivf_index(emb)
-    corpus = emb.join(assignments, "vec_id")
+    return ivf_topk(emb, assignments, centroids)
+
+
+def ivf_topk(emb: DataFrame, assignments: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Score each query vector against only its IVF_PROBE nearest
+    cells' members (shared serving path for all IVF variants).
+
+    The corpus-assignments join is fact-to-fact (assignments has corpus
+    cardinality): the merge hint pins it to a shuffle join -- at small
+    SF Catalyst would happily broadcast the raw embeddings scan, which
+    is fatal at real scale (the fact-broadcast audit caught exactly
+    this)."""
+    corpus = emb.join(assignments.hint("merge"), "vec_id")
 
     # each query probes its IVF_PROBE nearest centroids
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -176,6 +197,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
     )
+
+
+@query(
+    "ann_ivf_sampled_topk",
+    oracle=None,  # k-means training is not SQL-expressible; rows-only
+    doc="IVF ANN with SAMPLE-trained centroids: k-means fits on a "
+    "deterministic md5-prefix half of the corpus (the scan-stable "
+    "sample of sample_hash_deterministic), then every vector is "
+    "assigned in one linear pass and queries probe as usual. This is "
+    "the 100 TB training protocol -- at a billion vectors the "
+    "quantizer trains on a few million samples; centroid quality "
+    "degrades gracefully (recall drift vs full-corpus training is "
+    "tracked in tests/test_scale.py).",
+)
+def q_ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sample = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        )
+    )
+    assignments, centroids = ivf_index(emb, train=sample)
+    return ivf_topk(emb, assignments, centroids)
 
 
 def salted_join(

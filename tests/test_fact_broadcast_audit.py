@@ -42,7 +42,9 @@ ALLOWED = {
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
     # broadcast side is the IVF centroid set (fixed k) + bounded queries
+    # (the corpus-assignments join itself is merge-hinted in ivf_topk)
     "ann_ivf_topk",
+    "ann_ivf_sampled_topk",
     # probe set is the bounded query subset of embeddings
     "dedup_embedding_near",
 }

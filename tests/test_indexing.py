@@ -86,3 +86,29 @@ def test_inverted_index_distinct_tokens_per_doc(spark):
     )
     rows = {(r["doc_id"], r["token"]) for r in inverted_index(docs).collect()}
     assert rows == {(1, "a"), (1, "b"), (2, "b"), (2, "c")}
+
+
+def test_index_served_query_prunes_buckets(spark):
+    """The materialized bucketed index serves the flagship query with
+    no base-table scan, and with bucketed scan enabled the query's
+    gram IN-filter prunes to its grams' buckets (SelectedBucketsCount
+    strictly below the bucket count)."""
+    from os___mapreduceframework_spark.operators.indexing import (
+        _N_IDX_BUCKETS,
+        index_served_search_for_audit,
+    )
+    from os___mapreduceframework_spark.plans.audit import executed_plan
+    from tests.conftest import TEST_SF_DIR
+
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = index_served_search_for_audit(spark, TEST_SF_DIR)
+        plan = executed_plan(df)
+        assert "part.parquet" not in plan, plan[:1500]
+        marker = "SelectedBucketsCount: "
+        assert marker in plan, plan[:1500]
+        n = int(plan.split(marker)[1].split()[0])
+        assert 0 < n < _N_IDX_BUCKETS, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)

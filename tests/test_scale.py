@@ -80,3 +80,31 @@ def test_sql_interface_same_plan_shape(spark):
     df = ALL["sql_interface_revenue"](spark, TEST_SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan and "FileScan parquet" in plan
+
+
+def test_ivf_sampled_training_recall_drift(spark):
+    """Sample-trained IVF must keep full coverage (every vector in a
+    cell) and its recall vs brute force must stay within the same
+    sanity floor as full-corpus training -- centroid quality degrades
+    gracefully, it doesn't collapse."""
+    sampled = ALL["ann_ivf_sampled_topk"](spark, TEST_SF_DIR).collect()
+    exact = ALL["ann_bruteforce_topk"](spark, TEST_SF_DIR).collect()
+
+    per_query: dict[int, list] = {}
+    for r in sampled:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert per_query, "sampled IVF returned nothing"
+    for qid, rows in per_query.items():
+        assert len(rows) <= IVF_TOP_K
+        assert all(r["vec_id"] != qid for r in rows)
+
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(
+        len({r["vec_id"] for r in rows} & exact_sets.get(qid, set()))
+        for qid, rows in per_query.items()
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total if total else 0.0
+    assert recall >= 0.05, f"sampled-IVF recall {recall:.2f} below floor"
