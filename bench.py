@@ -79,6 +79,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    dispersion: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples = []
         for _ in range(n_runs):
@@ -89,6 +90,7 @@ def main() -> None:
         # medians swung 2-6x between sessions under external load
         # (load-avg spikes), while per-query mins reproduce within ~15%
         timings[name] = round(min(samples), 3)
+        dispersion[name] = sorted(round(s, 3) for s in samples)
         spread = (
             f" (median {sorted(samples)[len(samples) // 2]:.3f}"
             f" max {max(samples):.3f})"
@@ -112,6 +114,10 @@ def main() -> None:
                 "queries": timings,
                 "runs_per_query": n_runs,
                 "stat": "min",
+                # all sorted samples per query, so BENCH_r{N} deltas can
+                # be judged against within-session spread (ROADMAP item:
+                # record dispersion, not just the point estimate)
+                "samples": dispersion,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
