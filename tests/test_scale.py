@@ -7,9 +7,12 @@ from pyspark.sql import functions as F
 
 from os___mapreduceframework_spark import queries as registry
 from os___mapreduceframework_spark.operators.scale import (
+    ADAPT_MAX_SALT,
+    ADAPT_TARGET,
     IVF_PROBE,
     IVF_TOP_K,
     N_QUERIES,
+    hot_key_fanout,
     ivf_index,
 )
 from os___mapreduceframework_spark.sources import load_table
@@ -30,6 +33,73 @@ def test_salted_count_equals_direct_groupby(spark):
         .collect()
     )
     assert [tuple(r) for r in salted] == [tuple(r) for r in direct]
+
+
+def test_adaptive_salted_count_equals_direct_groupby(spark):
+    adaptive = ALL["salted_token_count_adaptive"](spark, TEST_SF_DIR).collect()
+    direct = (
+        load_table(spark, TEST_SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+        .collect()
+    )
+    assert [tuple(r) for r in adaptive] == [tuple(r) for r in direct]
+
+
+def test_hot_key_fanout_targets_only_the_zipf_head(spark):
+    """The sketch must flag the genuinely hot tokens with a fan-out
+    proportional to frequency, and must NOT flag the long tail -- the
+    whole point vs fixed-N_SALT is zero extra groups for cold keys."""
+    toks = load_table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    hot = {r["tok"]: r["fanout"] for r in hot_key_fanout(toks, "tok").collect()}
+    true_counts = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_toks = len(true_counts)
+    assert 0 < len(hot) < n_toks, "sketch must select a strict subset"
+    for tok, fanout in hot.items():
+        assert 2 <= fanout <= ADAPT_MAX_SALT
+        # a 1/8 sample estimate is noisy but a flagged key must be at
+        # least in the neighborhood of the target
+        assert true_counts[tok] > ADAPT_TARGET / 2, (tok, true_counts[tok])
+    # the hottest token must be flagged with a frequency-scaled fan-out
+    top_tok, top_n = max(true_counts.items(), key=lambda kv: kv[1])
+    assert top_tok in hot
+    assert hot[top_tok] >= max(2, (top_n // ADAPT_TARGET) // 2)
+
+
+def test_adaptive_salting_spreads_hot_key_partials(spark):
+    """Under the hood the hot token's partial agg must occupy >1
+    (tok, salt) group while an unflagged cold token occupies exactly 1."""
+    toks = load_table(spark, TEST_SF_DIR, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    hot = hot_key_fanout(toks, "tok")
+    salted = (
+        toks.join(F.broadcast(hot), "tok", "left")
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("doc_id"), F.coalesce("fanout", F.lit(1))).cast("int"),
+        )
+        .groupBy("tok", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+    groups = {r["tok"]: r["n_groups"] for r in salted.collect()}
+    hot_set = {r["tok"] for r in hot.collect()}
+    assert hot_set, "fixtures must produce at least one hot token"
+    for tok in hot_set:
+        assert groups[tok] > 1, f"hot token {tok!r} was not spread"
+    for tok, n_groups in groups.items():
+        if tok not in hot_set:
+            assert n_groups == 1, f"cold token {tok!r} was salted"
 
 
 def test_ivf_assignment_covers_corpus(spark):
