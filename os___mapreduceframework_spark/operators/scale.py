@@ -313,6 +313,232 @@ def q_ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, assignments, centroids)
 
 
+def salted_join_adaptive(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    sample_denom: int = ADAPT_SAMPLE_DENOM,
+    target: int = ADAPT_TARGET,
+    max_salt: int = ADAPT_MAX_SALT,
+) -> DataFrame:
+    """Sketch-driven skew join: each dim row is replicated only as many
+    times as its fact key's observed heat requires.
+
+    The same hash-sample frequency sketch as
+    ``salted_token_count_adaptive`` estimates per-key fact counts; a
+    key past ``target`` rows-per-reducer gets fan-out
+    ``ceil(est/target)`` (capped), everything else fan-out 1. Fact rows
+    scatter to ``salt in [0, fanout)`` by row hash; dim rows explode to
+    exactly their key's fan-out (``sequence(0, fanout-1)``), so each
+    fact row still matches its dim row exactly once and the result is
+    the plain join. Versus fixed-``n_salt`` replication the dim-side
+    inflation collapses from ``n_salt * |dim|`` to
+    ``|dim| + sum(extra replicas over the Zipf head)`` -- at 100 TB the
+    head is a few thousand keys, so the replicated dim stays
+    broadcast-sized. Assumes ``dim`` has no column named ``fanout``.
+    """
+    hot = hot_key_fanout(fact, fact_key, sample_denom, target, max_salt)
+    salted_fact = (
+        fact.join(F.broadcast(hot), fact_key, "left")
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*fact.columns), F.coalesce("fanout", F.lit(1))
+            ).cast("int"),
+        )
+        .drop("fanout")
+    )
+    salted_dim = (
+        dim.join(
+            F.broadcast(hot.withColumnRenamed(fact_key, "__hotk")),
+            dim[dim_key] == F.col("__hotk"),
+            "left",
+        )
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("fanout"), F.lit(1)) - 1
+                )
+            ),
+        )
+        .withColumn("__salt", F.col("__salt").cast("int"))
+        .drop("fanout", "__hotk")
+    )
+    return salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+    ).drop("__salt")
+
+
+@query(
+    "salted_join_adaptive_agg",
+    oracle="""
+    SELECT grp,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS qty
+    FROM (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                      ELSE l_orderkey % 10000 END AS k,
+                 l_quantity
+          FROM lineitem) f
+    JOIN (SELECT range AS dk, range % 7 AS grp FROM range(10000)) d
+      ON f.k = d.dk
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    doc="ADAPTIVE salted join on a deliberately Zipf-skewed fact key "
+    "(one hot key holds ~90% of rows): the frequency sketch gives only "
+    "the hot key a multi-way fan-out, cold keys join unreplicated. "
+    "The oracle is the plain unsalted join -- the rewrite changes the "
+    "shuffle shape, never the answer. This is salted_join's "
+    "self-tuning form: dim inflation is proportional to observed key "
+    "heat instead of a blanket n_salt factor.",
+)
+def q_salted_join_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 10000)
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(0, 10000).select(
+        F.col("id").alias("dk"), (F.col("id") % 7).alias("grp")
+    )
+    return (
+        salted_join_adaptive(fact, dim, "k", "dk")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("qty"),
+        )
+        .orderBy("grp")
+    )
+
+
+def hot_isolated_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    sample_denom: int = ADAPT_SAMPLE_DENOM,
+    target: int = ADAPT_TARGET,
+) -> DataFrame:
+    """Hot-key isolation for the HOT-HOT join (both sides large, key
+    skewed): salting can't help here because replicating a large build
+    side ``n_salt``-fold is unaffordable. Instead, split the keyspace:
+
+    - **cold keys** take the normal shuffle join -- no skew, no rewrite;
+    - **hot keys** (the Zipf head, found by the same hash-sample sketch
+      as ``hot_key_fanout``) join with the RIGHT side's hot slice
+      broadcast. The head has few distinct keys, so the right-hot slice
+      is small in *keys*; broadcasting it means the left side's massive
+      hot rows are never shuffled at all -- each executor joins its
+      resident rows locally.
+
+    The union of the two disjoint key-ranges is exactly the plain inner
+    join. At 100 TB the sketch pass reads a fixed sample fraction and
+    the hot set (a few thousand keys) broadcasts; if the right-hot
+    *row* slice is itself huge, shrink ``target``'s promotion threshold
+    or pre-aggregate the right side first.
+    """
+    sample = left.filter(
+        F.pmod(F.xxhash64(*left.columns), F.lit(sample_denom)) == 0
+    )
+    hot_keys = (
+        sample.groupBy(left_key)
+        .agg((F.count(F.lit(1)) * sample_denom).alias("est_n"))
+        .filter(F.col("est_n") > target)
+        .select(F.col(left_key).alias("__hotk"))
+    )
+    l_marked = left.join(
+        F.broadcast(hot_keys),
+        left[left_key] == F.col("__hotk"),
+        "left",
+    )
+    l_hot = l_marked.filter(F.col("__hotk").isNotNull()).drop("__hotk")
+    l_cold = l_marked.filter(F.col("__hotk").isNull()).drop("__hotk")
+    r_marked = right.join(
+        F.broadcast(hot_keys),
+        right[right_key] == F.col("__hotk"),
+        "left",
+    )
+    r_hot = r_marked.filter(F.col("__hotk").isNotNull()).drop("__hotk")
+    r_cold = r_marked.filter(F.col("__hotk").isNull()).drop("__hotk")
+    cold = l_cold.join(
+        r_cold.hint("merge"), l_cold[left_key] == r_cold[right_key]
+    )
+    hot = l_hot.join(
+        F.broadcast(r_hot), l_hot[left_key] == r_hot[right_key]
+    )
+    return cold.unionByName(hot)
+
+
+@query(
+    "hot_isolated_join_agg",
+    oracle="""
+    SELECT grp,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS qty
+    FROM (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                      ELSE l_orderkey % 10000 END AS k,
+                 l_quantity
+          FROM lineitem) f
+    JOIN (SELECT CASE WHEN o_orderkey % 10 < 9 THEN 0
+                      ELSE o_orderkey % 10000 END AS rk,
+                 o_orderkey % 7 AS grp
+          FROM orders
+          WHERE o_orderkey % 100 IN (0, 9)) r
+      ON f.k = r.rk
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    doc="HOT-HOT join via hot-key isolation: both sides carry the same "
+    "Zipf-skewed key (one hot key ~90% of fact rows, present on the "
+    "right too), so salting would replicate a large side. The sketch "
+    "finds the hot keyspace; hot rows take a broadcast join of the "
+    "right-hot slice (left's hot mass never shuffles), cold keys take "
+    "the normal shuffle join, and the disjoint union equals the plain "
+    "join -- which is the oracle. The third skew rewrite alongside "
+    "salted_token_count_adaptive and salted_join_adaptive_agg.",
+)
+def q_hot_isolated_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 10000)
+        .alias("k"),
+        "l_quantity",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    # % 100 IN (0, 9): keeps both hot right rows (last digit 0 -> rk=0)
+    # and cold right rows (last digits 09 -> rk in the long tail), so
+    # both branches of the isolation rewrite carry real data
+    right = orders.filter((F.col("o_orderkey") % 100).isin(0, 9)).select(
+        F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("o_orderkey") % 10000)
+        .alias("rk"),
+        (F.col("o_orderkey") % 7).alias("grp"),
+    )
+    return (
+        hot_isolated_join(fact, right, "k", "rk")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("qty"),
+        )
+        .orderBy("grp")
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -88,6 +88,63 @@ def test_inverted_index_distinct_tokens_per_doc(spark):
     assert rows == {(1, "a"), (1, "b"), (2, "b"), (2, "c")}
 
 
+def test_incremental_index_serves_full_corpus_result(spark):
+    """Base-half build + appended delta segment must answer the
+    flagship query identically to the full-corpus scan (fixtures have
+    36/62 names spanning both halves, so partial-cnt summing across
+    segments is genuinely exercised)."""
+    from os___mapreduceframework_spark import queries as registry
+    from os___mapreduceframework_spark.sources import load_table
+    from tests.conftest import TEST_SF_DIR
+
+    got = registry.queries()["search_count_index_incremental"](
+        spark, TEST_SF_DIR
+    ).collect()
+    want = search_count(
+        load_table(spark, TEST_SF_DIR, "part"), "wid", "p_name"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
+def test_incremental_index_has_split_segments_and_compacts(spark):
+    """The appended table must hold >1 partial posting for spanning
+    names; compaction folds back to one row per (gram, name) in a NEW
+    epoch table with the served result unchanged."""
+    from os___mapreduceframework_spark.operators.indexing import (
+        _INC_TABLE,
+        _ensure_incremental_trigram_table,
+        compact_trigram_index,
+        search_count_index_segments,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    _ensure_incremental_trigram_table(spark, TEST_SF_DIR)
+    idx = spark.table(_INC_TABLE)
+    seg_counts = (
+        idx.groupBy("name", "gram").agg(F.count(F.lit(1)).alias("k"))
+    )
+    assert seg_counts.filter(F.col("k") > 1).count() > 0, "no split postings"
+
+    before = search_count_index_segments(idx, "wid").collect()
+    new_table = compact_trigram_index(spark, _INC_TABLE)
+    try:
+        assert new_table != _INC_TABLE
+        compacted = spark.table(new_table)
+        assert compacted.count() < idx.count()
+        assert (
+            compacted.groupBy("name", "gram")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+            == 0
+        ), "compaction left duplicate postings"
+        after = search_count_index_segments(compacted, "wid").collect()
+        assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {new_table}")
+
+
 def test_index_served_query_prunes_buckets(spark):
     """The materialized bucketed index serves the flagship query with
     no base-table scan, and with bucketed scan enabled the query's

@@ -6,7 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from os___mapreduceframework_spark.operators.scale import salted_join
+from os___mapreduceframework_spark.operators.scale import (
+    hot_isolated_join,
+    hot_key_fanout,
+    salted_join,
+    salted_join_adaptive,
+)
 from os___mapreduceframework_spark.sources import load_table
 from tests.conftest import TEST_SF_DIR
 
@@ -52,6 +57,117 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     )
     assert [tuple(r) for r in salted] == [tuple(r) for r in plain]
+
+
+def test_adaptive_salted_join_equals_plain_join(spark):
+    """Sketch-driven fan-out must not change the join result on the
+    Zipf-skewed fact (hot key ~90% of rows, 10k-key cold tail)."""
+    fact = _skewed_fact(spark)
+    dim = spark.range(0, 10000).select(
+        F.col("id").alias("dk"), (F.col("id") % 7).alias("grp")
+    )
+
+    def summarize(j):
+        return [
+            tuple(r)
+            for r in j.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("q"),
+            )
+            .orderBy("grp")
+            .collect()
+        ]
+
+    plain = summarize(fact.join(dim, fact["k"] == dim["dk"]))
+    adaptive = summarize(salted_join_adaptive(fact, dim, "k", "dk"))
+    assert adaptive == plain
+
+
+def test_adaptive_join_dim_replication_is_heat_proportional(spark):
+    """Only the Zipf head is replicated: the hot key's dim row fans out
+    >1, cold keys stay single, and total dim inflation is far below the
+    blanket n_salt factor."""
+    fact = _skewed_fact(spark)
+    hot = hot_key_fanout(fact, "k").collect()
+    fanout = {r["k"]: r["fanout"] for r in hot}
+    assert fanout.get(0, 1) > 1, f"hot key not fanned out: {fanout}"
+    assert all(f <= 32 for f in fanout.values())
+    # the sketch must not promote the cold tail: head is a tiny subset
+    assert len(fanout) < 100, f"sketch promoted {len(fanout)} keys"
+    n_dim = 10000
+    inflation = (n_dim - len(fanout)) + sum(fanout.values())
+    assert inflation < 8 * n_dim * 0.2, inflation
+
+
+def test_hot_isolated_join_equals_plain_join(spark):
+    """Hot-hot skew: both sides share the hot key. The isolation
+    rewrite (hot keys -> broadcast branch, cold keys -> shuffle branch,
+    disjoint union) must equal the plain inner join."""
+    fact = _skewed_fact(spark)
+    # right side also carries the hot key plus a cold tail slice
+    right = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .filter((F.col("o_orderkey") % 100).isin(0, 9))
+        .select(
+            F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("o_orderkey") % 10000)
+            .alias("rk"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+        )
+    )
+
+    def summarize(j):
+        return [
+            tuple(r)
+            for r in j.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("q"),
+            )
+            .orderBy("grp")
+            .collect()
+        ]
+
+    plain = summarize(fact.join(right, fact["k"] == right["rk"]))
+    isolated = summarize(hot_isolated_join(fact, right, "k", "rk"))
+    assert isolated == plain
+    # both branches must carry rows: hot key present on both sides,
+    # and at least one cold key matches too
+    hot_rows = fact.filter(F.col("k") == 0).count()
+    assert hot_rows > 0 and right.filter(F.col("rk") == 0).count() > 0
+    cold_match = (
+        fact.filter(F.col("k") != 0)
+        .join(right.filter(F.col("rk") != 0), F.col("k") == F.col("rk"))
+        .count()
+    )
+    assert cold_match > 0, "cold branch empty -- test data too weak"
+
+
+def test_hot_isolated_join_plan_shape(spark):
+    """The executed plan must contain BOTH a broadcast join (hot
+    branch) and a shuffle join (cold branch, merge-hinted) -- the whole
+    point of the rewrite is that the hot mass avoids the shuffle."""
+    fact = _skewed_fact(spark)
+    right = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .filter((F.col("o_orderkey") % 100).isin(0, 9))
+        .select(
+            F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("o_orderkey") % 10000)
+            .alias("rk"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+        )
+    )
+    j = hot_isolated_join(fact, right, "k", "rk")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
 
 
 def test_salt_spreads_hot_key(spark):
