@@ -46,13 +46,13 @@ index serves queries without touching the base table at all).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from os___mapreduceframework_spark.operators.library import SEARCH_WORD
 from os___mapreduceframework_spark.operators.search import search_count
 from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.scratch import scratch_dir
 from os___mapreduceframework_spark.sources import load_table
 
 
@@ -205,7 +205,6 @@ def q_text_search_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_IDX_BUCKETS = 16
-_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_io")
 
 
 def _ensure_trigram_table(spark: SparkSession, sf_dir: str) -> None:
@@ -218,14 +217,13 @@ def _ensure_trigram_table(spark: SparkSession, sf_dir: str) -> None:
     marker = spark.conf.get("spark.graft.trigram_index.for", "")
     if marker == sf_dir and spark.catalog.tableExists("trigram_idx_part"):
         return
-    os.makedirs(_SCRATCH, exist_ok=True)
     names = load_table(spark, sf_dir, "part")
     (
         trigram_index(names, "p_name")
         .write.mode("overwrite")
         .bucketBy(_N_IDX_BUCKETS, "gram")
         .sortBy("gram")
-        .option("path", os.path.join(_SCRATCH, "trigram_idx_part"))
+        .option("path", scratch_dir("trigram_idx_part"))
         .saveAsTable("trigram_idx_part")
     )
     spark.conf.set("spark.graft.trigram_index.for", sf_dir)
@@ -273,7 +271,7 @@ def append_trigram_postings(
         .write.mode("append")
         .bucketBy(_N_IDX_BUCKETS, "gram")
         .sortBy("gram")
-        .option("path", os.path.join(_SCRATCH, table))
+        .option("path", scratch_dir(table))
         .saveAsTable(table)
     )
 
@@ -296,7 +294,7 @@ def compact_trigram_index(spark: SparkSession, table: str) -> str:
         .write.mode("overwrite")
         .bucketBy(_N_IDX_BUCKETS, "gram")
         .sortBy("gram")
-        .option("path", os.path.join(_SCRATCH, new_table))
+        .option("path", scratch_dir(new_table))
         .saveAsTable(new_table)
     )
     spark.conf.set(f"spark.graft.{table}.epoch", str(epoch))
@@ -318,7 +316,6 @@ def _ensure_incremental_trigram_table(spark: SparkSession, sf_dir: str) -> None:
     marker = spark.conf.get("spark.graft.trigram_index_inc.for", "")
     if marker == sf_dir and spark.catalog.tableExists(_INC_TABLE):
         return
-    os.makedirs(_SCRATCH, exist_ok=True)
     names = load_table(spark, sf_dir, "part")
     base = names.filter(F.expr(_BASE_PRED))
     delta = names.filter(~F.expr(_BASE_PRED))
@@ -327,7 +324,7 @@ def _ensure_incremental_trigram_table(spark: SparkSession, sf_dir: str) -> None:
         .write.mode("overwrite")
         .bucketBy(_N_IDX_BUCKETS, "gram")
         .sortBy("gram")
-        .option("path", os.path.join(_SCRATCH, _INC_TABLE))
+        .option("path", scratch_dir(_INC_TABLE))
         .saveAsTable(_INC_TABLE)
     )
     append_trigram_postings(spark, delta, "p_name", _INC_TABLE)

@@ -421,6 +421,10 @@ def q_salted_join_adaptive_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOT_BROADCAST_ROWS_MAX = 1_000_000  # est right-hot rows above which the
+# hot branch switches from broadcast to salted shuffle
+
+
 def hot_isolated_join(
     left: DataFrame,
     right: DataFrame,
@@ -428,24 +432,30 @@ def hot_isolated_join(
     right_key: str,
     sample_denom: int = ADAPT_SAMPLE_DENOM,
     target: int = ADAPT_TARGET,
+    broadcast_rows_max: int = HOT_BROADCAST_ROWS_MAX,
+    n_salt: int = N_SALT,
 ) -> DataFrame:
     """Hot-key isolation for the HOT-HOT join (both sides large, key
-    skewed): salting can't help here because replicating a large build
-    side ``n_salt``-fold is unaffordable. Instead, split the keyspace:
+    skewed): salting the whole join can't help because replicating a
+    large build side ``n_salt``-fold is unaffordable. Instead, split
+    the keyspace:
 
     - **cold keys** take the normal shuffle join -- no skew, no rewrite;
     - **hot keys** (the Zipf head, found by the same hash-sample sketch
-      as ``hot_key_fanout``) join with the RIGHT side's hot slice
-      broadcast. The head has few distinct keys, so the right-hot slice
-      is small in *keys*; broadcasting it means the left side's massive
-      hot rows are never shuffled at all -- each executor joins its
-      resident rows locally.
+      as ``hot_key_fanout``): the RIGHT side's hot slice is usually
+      tiny (few distinct keys), so it broadcasts and the left side's
+      massive hot rows are never shuffled at all. But "few keys" does
+      not guarantee "few rows" -- so the same sketch, run over the
+      right side, SIZE-GUARDS the broadcast: if the estimated right-hot
+      row count exceeds ``broadcast_rows_max``, the hot branch falls
+      back to a salted shuffle join (right-hot replicated over
+      ``n_salt`` salts, left-hot scattered by row hash), which is
+      bounded-memory at any scale.
 
     The union of the two disjoint key-ranges is exactly the plain inner
-    join. At 100 TB the sketch pass reads a fixed sample fraction and
-    the hot set (a few thousand keys) broadcasts; if the right-hot
-    *row* slice is itself huge, shrink ``target``'s promotion threshold
-    or pre-aggregate the right side first.
+    join. At 100 TB the sketch passes read a fixed sample fraction,
+    the hot keyset (a few thousand keys) broadcasts, and the guard
+    decision costs one count over the right sample.
     """
     sample = left.filter(
         F.pmod(F.xxhash64(*left.columns), F.lit(sample_denom)) == 0
@@ -473,9 +483,37 @@ def hot_isolated_join(
     cold = l_cold.join(
         r_cold.hint("merge"), l_cold[left_key] == r_cold[right_key]
     )
-    hot = l_hot.join(
-        F.broadcast(r_hot), l_hot[left_key] == r_hot[right_key]
-    )
+    # size guard: estimate right-hot ROWS from the right-side sample
+    # (broadcast of the key set is always fine; broadcast of the row
+    # slice is only fine when the slice is bounded)
+    est_r_hot_rows = (
+        right.filter(F.pmod(F.xxhash64(*right.columns), F.lit(sample_denom)) == 0)
+        .join(F.broadcast(hot_keys), right[right_key] == F.col("__hotk"), "semi")
+        .count()
+    ) * sample_denom
+    if est_r_hot_rows <= broadcast_rows_max:
+        hot = l_hot.join(
+            F.broadcast(r_hot), l_hot[left_key] == r_hot[right_key]
+        )
+    else:
+        # salted shuffle fallback: replicate ONLY the (hot, but too big
+        # to broadcast) right slice n_salt times; scatter left-hot rows
+        # by row hash so the hot key spreads over n_salt reducers
+        salts = left.sparkSession.range(0, n_salt).select(
+            F.col("id").cast("int").alias("__salt")
+        )
+        l_salted = l_hot.withColumn(
+            "__salt", F.pmod(F.xxhash64(*l_hot.columns), F.lit(n_salt)).cast("int")
+        )
+        r_salted = r_hot.crossJoin(F.broadcast(salts))
+        hot = (
+            l_salted.join(
+                r_salted.hint("shuffle_hash"),
+                (l_salted[left_key] == r_salted[right_key])
+                & (l_salted["__salt"] == r_salted["__salt"]),
+            )
+            .drop("__salt")
+        )
     return cold.unionByName(hot)
 
 

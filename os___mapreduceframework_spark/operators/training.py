@@ -34,7 +34,6 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -43,12 +42,7 @@ from os___mapreduceframework_spark.sources import load_table
 
 SEQ_LEN = 512  # tokens per packed training sequence
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_io")
-
-
-def _scratch(name: str) -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return os.path.join(_SCRATCH, name)
+from os___mapreduceframework_spark.scratch import scratch_dir as _scratch
 
 
 def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:

@@ -19,7 +19,9 @@ sweep), unlike any driver-side listing. Rows stream back through Arrow.
 from __future__ import annotations
 
 import os
+import sys
 
+from pyspark import cloudpickle
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -128,6 +130,15 @@ class DirEntriesDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return DirEntriesStreamReader(self.options)
+
+
+# Pickle this module's classes BY VALUE: the Python-data-source planner
+# worker deserializes DirEntriesDataSource without the repo on its
+# PYTHONPATH (addPyFile reaches UDF workers but not the streaming
+# source-planner), so a by-reference pickle would ModuleNotFoundError in
+# any session we didn't build. Everything referenced here is stdlib or
+# pyspark, so by-value is fully self-contained.
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 def read_dir_entries(spark, dirs: list[str]):

@@ -18,7 +18,6 @@ that turns a predicate into directory-level pruning at 100 TB
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -26,12 +25,7 @@ from pyspark.sql import types as T
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_io")
-
-
-def _scratch(name: str) -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return os.path.join(_SCRATCH, name)
+from os___mapreduceframework_spark.scratch import scratch_dir as _scratch
 
 
 # shared agg so every round-trip proves value-level fidelity

@@ -37,24 +37,56 @@ DIR_ENTRIES_SCHEMA = T.StructType(
 )
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Assert-and-adapt for ``events.ts``: the fixtures have shipped as
+    both parquet ``timestamp[ns]`` (which Spark reads only as raw int64
+    nanos under ``nanosAsLong``) and native ``timestamp[us]``. Branch on
+    the *loaded* dtype rather than assuming a frozen fixture schema:
+    long -> truncate nanos to micros (integer ``div``, exact, matching
+    DuckDB's own ns->us truncation so oracles agree); timestamp -> pass
+    through untouched.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # parquet timestamp[us] without tz loads as TIMESTAMP_NTZ; the
+        # operator surface (unix_micros, windows, watermarks) is written
+        # against TIMESTAMP. Under a UTC session (pinned at load) the
+        # cast is wall-clock-identity, so oracles agree.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan. Filters/projections on the result are pushed
     into the scan by Catalyst (check ``PushedFilters``/``ReadSchema`` in
     ``.explain``).
 
-    ``events.ts`` is a nanosecond parquet timestamp, which Spark's reader
-    rejects by default; we read it as raw nanos (``nanosAsLong``) and
-    truncate to microseconds (``div 1000`` -- integer division, exact),
-    matching DuckDB's own ns->us truncation so oracles agree.
+    ``events`` goes through :func:`normalize_events`; ``nanosAsLong`` is
+    set so a nanosecond fixture loads at all (it is a no-op for us/ms
+    timestamp columns).
     """
+    cache = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    if key in cache:
+        return cache[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ->LTZ cast in normalize_events is only wall-clock-exact
+        # under UTC; pin it in case the hosting session didn't
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = normalize_events(spark.read.parquet(path))
+    else:
         df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+    cache[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

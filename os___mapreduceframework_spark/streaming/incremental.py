@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 
 from os___mapreduceframework_spark.operators.dedup import _BANDS_ONLY_SQL, band_signatures
 from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.scratch import scratch_dir
 from os___mapreduceframework_spark.streaming.windows import run_to_completion
 
 DOCUMENTS_SCHEMA = T.StructType(
@@ -307,11 +308,7 @@ def incremental_minhash_dedup(
     "tests/test_streaming_incremental.py.",
 )
 def q_stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    state_dir = os.path.join(
-        tempfile.gettempdir(), "spark_graft_io", "inc_minhash_state"
-    )
+    state_dir = scratch_dir("inc_minhash_state")
     docs = documents_stream(spark, sf_dir).select("doc_id", "text")
     out = incremental_minhash_dedup(docs, state_dir)
     return out.orderBy("doc_id")

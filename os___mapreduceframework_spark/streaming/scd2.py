@@ -33,6 +33,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.scratch import scratch_dir
 from os___mapreduceframework_spark.streaming.windows import events_stream
 
 _HISTORY_SCHEMA = (
@@ -119,9 +120,7 @@ def incremental_scd2(ev_stream: DataFrame, history_dir: str) -> DataFrame:
     "out-of-order arrival) is pinned in tests/test_streaming_scd2.py.",
 )
 def q_stream_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    history_dir = os.path.join(
-        tempfile.gettempdir(), "spark_graft_io", "scd2_history"
-    )
+    history_dir = scratch_dir("scd2_history")
     ev = events_stream(spark, sf_dir)
     hist = incremental_scd2(ev, history_dir)
     return hist.select(

@@ -23,35 +23,30 @@ import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
 from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.scratch import scratch_dir
+from os___mapreduceframework_spark.sources.registry import normalize_events
 
 _SINK_COUNTER = itertools.count()
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet; ts truncated to
-    microseconds exactly as the batch reader does (sources.registry)."""
+    """File-source stream over the events parquet. The file source needs
+    an explicit schema; rather than hardcoding one (fixtures have shipped
+    ts as both int64-nanos and timestamp[us]), take it from a batch
+    footer read of the same file, then share the batch reader's
+    ``normalize_events`` so stream and batch agree exactly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")  # file source wants a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events(raw)
 
 
 def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -275,9 +270,7 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "spark_graft_io", "foreach_batch_sink"
-    )
+    out_dir = scratch_dir("foreach_batch_sink")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     ev = events_stream(spark, sf_dir).select("event_type", "value")

@@ -47,6 +47,11 @@ ALLOWED = {
     "ann_ivf_sampled_topk",
     # probe set is the bounded query subset of embeddings
     "dedup_embedding_near",
+    # broadcast side is the right-HOT row slice, promoted only when the
+    # sketch estimates it under HOT_BROADCAST_ROWS_MAX rows; above the
+    # bound the hot branch becomes a salted shuffle join instead
+    # (operators/scale.py hot_isolated_join size guard + its unit test)
+    "hot_isolated_join_agg",
 }
 
 # Streaming queries spin up a stream per invocation (~seconds each) and

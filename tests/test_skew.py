@@ -170,6 +170,32 @@ def test_hot_isolated_join_plan_shape(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
 
 
+def test_hot_isolated_join_size_guard_falls_back_to_salted(spark):
+    """With broadcast_rows_max=0 the guard must refuse the broadcast:
+    the hot branch becomes a salted shuffle join, the result is still
+    the plain join, and no raw fact scan sits under a broadcast."""
+    from os___mapreduceframework_spark.plans.audit import raw_fact_broadcasts
+
+    fact = _skewed_fact(spark)
+    right = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .filter((F.col("o_orderkey") % 100).isin(0, 9))
+        .select(
+            F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("o_orderkey") % 10000)
+            .alias("rk"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+        )
+    )
+    guarded = hot_isolated_join(fact, right, "k", "rk", broadcast_rows_max=0)
+    plain = fact.join(right, fact["k"] == right["rk"])
+    got = sorted(tuple(r) for r in guarded.select("k", "grp", "l_quantity").collect())
+    want = sorted(tuple(r) for r in plain.select("k", "grp", "l_quantity").collect())
+    assert got == want
+    offenders = raw_fact_broadcasts(guarded, ("lineitem", "orders.parquet"))
+    assert not offenders, offenders
+
+
 def test_salt_spreads_hot_key(spark):
     fact = _skewed_fact(spark)
     salted = fact.withColumn(
