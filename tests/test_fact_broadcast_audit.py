@@ -45,8 +45,6 @@ ALLOWED = {
     # (the corpus-assignments join itself is merge-hinted in ivf_topk)
     "ann_ivf_topk",
     "ann_ivf_sampled_topk",
-    # probe set is the bounded query subset of embeddings
-    "dedup_embedding_near",
     # broadcast side is the right-HOT row slice, promoted only when the
     # sketch estimates it under HOT_BROADCAST_ROWS_MAX rows; above the
     # bound the hot branch becomes a salted shuffle join instead

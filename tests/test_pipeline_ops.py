@@ -133,3 +133,34 @@ def test_connected_components_literal_graph(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_embedding_near_banded_recall_and_precision(spark):
+    """The banded-LSH near-dup query must be a strict SUBSET of the
+    exact all-pairs form (precision 1.0 by construction: every candidate
+    is cosine-verified) with recall >= 0.85 at the fixture's threshold.
+    The exact form stays unregistered -- quadratic operators don't
+    belong on the user surface."""
+    from pyspark.sql import functions as F
+
+    from os___mapreduceframework_spark.operators.dedup import (
+        COSINE_NEAR_THRESHOLD,
+        embedding_near_exact,
+    )
+    from os___mapreduceframework_spark.queries import queries
+    from os___mapreduceframework_spark.sources import load_table
+    from tests.conftest import TEST_SF_DIR
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in queries()["dedup_embedding_near"](spark, TEST_SF_DIR).collect()
+    }
+    emb = load_table(spark, TEST_SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_exact(emb, COSINE_NEAR_THRESHOLD).collect()
+    }
+    assert got <= exact, f"false positives: {got - exact}"
+    assert len(got) >= 0.85 * len(exact), (len(got), len(exact))
