@@ -169,3 +169,55 @@ def q_vocab_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_tokens"),
     )
     return per_source_est.unionByName(global_row).orderBy("source")
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 3
+    ),
+    upd AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 IN (6, 7)
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+    FROM merged
+    ORDER BY o_orderkey
+    """,
+    doc="MERGE-capable sink end-to-end: build a bucket-partitioned "
+    "MergeTable from an orders slice, MERGE an update batch containing "
+    "both matched keys (updated in place) and unmatched keys "
+    "(inserted), read the table back. Only buckets holding update keys "
+    "are rewritten (sinks.merge_table; bucket-scoped copy-on-write is "
+    "pinned in tests/test_merge_table.py). Oracle is the equivalent "
+    "anti-join + union.",
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from os___mapreduceframework_spark.sinks import MergeTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table = MergeTable(
+        spark, _scratch("merge_upsert_orders"), keys=["o_orderkey"], n_buckets=16
+    )
+    table.overwrite(orders.filter(F.col("o_orderkey") % 4 != 3))
+    updates = orders.filter((F.col("o_orderkey") % 8).isin(6, 7)).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    table.merge(updates)
+    return (
+        table.read()
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).cast("double").alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
