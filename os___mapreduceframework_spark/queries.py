@@ -127,6 +127,7 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.streaming.joins  # noqa: F401
     import os___mapreduceframework_spark.streaming.live_search  # noqa: F401
     import os___mapreduceframework_spark.streaming.scd2  # noqa: F401
+    import os___mapreduceframework_spark.streaming.transform_state  # noqa: F401
     import os___mapreduceframework_spark.streaming.windows  # noqa: F401
 
     _LOADED = True

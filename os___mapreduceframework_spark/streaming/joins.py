@@ -106,3 +106,69 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(joined, "append").orderBy(
         "user_id", "view_id", "purchase_id"
     )
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+          FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT v.user_id, v.view_id, p.purchase_id
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+      SELECT v.user_id, v.view_id, NULL::BIGINT AS purchase_id
+      FROM v, mx
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = v.user_id
+          AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+        AND v.v_ts + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOUR
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    ORDER BY user_id, view_id, purchase_id
+    """,
+    doc="Stream-stream LEFT OUTER join: views matched to the same "
+    "user's purchases within the following hour; a view with no match "
+    "emits null-extended ONCE the watermark proves no future purchase "
+    "can match it. Views too close to the end of input stay withheld "
+    "(their match window is still open at the final watermark) -- the "
+    "oracle reproduces that cutoff explicitly, as in "
+    "stream_tumbling_append. State eviction semantics identical to the "
+    "inner form; only the null-emission path differs.",
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    return run_to_completion(joined, "append").orderBy(
+        "user_id", "view_id", "purchase_id"
+    )

@@ -334,3 +334,29 @@ def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     ).orderBy("window_start")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="dropDuplicatesWithinWatermark: unlike plain dropDuplicates "
+    "(whose per-key state lives forever unless the key embeds event "
+    "time), state for a key is EVICTED once the watermark passes its "
+    "first-seen event time plus the delay -- the formulation whose "
+    "state is bounded by the watermark window, not key cardinality. "
+    "The fixture arrives in one batch, so the result equals exact "
+    "distinct; the eviction semantics are what the operator choice "
+    "pins at scale.",
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_completion(agg, "complete").orderBy("event_type")

@@ -315,3 +315,39 @@ def test_live_search_accumulates_across_restarts(spark):
     got = {r["name"]: r["cnt"] for r in second.collect()}
     assert got == {"app.log": 1, "error.log": 1}
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """transformWithStateInPandas needs protobuf (its state-server
+    protocol); the container doesn't ship it, so the query must
+    register exactly when the dependency is importable. When present,
+    the result must equal the batch aggregate."""
+    from os___mapreduceframework_spark.queries import queries
+    from os___mapreduceframework_spark.streaming.transform_state import (
+        PROTOBUF_AVAILABLE,
+    )
+
+    registered = "stream_transform_with_state" in queries()
+    assert registered == PROTOBUF_AVAILABLE
+    if not PROTOBUF_AVAILABLE:
+        import pytest
+
+        pytest.skip("protobuf not shipped in this container")
+    from pyspark.sql import functions as F
+
+    from os___mapreduceframework_spark.sources import load_table
+    from tests.conftest import TEST_SF_DIR
+
+    got = queries()["stream_transform_with_state"](spark, TEST_SF_DIR)
+    want = (
+        load_table(spark, TEST_SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
