@@ -1,0 +1,267 @@
+"""Data-quality and time-series pipeline operators (charter scope).
+
+A 100 TB training pipeline runs these continuously: referential
+integrity audits (did the join keys survive ingestion?), column
+profiling (the Deequ/Great-Expectations statistics gate), value
+distribution histograms (drift detection input), and time-series
+resample + forward-fill (feature tables from event streams). The
+reference has no data-quality surface (its one dataflow is
+Search.cpp:84-125); these are engine-level extensions like dedup/ANN.
+
+Scale notes:
+
+- integrity audit: anti-join counts -- each is one shuffle on the FK,
+  with the dim side broadcast when it fits; count-only output, so
+  nothing materializes.
+- profiling: single-pass aggregate per table (count/distinct/min/max/
+  null per column as parallel partial aggregates in ONE scan -- the
+  exchange carries one wide row per partition, the Deequ design).
+- histogram: scan-local bin expression + count per bin; bin count is
+  fixed, so the aggregate is bounded regardless of corpus size.
+- gap-fill: per-key hourly grid via sequence()+explode (rows = keys x
+  span, generated, not shuffled), one left join against the hourly
+  partial aggregate, forward-fill as last(ignorenulls) over an
+  ordered window per key -- the standard distributed resample; a
+  single global series would serialize, per-key stays parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+
+@query(
+    "quality_fk_orphans",
+    oracle="""
+    SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'events->customer(user)' AS fk, COUNT(*) AS n_orphans
+    FROM events e WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    ORDER BY fk
+    """,
+    doc="Referential-integrity audit: orphan counts per FK edge via "
+    "anti-joins (orders->customer, lineitem->orders, events->customer). "
+    "Zero rows orphaned is the expected production result; the query "
+    "is the gate that proves it. Each edge is one anti-join shuffle "
+    "with count-only output.",
+)
+def q_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def orphans(name: str, child: DataFrame, ck, parent: DataFrame, pk) -> DataFrame:
+        n = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        ).count()
+        return spark.createDataFrame(
+            [(name, n)], "fk string, n_orphans long"
+        )
+
+    return (
+        orphans("orders->customer", orders, "o_custkey", customer, "c_custkey")
+        .unionByName(
+            orphans("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey")
+        )
+        .unionByName(
+            orphans("events->customer(user)", events, "user_id", customer, "c_custkey")
+        )
+        .orderBy("fk")
+    )
+
+
+_PROFILE_COLS = ("o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "quality_profile_orders",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT 'o_custkey' AS col,
+           CAST(ROUND(1.0 - COUNT(o_custkey)::DOUBLE / n, 4) AS DOUBLE) AS null_frac,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders, t GROUP BY n
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(ROUND(1.0 - COUNT(o_orderpriority)::DOUBLE / n, 4) AS DOUBLE),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders, t GROUP BY n
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(ROUND(1.0 - COUNT(o_orderstatus)::DOUBLE / n, 4) AS DOUBLE),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders, t GROUP BY n
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(ROUND(1.0 - COUNT(o_totalprice)::DOUBLE / n, 4) AS DOUBLE),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders, t GROUP BY n
+    ORDER BY col
+    """,
+    doc="Column profiling (the Deequ-style statistics gate): null "
+    "fraction, distinct count, min, max per profiled column, computed "
+    "as parallel partial aggregates in ONE scan of the table -- the "
+    "exchange carries one wide row per partition, then the wide row "
+    "unpivots to (col, stats) output rows. Min/max stringified so "
+    "heterogeneous column types share one schema.",
+)
+def q_quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.round(1.0 - F.col(f"{c}__nn") / F.col("__n"), 4)
+            .cast("double")
+            .alias("null_frac"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("s"))
+        .select("s.col", "s.null_frac", "s.n_distinct", "s.min_v", "s.max_v")
+        .orderBy("col")
+    )
+
+
+_HIST_BINS = 20
+_HIST_LO, _HIST_HI = 0.0, 1000.0  # events.value domain
+
+
+@query(
+    "quality_value_histogram",
+    oracle=f"""
+    SELECT LEAST(GREATEST(CAST(FLOOR((value - {_HIST_LO})
+             / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT), 0),
+             {_HIST_BINS - 1}) AS bin,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_v
+    FROM events
+    GROUP BY 1
+    ORDER BY bin
+    """,
+    doc="Equi-width value histogram over events.value (drift-detection "
+    "input): scan-local bin expression, fixed bin count, so the "
+    "aggregate state is bounded regardless of corpus size. floor-based "
+    "binning instead of width_bucket keeps the formula portable across "
+    "engines (DuckDB lacks width_bucket).",
+)
+def q_quality_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    step = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("value") - _HIST_LO) / step).cast("bigint"), F.lit(0)
+        ),
+        F.lit(_HIST_BINS - 1),
+    ).alias("bin")
+    return (
+        events.groupBy(bin_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_v"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
+             time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
+      FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM u
+    ),
+    hourly AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+      FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           h.v IS NOT NULL AS observed,
+           LAST_VALUE(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    ORDER BY g.user_id, g.hour
+    """,
+    doc="Time-series resample + forward-fill: per-user hourly grid "
+    "(sequence+explode -- generated, not shuffled), left join of the "
+    "hourly aggregate, last(ignorenulls) carries the latest observed "
+    "value across gaps. Per-key windows keep the fill parallel; a "
+    "global series would serialize. The feature-table primitive for "
+    "event streams.",
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", F.date_trunc("hour", "ts").alias("hour"), "value")
+    )
+    hourly = ev.groupBy("user_id", "hour").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+        .orderBy("user_id", "hour")
+    )

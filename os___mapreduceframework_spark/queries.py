@@ -118,6 +118,7 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.operators.analytics  # noqa: F401
     import os___mapreduceframework_spark.operators.advanced  # noqa: F401
     import os___mapreduceframework_spark.operators.temporal  # noqa: F401
+    import os___mapreduceframework_spark.operators.quality  # noqa: F401
     import os___mapreduceframework_spark.operators.indexing  # noqa: F401
     import os___mapreduceframework_spark.operators.training  # noqa: F401
     # long tail: sources, multimodal plumbing, streaming
