@@ -265,3 +265,75 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@query(
+    "quality_drift_l1",
+    oracle=f"""
+    WITH m AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+    ),
+    b AS (
+      SELECT CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS half,
+             LEAST(GREATEST(CAST(FLOOR((value - {_HIST_LO})
+               / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT), 0),
+               {_HIST_BINS - 1}) AS bin
+      FROM events, m
+    ),
+    h AS (SELECT half, bin, COUNT(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT half, SUM(n) AS tot FROM h GROUP BY 1),
+    p AS (
+      SELECT h.bin,
+             SUM(CASE WHEN h.half = 0 THEN n / t.tot END) AS p0,
+             SUM(CASE WHEN h.half = 1 THEN n / t.tot END) AS p1
+      FROM h JOIN t USING (half) GROUP BY h.bin
+    )
+    SELECT CAST(ROUND(SUM(ABS(COALESCE(p0, 0) - COALESCE(p1, 0))), 4)
+             AS DOUBLE) AS l1
+    FROM p
+    """,
+    doc="Distribution-drift detector: L1 distance between the "
+    "value-histogram of the first and second time halves of the event "
+    "stream (the continuous-monitoring companion to "
+    "quality_value_histogram). Two scans (midpoint, then binned "
+    "counts), fixed-size aggregate state, one scalar out -- the shape "
+    "that runs daily on a 100 TB feed.",
+)
+def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).head()
+    mid = (
+        int(bounds["lo"].timestamp() * 1_000_000)
+        + int(bounds["hi"].timestamp() * 1_000_000)
+    ) // 2
+    step = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    binned = events.select(
+        F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("half"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - _HIST_LO) / step).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+    )
+    h = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    t = h.groupBy("half").agg(F.sum("n").alias("tot"))
+    p = (
+        h.join(t, "half")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("n") / F.col("tot"))).alias("p0"),
+            F.sum(F.when(F.col("half") == 1, F.col("n") / F.col("tot"))).alias("p1"),
+        )
+    )
+    return p.agg(
+        F.round(
+            F.sum(F.abs(F.coalesce("p0", F.lit(0.0)) - F.coalesce("p1", F.lit(0.0)))),
+            4,
+        )
+        .cast("double")
+        .alias("l1")
+    )

@@ -324,3 +324,62 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qe").alias("q_min"),
         F.array_max("qe").alias("q_max"),
     ).orderBy("vec_id")
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
+      FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+    )
+    SELECT a.d AS i, b.d AS j,
+           CAST(ROUND(SUM(a.val * b.val), 4) AS DOUBLE) AS g
+    FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.d <= b.d
+    GROUP BY 1, 2
+    ORDER BY i, j
+    """,
+    doc="Distributed Gram matrix (X^T X, upper triangle) over the "
+    "embedding corpus -- the PCA/whitening primitive. Each Arrow batch "
+    "contributes a dim x dim partial (one numpy matmul), partials merge "
+    "by (i, j) sum: mergeable fixed-size state like the HLL rollup, so "
+    "the shuffle carries O(partitions x dim^2) cells regardless of "
+    "corpus size -- the cuboid-style fused matrix-op pattern (FuseME, "
+    "SIGMOD 2022) expressed on DataFrames. Oracle is the dims "
+    "self-join formulation.",
+)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    head = emb.head()
+    dim = len(head["e"]) if head and head["e"] is not None else 0
+
+    def partial_gram(batches):
+        import pandas as pd
+
+        G = np.zeros((dim, dim))
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                E = np.vstack(pdf["e"].values)
+                G += E.T @ E
+                seen = True
+        if seen:
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int64"),
+                    "j": ju.astype("int64"),
+                    "g": G[iu, ju],
+                }
+            )
+
+    parts = emb.mapInPandas(partial_gram, schema="i long, j long, g double")
+    return (
+        parts.groupBy("i", "j")
+        .agg(F.round(F.sum("g"), 4).cast("double").alias("g"))
+        .orderBy("i", "j")
+    )

@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
 
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
@@ -42,15 +41,9 @@ _AGG_ORACLE = """
 
 _LI_COLS = ("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
 
-_LI_SCHEMA = T.StructType(
-    [
-        T.StructField("l_orderkey", T.LongType()),
-        T.StructField("l_linenumber", T.IntegerType()),
-        T.StructField("l_quantity", T.DoubleType()),
-        T.StructField("l_returnflag", T.StringType()),
-        T.StructField("l_shipdate", T.TimestampNTZType()),
-    ]
-)
+# read-back schema is DERIVED from the frame we wrote (fixture schemas
+# are not frozen -- the events.ts dtype changed between rounds; explicit
+# schema on read is still required so no inference scan happens)
 
 
 def _subset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,8 +77,9 @@ def _agg(df: DataFrame) -> DataFrame:
 )
 def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("csv_roundtrip")
-    _subset(spark, sf_dir).write.mode("overwrite").option("header", True).csv(path)
-    back = spark.read.schema(_LI_SCHEMA).option("header", True).csv(path)
+    sub = _subset(spark, sf_dir)
+    sub.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(sub.schema).option("header", True).csv(path)
     return _agg(back)
 
 
@@ -97,8 +91,9 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("json_roundtrip")
-    _subset(spark, sf_dir).write.mode("overwrite").json(path)
-    back = spark.read.schema(_LI_SCHEMA).json(path)
+    sub = _subset(spark, sf_dir)
+    sub.write.mode("overwrite").json(path)
+    back = spark.read.schema(sub.schema).json(path)
     return _agg(back)
 
 
