@@ -280,17 +280,15 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_HIST_BINS - 1}) AS bin
       FROM events, m
     ),
-    h AS (SELECT half, bin, COUNT(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
-    t AS (SELECT half, SUM(n) AS tot FROM h GROUP BY 1),
-    p AS (
-      SELECT h.bin,
-             SUM(CASE WHEN h.half = 0 THEN n / t.tot END) AS p0,
-             SUM(CASE WHEN h.half = 1 THEN n / t.tot END) AS p1
-      FROM h JOIN t USING (half) GROUP BY h.bin
-    )
-    SELECT CAST(ROUND(SUM(ABS(COALESCE(p0, 0) - COALESCE(p1, 0))), 4)
-             AS DOUBLE) AS l1
-    FROM p
+    h AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1
+      FROM b GROUP BY bin
+    ),
+    t AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM h)
+    SELECT CAST(ROUND(SUM(ABS(n0 / t.t0 - n1 / t.t1)), 4) AS DOUBLE) AS l1
+    FROM h, t
     """,
     doc="Distribution-drift detector: L1 distance between the "
     "value-histogram of the first and second time halves of the event "
@@ -319,21 +317,21 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_HIST_BINS - 1),
         ).alias("bin"),
     )
-    h = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
-    t = h.groupBy("half").agg(F.sum("n").alias("tot"))
-    p = (
-        h.join(t, "half")
-        .groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("half") == 0, F.col("n") / F.col("tot"))).alias("p0"),
-            F.sum(F.when(F.col("half") == 1, F.col("n") / F.col("tot"))).alias("p1"),
-        )
+    # one conditional-sum pass per bin (the per-half pivot is free in the
+    # same aggregate), totals as a broadcast single row: 2 designed
+    # shuffles instead of the naive groupBy-per-half + join chain
+    h = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("double").alias("n1"),
     )
-    return p.agg(
-        F.round(
-            F.sum(F.abs(F.coalesce("p0", F.lit(0.0)) - F.coalesce("p1", F.lit(0.0)))),
-            4,
+    t = h.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("n0") / F.col("t0") - F.col("n1") / F.col("t1"))), 4
+            )
+            .cast("double")
+            .alias("l1")
         )
-        .cast("double")
-        .alias("l1")
     )

@@ -251,6 +251,13 @@ EXPECTED_MAX_SHUFFLES = {
     "q22_dormant_customers": 3,  # joins broadcast; avg + final agg/sort
     "q14_promo_revenue": 1,   # broadcast dim, single global agg
     "q10_returned_items": 1,  # dims broadcast; one fact shuffle
+    "quality_value_histogram": 4,  # bin agg + sort (AQE reads counted)
+    "quality_fk_orphans": 2,  # local rows; sort only (anti-joins are driver counts)
+    "quality_profile_orders": 4,  # one scan; distinct expansion + final
+    "quality_drift_l1": 6,    # bin agg + totals + global agg (pivot-in-agg form)
+    "embedding_gram_matrix": 4,  # partial-Gram merge by (i,j) + sort
+    "events_gap_fill": 6,     # hourly agg, grid bounds agg, join, window sort
+    "merge_upsert_orders": 2, # readback agg/sort; merge I/O is bucket-pruned
 }
 
 
