@@ -335,3 +335,114 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l1")
         )
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id,
+             t_view IS NOT NULL AS s1,
+             t_view IS NOT NULL AND t_click > t_view AS s2,
+             t_view IS NOT NULL AND t_click > t_view
+               AND t_purchase > t_click AS s3
+      FROM f
+    )
+    SELECT 1 AS step, 'view' AS name, COUNT(*) FILTER (s1) AS n_users FROM s
+    UNION ALL
+    SELECT 2, 'view>click', COUNT(*) FILTER (s2) FROM s
+    UNION ALL
+    SELECT 3, 'view>click>purchase', COUNT(*) FILTER (s3) FROM s
+    ORDER BY step
+    """,
+    doc="Conversion funnel (view -> click -> purchase, ordered by each "
+    "user's FIRST occurrence of each step): one conditional min-per-"
+    "step aggregate per user, then step predicates -- a single shuffle "
+    "on user_id regardless of funnel depth, the standard formulation "
+    "(per-step joins would shuffle once per step). Null comparisons "
+    "make later steps false when a step is missing.",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    counts = f.agg(
+        F.count(F.when(s1, 1)).alias("n1"),
+        F.count(F.when(s2, 1)).alias("n2"),
+        F.count(F.when(s3, 1)).alias("n3"),
+    )
+    steps = F.array(
+        F.struct(F.lit(1).alias("step"), F.lit("view").alias("name"),
+                 F.col("n1").alias("n_users")),
+        F.struct(F.lit(2).alias("step"), F.lit("view>click").alias("name"),
+                 F.col("n2").alias("n_users")),
+        F.struct(F.lit(3).alias("step"), F.lit("view>click>purchase").alias("name"),
+                 F.col("n3").alias("n_users")),
+    )
+    return (
+        counts.select(F.explode(steps).alias("s"))
+        .select("s.step", "s.name", "s.n_users")
+        .orderBy("step")
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 7 DAYS, ts,
+                         (SELECT MIN(ts) FROM events)) AS week
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(week) AS cohort FROM base GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM base)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.week) / 7 AS BIGINT) AS week_n,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN active a USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_n
+    """,
+    doc="Retention cohorts: users grouped by first-activity week, "
+    "counted in each subsequent active week. Two aggregates on user_id "
+    "(first week, distinct active weeks -- same shuffle key, Catalyst "
+    "reuses the partitioning) + one join per user, never per event. "
+    "Weeks anchored to the corpus MIN(ts) so both engines bucket "
+    "identically.",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    origin = ev.agg(F.min("ts")).head()[0]
+    week = F.window("ts", "7 days", startTime=F.lit(origin).cast("string")).getField(
+        "start"
+    )
+    base = ev.select("user_id", week.alias("week"))
+    firsts = base.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    active = base.distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_n")
+    )
