@@ -62,11 +62,13 @@ def q_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
 
     def orphans(name: str, child: DataFrame, ck, parent: DataFrame, pk) -> DataFrame:
-        n = child.join(
-            parent, child[ck] == parent[pk], "left_anti"
-        ).count()
-        return spark.createDataFrame(
-            [(name, n)], "fk string, n_orphans long"
+        # fully lazy: a single-row agg over the anti-join, so all three FK
+        # edges run as one job at action time (no eager .count() at
+        # query-construction time, and the edges parallelize)
+        return (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
         )
 
     return (
@@ -299,13 +301,14 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # aggregate unix_micros directly: driver-side datetime.timestamp() would
+    # reinterpret the wall-clock in the OS-local timezone, shifting the
+    # midpoint vs the oracle's epoch_us on non-UTC hosts
     bounds = events.agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
     ).head()
-    mid = (
-        int(bounds["lo"].timestamp() * 1_000_000)
-        + int(bounds["hi"].timestamp() * 1_000_000)
-    ) // 2
+    mid = (bounds["lo"] + bounds["hi"]) // 2
     step = (_HIST_HI - _HIST_LO) / _HIST_BINS
     binned = events.select(
         F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("half"),
@@ -428,10 +431,14 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    origin = ev.agg(F.min("ts")).head()[0]
-    week = F.window("ts", "7 days", startTime=F.lit(origin).cast("string")).getField(
-        "start"
-    )
+    # anchor weeks arithmetically at the corpus MIN(ts): F.window(startTime=)
+    # only accepts literal duration-string offsets, and integer epoch math is
+    # exact (no double rounding) and timezone-free (unix_micros is UTC on
+    # both engines, unlike driver-side datetime.timestamp())
+    origin_us = ev.agg(F.min(F.unix_micros("ts"))).head()[0]
+    week_us = 7 * 86400 * 1_000_000
+    delta = F.unix_micros("ts") - F.lit(origin_us)
+    week = F.timestamp_micros(F.lit(origin_us) + delta - delta % F.lit(week_us))
     base = ev.select("user_id", week.alias("week"))
     firsts = base.groupBy("user_id").agg(F.min("week").alias("cohort"))
     active = base.distinct()

@@ -252,7 +252,7 @@ EXPECTED_MAX_SHUFFLES = {
     "q14_promo_revenue": 1,   # broadcast dim, single global agg
     "q10_returned_items": 1,  # dims broadcast; one fact shuffle
     "quality_value_histogram": 4,  # bin agg + sort (AQE reads counted)
-    "quality_fk_orphans": 2,  # local rows; sort only (anti-joins are driver counts)
+    "quality_fk_orphans": 7,  # 3 lazy anti-join single-row aggs + union + sort
     "quality_profile_orders": 4,  # one scan; distinct expansion + final
     "quality_drift_l1": 6,    # bin agg + totals + global agg (pivot-in-agg form)
     "embedding_gram_matrix": 4,  # partial-Gram merge by (i,j) + sort
@@ -288,6 +288,22 @@ def test_shuffle_budget(spark):
         plan = executed_plan(df)
         n = sum(line.count("+- Exchange ") for line in plan.splitlines())
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}\n{plan[:1500]}"
+
+
+def test_fk_orphans_construction_is_lazy(spark):
+    """Building the FK-orphans frame must trigger ZERO Spark jobs: the
+    three anti-join counts are lazy single-row aggregates that run
+    together at action time, not eager driver-side .count() calls."""
+    spark.sparkContext.setJobGroup("fk-orphans-construct", "laziness audit")
+    try:
+        df = ALL["quality_fk_orphans"](spark, TEST_SF_DIR)
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+        "fk-orphans-construct"
+    )
+    assert jobs == [], f"construction ran jobs: {jobs}"
+    assert df.count() == 3
 
 
 def test_curation_pipeline_single_scan_no_python(spark):
