@@ -105,6 +105,14 @@ def main() -> None:
     with open(".spark_graft_phases.log", "a") as f:
         for name, sec in timings.items():
             f.write(json.dumps({"ts": time.time(), "query": name, "sec": sec}) + "\n")
+    # per-query sample dispersion goes to a sidecar file: keeping the
+    # final stdout line compact (metric/value/queries only) lets the
+    # driver's tail capture parse it -- BENCH_r02 recorded parsed:null
+    # because the ~3.5 KB samples payload got truncated mid-object
+    with open(".spark_graft_bench_samples.json", "w") as f:
+        json.dump(
+            {"runs_per_query": n_runs, "stat": "min", "samples": dispersion}, f
+        )
     print(
         json.dumps(
             {
@@ -112,12 +120,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": n_runs,
-                "stat": "min",
-                # all sorted samples per query, so BENCH_r{N} deltas can
-                # be judged against within-session spread (ROADMAP item:
-                # record dispersion, not just the point estimate)
-                "samples": dispersion,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

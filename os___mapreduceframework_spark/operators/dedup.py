@@ -12,193 +12,36 @@ signatures, which is the only formulation that survives 100 TB: candidate
 generation shuffles each doc's ~B band rows once and joins hash-to-hash,
 never comparing non-colliding pairs.
 
-All hash functions are md5-derived (first 15 hex chars as int64) so the
-DuckDB oracles compute bit-identical values: Spark
-``conv(substr(md5(x),1,15),16,10)`` == DuckDB
-``('0x'||substr(md5(x),1,15))::BIGINT`` (verified).
+The MinHash/LSH building blocks (and their DuckDB-oracle SQL fragments)
+live in operators/minhash.py so other families (streaming incremental
+dedup, ANN) can reuse them without importing -- and thereby registering
+-- this query family; they are re-exported here for compatibility.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
+    BAND_SIZE,
+    N_HASHES,
+    _BANDS_ONLY_SQL,
+    _BANDS_SQL,
+    _MH_PRIME,
+    _MINHASH_SQL,
+    _SHINGLES_SQL,
+    _cosine,
+    _minhash_wide,
+    _shingles,
+    band_signatures,
+    lsh_candidates,
+    minhash_signatures,
+)
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
 
-N_HASHES = 16
-BAND_SIZE = 4  # 16 hashes -> 4 bands of 4 rows
 SIM_BITS = 28  # simhash width: 7 md5 hex chars
 COSINE_NEAR_THRESHOLD = 0.45  # calibrated to the synthetic embedding space
-
-# word 3-shingles, one row per (doc, shingle)
-_SHINGLES_SQL = """
-    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    sh AS (SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS shingle
-           FROM t, unnest(range(1, len(w) - 1)) AS u(i)
-           WHERE len(w) >= 3)
-"""
-
-# Universal-hash family over ONE md5 per shingle: x = md5_60bit % p, then
-# h_j(x) = ((2j+1)*x + 7919j + 13) mod p  (p = 2^31 - 1, Mersenne prime).
-# (2j+1) < 2^6 and x < 2^31 keep the product far inside int64 in both
-# engines. 16x fewer md5 evaluations than hashing (j, shingle) pairs --
-# the md5 was 80% of the minhash wall time at sf0.1.
-_MH_PRIME = 2_147_483_647
-
-def _mh_expr(j: int) -> str:
-    return f"((2 * {j} + 1) * x + 7919 * {j} + 13) % {_MH_PRIME}"
-
-
-# All 16 minhashes as parallel MIN aggregates over ONE pass of the
-# shingle rows (no x16 row expansion before the aggregation -- the
-# exchange carries docs x 1 wide row), then unpivoted to signature rows.
-_MINHASH_SQL = (
-    f"""
-    {_SHINGLES_SQL},
-    sx AS (SELECT doc_id,
-                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MH_PRIME} AS x
-           FROM sh),
-    hsw AS (SELECT doc_id, """
-    + ", ".join(f"MIN({_mh_expr(j)}) AS mh_{j}" for j in range(N_HASHES))
-    + """
-            FROM sx GROUP BY doc_id),
-    hs AS ("""
-    + "\n UNION ALL ".join(
-        f"SELECT doc_id, {j} AS h, mh_{j} AS minhash FROM hsw" for j in range(N_HASHES)
-    )
-    + ")"
-)
-
-# band signatures straight off the wide minhash row (no unpivot+regroup)
-_BANDS_ONLY_SQL = (
-    _MINHASH_SQL
-    + ",\n    bands AS ("
-    + "\n UNION ALL ".join(
-        f"SELECT doc_id, {band} AS band, md5("
-        + " || ',' || ".join(
-            f"mh_{j}::VARCHAR" for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
-        )
-        + ") AS sig FROM hsw"
-        for band in range(N_HASHES // BAND_SIZE)
-    )
-    + ")"
-)
-
-_BANDS_SQL = (
-    _BANDS_ONLY_SQL
-    + """,
-    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-             FROM bands x
-             JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
-"""
-)
-
-
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle): word 3-grams via transform+explode (flatMap)."""
-    return (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))")
-            ).alias("shingle"),
-        )
-    )
-
-
-def _minhash_wide(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, mh_0..mh_{n-1}): all minhashes as parallel MIN aggregates
-    over ONE pass of the shingle rows (one md5 per shingle, universal
-    hash family on top). The exchange carries docs x 1 wide rows."""
-    sx = _shingles(docs).select(
-        "doc_id",
-        F.expr(
-            f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {_MH_PRIME}"
-        ).alias("x"),
-    )
-    return sx.groupBy("doc_id").agg(
-        *[F.min(F.expr(_mh_expr(j))).alias(f"mh_{j}") for j in range(n_hashes)]
-    )
-
-
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, h, minhash): MinHash signature rows.
-
-    One md5-family hash per ``h``; min over the doc's shingles. Shuffles
-    once on (doc_id, h) -- partial min is computed map-side, so the
-    exchange carries at most docs x n_hashes rows regardless of text
-    volume.
-    """
-    wide = _minhash_wide(docs, n_hashes)
-    return wide.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("h"), F.col(f"mh_{j}").alias("minhash")
-                    )
-                    for j in range(n_hashes)
-                ]
-            )
-        ).alias("hm"),
-    ).select("doc_id", F.col("hm.h").alias("h"), F.col("hm.minhash").alias("minhash"))
-
-
-def band_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig): LSH band signatures, md5 of each band's
-    minhashes in hash order. Band sigs come straight off the wide
-    minhash row: no unpivot-to-16-rows and no second exchange -- each
-    doc contributes N_HASHES/BAND_SIZE band rows."""
-    wide = _minhash_wide(docs)
-    return wide.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh_{j}").cast("string")
-                                    for j in range(
-                                        band * BAND_SIZE, (band + 1) * BAND_SIZE
-                                    )
-                                ],
-                            )
-                        ).alias("sig"),
-                    )
-                    for band in range(N_HASHES // BAND_SIZE)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-
-
-def lsh_candidates(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs via LSH banding.
-
-    Band signature = md5 of the band's minhashes in hash order; pairs
-    are an equi-join on (band, sig) -- never O(n^2). Skewed signatures
-    (e.g. boilerplate docs) are the classic hazard; AQE skew-join covers
-    moderate skew, and a salt-by-prefix split is the escape hatch.
-    """
-    sigs = band_signatures(docs)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
 
 
 @query(
@@ -536,15 +379,6 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= COSINE_NEAR_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
-
-
-def _cosine(a, b):
-    """Cosine similarity between two array<double> columns, JVM-side
-    (zip_with product + aggregate fold -- no Python UDF in the hot path)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
 
 
 def connected_components(

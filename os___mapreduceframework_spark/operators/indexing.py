@@ -49,8 +49,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from os___mapreduceframework_spark.operators.library import SEARCH_WORD
-from os___mapreduceframework_spark.operators.search import search_count
+from os___mapreduceframework_spark.operators.search import SEARCH_WORD, search_count
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.scratch import scratch_dir
 from os___mapreduceframework_spark.sources import load_table

@@ -10,11 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from os___mapreduceframework_spark.compat import run_map_reduce
-from os___mapreduceframework_spark.operators.search import search_count, search_expand
+from os___mapreduceframework_spark.operators.search import (
+    SEARCH_WORD,
+    search_count,
+    search_expand,
+)
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
-
-SEARCH_WORD = "wid"  # matches the 'widget' part names in the fixtures
 
 
 @query(

@@ -29,13 +29,51 @@ from os___mapreduceframework_spark.sources import load_table
 FAKE_FEATURE_DIM = 8
 
 
+AUDIO_SAMPLE_RATE = 8000
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Deterministic mono 8-bit PCM WAV payload for ``doc_id`` (stdlib
+    ``wave`` encoder): n_samples = doc_id % 256 + 64 samples of the
+    byte pattern (i * k) % 256 with k = doc_id % 7 + 1. A real RIFF/WAVE
+    container -- the decode side parses it with the stdlib reader, so
+    the encode/decode round-trip exercises a genuine media format."""
+    import io
+    import wave
+
+    n = doc_id % 256 + 64
+    k = doc_id % 7 + 1
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(AUDIO_SAMPLE_RATE)
+        w.writeframes(bytes((i * k) % 256 for i in range(n)))
+    return buf.getvalue()
+
+
 def decode_media(payload: bytes, media_type: str):
     """Decode an opaque media payload into pixels/samples.
 
-    STUB: the real implementation needs PIL/ffmpeg/soundfile, none of
-    which exist in this environment. The Spark plumbing around it
-    (binary column in, typed features out via mapInPandas) is real.
+    ``audio/wav`` decodes FOR REAL via the stdlib ``wave`` module
+    (RIFF header parse + PCM frame extraction) -- no external library
+    needed. Image/video decode needs PIL/ffmpeg, which this container
+    lacks, so those types remain stubbed; the Spark plumbing around
+    them (binary column in, typed features out via mapInPandas) is
+    real either way.
     """
+    if media_type == "audio/wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            frames = w.readframes(w.getnframes())
+            return {
+                "n_channels": w.getnchannels(),
+                "sample_width": w.getsampwidth(),
+                "sample_rate": w.getframerate(),
+                "samples": list(frames),  # 8-bit PCM: one byte per sample
+            }
     raise NotImplementedError(
         f"media decode for {media_type!r} requires image/audio libraries "
         "not present in this container; use fake_features() to exercise "
@@ -245,6 +283,65 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, doc_id % 256 + 64 AS n, doc_id % 7 + 1 AS k
+      FROM documents
+    )
+    SELECT v.doc_id,
+           {AUDIO_SAMPLE_RATE} AS sample_rate,
+           CAST(v.n AS BIGINT) AS n_samples,
+           CAST(SUM((u.i * v.k) % 256) AS BIGINT) AS sum_amp,
+           CAST(MAX((u.i * v.k) % 256) AS BIGINT) AS max_amp
+    FROM v, unnest(range(0, v.n)) AS u(i)
+    GROUP BY v.doc_id, v.n
+    ORDER BY doc_id
+    """,
+    doc="REAL media decode end-to-end, stdlib-only: a deterministic "
+    "mono 8-bit PCM WAV is encoded per document (stdlib wave writer), "
+    "flows through the binary payload column as Arrow batches, and is "
+    "decoded back by decode_media('audio/wav') -- a genuine RIFF/WAVE "
+    "parse, not a fake -- inside mapInPandas; the decoded sample "
+    "statistics (count, sum, max of PCM bytes) match a closed-form "
+    "DuckDB oracle exactly. Proves the multimodal plumbing carries and "
+    "decodes a real container format; image/video stay stubbed only "
+    "because their codecs need libraries this environment lacks.",
+)
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make_wav(int(d))),
+                }
+            )
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_media(p, "audio/wav") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "n_samples": [len(d["samples"]) for d in decoded],
+                    "sum_amp": [sum(d["samples"]) for d in decoded],
+                    "max_amp": [max(d["samples"]) for d in decoded],
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return media.mapInPandas(
+        decode,
+        schema="doc_id long, sample_rate int, n_samples bigint, "
+        "sum_amp bigint, max_amp bigint",
+    ).orderBy("doc_id")
 
 
 @query(

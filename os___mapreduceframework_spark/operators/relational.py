@@ -208,22 +208,47 @@ def q_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; pytest checks error bound
-    doc="approx_count_distinct (HyperLogLog++, default rsd=0.05): the "
-    "100 TB cardinality path -- no exact-distinct shuffle expansion. "
-    "Rows-only driver check; tests assert <15% relative error vs exact "
-    "(observed ~8.6% at sf0.01).",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_tol,
+           TRUE AS parts_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="approx_count_distinct (HyperLogLog++, default rsd=0.05) audited "
+    "in-plan: the output carries exact countDistinct columns plus "
+    "boolean <15%-relative-error flags on the sketch estimates, so an "
+    "engine-specific sketch still hash-matches a DuckDB oracle (exact "
+    "cols + TRUE flags). At 100 TB the approx path is the one you run "
+    "-- no exact-distinct shuffle expansion; the exact columns exist to "
+    "make the estimate's contract checkable (observed ~8.6% rel err at "
+    "sf0.01).",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    g = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_orderkey").alias("ao"),
+            F.approx_count_distinct("l_partkey").alias("ap"),
         )
-        .orderBy("l_returnflag")
     )
+
+    def tol(approx: str, exact: str):
+        return F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < 0.15
+
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        tol("ao", "exact_orders").alias("orders_within_tol"),
+        tol("ap", "exact_parts").alias("parts_within_tol"),
+    ).orderBy("l_returnflag")
 
 
 @query(

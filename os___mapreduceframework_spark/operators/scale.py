@@ -22,15 +22,17 @@ patterns the 100 TB charter leans on hardest:
   search when LSH recall disappoints. Train k centroids (tiny,
   driver-held, broadcast back), assign each corpus vector to its cell
   (linear, one pass), and each query scores only ``N_PROBE`` cells.
-  Training is sampled + seeded; not SQL-expressible, so rows-only
-  driver check + structural/recall unit tests (tests/test_scale.py).
+  Training is sampled + seeded; not SQL-expressible, so the registered
+  queries carry an in-plan audit contract (structural flags + recall
+  vs exact brute force, DuckDB-oracled as counts + TRUE flags) and the
+  serving outputs stay unit-tested (tests/test_scale.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from os___mapreduceframework_spark.operators.dedup import _cosine
+from os___mapreduceframework_spark.operators.minhash import _cosine
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table, register_views
 
@@ -230,22 +232,80 @@ def ivf_index(
     return assignments, centroids
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=None,  # k-means training is not SQL-expressible; rows-only
-    doc="IVF ANN: corpus bucketed into IVF_K k-means cells (one linear "
-    "assignment pass), each query scores only its IVF_PROBE nearest "
-    "cells -- candidate set shrinks k/nprobe-fold vs brute force. "
-    "Structural + recall properties unit-tested in tests/test_scale.py "
-    "(driver check is rows-only: seeded-sample training isn't "
-    "SQL-expressible).",
-)
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+IVF_RECALL_FLOOR = 0.05  # honest bound: uniform fixtures are the ANN worst case
+
+
+def ivf_detail_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF serving output (query_id, vec_id, cos_sim) -- the
+    operator users actually call; the registered query wraps it in the
+    oracle-checkable audit contract."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     assignments, centroids = ivf_index(emb)
     return ivf_topk(emb, assignments, centroids)
+
+
+def _ivf_audit(spark: SparkSession, sf_dir: str, detail: DataFrame) -> DataFrame:
+    """Audit contract for approximate top-k: structural flags (<=k rows
+    per query, no self-matches) plus overall recall vs the exact
+    brute-force top-k, all computed in-plan so a DuckDB oracle can
+    hash-match (counts + TRUE flags). Everything after the two top-k
+    frames is single-row aggregates cross-joined (broadcast, bounded)."""
+    from os___mapreduceframework_spark.operators.similarity import (
+        q_ann_bruteforce_topk,
+    )
+
+    exact = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nq = emb.filter(F.col("vec_id") < N_QUERIES).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries")
+    )
+    per = detail.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max((F.col("vec_id") == F.col("query_id")).cast("int")).alias("self_hit"),
+    )
+    shape = per.agg(
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_n"),
+        F.coalesce(F.max("self_hit"), F.lit(0)).alias("any_self"),
+    )
+    hits = detail.join(exact, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        nq.crossJoin(shape)
+        .crossJoin(hits)
+        .crossJoin(tot)
+        .select(
+            "n_queries",
+            (F.col("max_n") <= IVF_TOP_K).alias("within_k"),
+            (F.col("any_self") == 0).alias("no_self"),
+            (F.col("hits") / F.col("tot") >= IVF_RECALL_FLOOR).alias("recall_ok"),
+        )
+    )
+
+
+_IVF_AUDIT_ORACLE = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS within_k, TRUE AS no_self, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_IVF_AUDIT_ORACLE,
+    doc="IVF ANN: corpus bucketed into IVF_K k-means cells (one linear "
+    "assignment pass), each query scores only its IVF_PROBE nearest "
+    "cells -- candidate set shrinks k/nprobe-fold vs brute force. "
+    "Registered as the audit contract (structural flags + recall vs "
+    "exact brute-force top-k, in-plan) because seeded k-means training "
+    "isn't SQL-expressible; the serving output is ivf_detail_topk, "
+    "unit-tested in tests/test_scale.py.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_audit(spark, sf_dir, ivf_detail_topk(spark, sf_dir))
 
 
 def ivf_topk(emb: DataFrame, assignments: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -288,19 +348,8 @@ def ivf_topk(emb: DataFrame, assignments: DataFrame, centroids: DataFrame) -> Da
     )
 
 
-@query(
-    "ann_ivf_sampled_topk",
-    oracle=None,  # k-means training is not SQL-expressible; rows-only
-    doc="IVF ANN with SAMPLE-trained centroids: k-means fits on a "
-    "deterministic md5-prefix half of the corpus (the scan-stable "
-    "sample of sample_hash_deterministic), then every vector is "
-    "assigned in one linear pass and queries probe as usual. This is "
-    "the 100 TB training protocol -- at a billion vectors the "
-    "quantizer trains on a few million samples; centroid quality "
-    "degrades gracefully (recall drift vs full-corpus training is "
-    "tracked in tests/test_scale.py).",
-)
-def q_ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_sampled_detail_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained IVF serving output (see ann_ivf_sampled_topk)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -311,6 +360,24 @@ def q_ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assignments, centroids = ivf_index(emb, train=sample)
     return ivf_topk(emb, assignments, centroids)
+
+
+@query(
+    "ann_ivf_sampled_topk",
+    oracle=_IVF_AUDIT_ORACLE,
+    doc="IVF ANN with SAMPLE-trained centroids: k-means fits on a "
+    "deterministic md5-prefix half of the corpus (the scan-stable "
+    "sample of sample_hash_deterministic), then every vector is "
+    "assigned in one linear pass and queries probe as usual. This is "
+    "the 100 TB training protocol -- at a billion vectors the "
+    "quantizer trains on a few million samples; centroid quality "
+    "degrades gracefully (recall drift vs full-corpus training is "
+    "tracked in tests/test_scale.py). Registered as the same audit "
+    "contract as ann_ivf_topk; serving output is "
+    "ivf_sampled_detail_topk.",
+)
+def q_ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_audit(spark, sf_dir, ivf_sampled_detail_topk(spark, sf_dir))
 
 
 def salted_join_adaptive(

@@ -25,6 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# the fixture search term: matches the 'widget' part names; lives here
+# (registration-free module) so indexing/streaming can import it without
+# pulling in -- and registering -- the library query family
+SEARCH_WORD = "wid"
+
 
 def search_count(names: DataFrame, word: str, name_col: str = "name") -> DataFrame:
     """(name, cnt) for names containing ``word``, ascending by name."""

@@ -143,32 +143,61 @@ def q_training_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vocab_hll_rollup",
-    # no oracle: HLL estimates are engine-specific (Datasketches in
-    # Spark vs DuckDB's own HLL); accuracy vs the exact count is pinned
-    # in tests/test_training.py instead.
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT source, COUNT(DISTINCT tok) AS exact_distinct_tokens,
+           TRUE AS est_within_tol
+    FROM toks GROUP BY source
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT tok), TRUE FROM toks
+    ORDER BY source
+    """,
     doc="Mergeable distinct-vocabulary sketch: one HLL sketch of the "
     "token set per source (map-side combinable fixed-size state), then "
     "a sketch-union rollup to the corpus-wide estimate -- distinct "
     "counting whose shuffle carries kilobyte sketches instead of the "
     "token set. The per-source/global two-level shape is the standard "
-    "100 TB rollup for any distinct statistic; accuracy vs exact is "
-    "asserted in tests (rows-only driver check).",
+    "100 TB rollup for any distinct statistic. HLL estimates are "
+    "engine-specific, so the registered contract audits them in-plan: "
+    "exact countDistinct columns + a <15%-relative-error flag per row, "
+    "which DuckDB hash-matches (exact cols + TRUE flags); the sketch "
+    "path alone is the 100 TB production form.",
 )
 def q_vocab_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    per_source = toks.groupBy("source").agg(F.hll_sketch_agg("tok").alias("sk"))
-    global_row = per_source.agg(
-        F.lit("ALL").alias("source"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk"))
-        .cast("long")
-        .alias("est_distinct_tokens"),
+    per_source = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct_tokens"),
+        F.hll_sketch_agg("tok").alias("sk"),
+    )
+    global_est = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
+    )
+    global_row = (
+        toks.agg(F.countDistinct("tok").alias("exact_distinct_tokens"))
+        .crossJoin(F.broadcast(global_est))
+        .select(F.lit("ALL").alias("source"), "exact_distinct_tokens", "est")
     )
     per_source_est = per_source.select(
         "source",
-        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_tokens"),
+        "exact_distinct_tokens",
+        F.hll_sketch_estimate("sk").cast("long").alias("est"),
     )
-    return per_source_est.unionByName(global_row).orderBy("source")
+    return (
+        per_source_est.unionByName(global_row)
+        .select(
+            "source",
+            "exact_distinct_tokens",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct_tokens"))
+                / F.col("exact_distinct_tokens")
+                < 0.15
+            ).alias("est_within_tol"),
+        )
+        .orderBy("source")
+    )
 
 
 @query(

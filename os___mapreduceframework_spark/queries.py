@@ -20,7 +20,6 @@ from __future__ import annotations
 import functools
 import os
 import shutil
-import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -52,8 +51,13 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
         return
     try:
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        # PID-keyed archive path: a fixed shared path races when two
+        # processes (bench + correctness sweep) make_archive at once,
+        # and addPyFile could ship a partially written zip
+        from os___mapreduceframework_spark.scratch import scratch_dir
+
         archive = shutil.make_archive(
-            os.path.join(tempfile.gettempdir(), "os___mapreduceframework_spark_pyfiles"),
+            scratch_dir("os___mapreduceframework_spark_pyfiles"),
             "zip",
             root_dir=os.path.dirname(pkg_dir),
             base_dir=os.path.basename(pkg_dir),
@@ -96,39 +100,40 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent).
 
     Import order IS sweep order: the driver's correctness harness
-    checks queries in registration order and stops when its time budget
-    runs out, so the highest-value families register first -- flagship
-    search + the reference-compat surface, then dedup / similarity /
-    relational (TPC-H) -- and the long tail (streaming, formats,
-    multimodal) last.
+    checks ~50 queries per round in registration order, so coverage
+    rotates round to round. Rounds 1-2 drove the flagship/compat,
+    dedup/ANN, relational (TPC-H), text, curation, analytics, and
+    advanced families to green driver rows; round 3 rotates the
+    never-driver-checked families to the front (quality, temporal,
+    indexing, training/MERGE, sources/formats, skew/IVF, streaming,
+    multimodal) while the already-proven families register after.
     """
     global _LOADED
     if _LOADED:
         return
-    # flagship + reference-compat surface first
+    # round-3 rotation: never-driver-checked families first
+    import os___mapreduceframework_spark.operators.quality  # noqa: F401
+    import os___mapreduceframework_spark.operators.temporal  # noqa: F401
+    import os___mapreduceframework_spark.operators.indexing  # noqa: F401
+    import os___mapreduceframework_spark.operators.training  # noqa: F401
+    import os___mapreduceframework_spark.sources.formats  # noqa: F401
+    import os___mapreduceframework_spark.operators.scale  # noqa: F401
+    import os___mapreduceframework_spark.streaming.windows  # noqa: F401
+    import os___mapreduceframework_spark.streaming.incremental  # noqa: F401
+    import os___mapreduceframework_spark.streaming.joins  # noqa: F401
+    import os___mapreduceframework_spark.operators.multimodal  # noqa: F401
+    import os___mapreduceframework_spark.streaming.live_search  # noqa: F401
+    import os___mapreduceframework_spark.streaming.scd2  # noqa: F401
+    import os___mapreduceframework_spark.streaming.transform_state  # noqa: F401
+    # driver-proven families (green rows in CORRECTNESS_r01/r02)
     import os___mapreduceframework_spark.operators.library  # noqa: F401
     import os___mapreduceframework_spark.compat.udtf_map  # noqa: F401
-    # charter headliners: dedup, similarity, relational (TPC-H), skew/ANN
     import os___mapreduceframework_spark.operators.dedup  # noqa: F401
     import os___mapreduceframework_spark.operators.similarity  # noqa: F401
     import os___mapreduceframework_spark.operators.relational  # noqa: F401
-    import os___mapreduceframework_spark.operators.scale  # noqa: F401
     import os___mapreduceframework_spark.operators.text  # noqa: F401
     import os___mapreduceframework_spark.operators.curation  # noqa: F401
     import os___mapreduceframework_spark.operators.analytics  # noqa: F401
     import os___mapreduceframework_spark.operators.advanced  # noqa: F401
-    import os___mapreduceframework_spark.operators.temporal  # noqa: F401
-    import os___mapreduceframework_spark.operators.quality  # noqa: F401
-    import os___mapreduceframework_spark.operators.indexing  # noqa: F401
-    import os___mapreduceframework_spark.operators.training  # noqa: F401
-    # long tail: sources, multimodal plumbing, streaming
-    import os___mapreduceframework_spark.sources.formats  # noqa: F401
-    import os___mapreduceframework_spark.operators.multimodal  # noqa: F401
-    import os___mapreduceframework_spark.streaming.incremental  # noqa: F401
-    import os___mapreduceframework_spark.streaming.joins  # noqa: F401
-    import os___mapreduceframework_spark.streaming.live_search  # noqa: F401
-    import os___mapreduceframework_spark.streaming.scd2  # noqa: F401
-    import os___mapreduceframework_spark.streaming.transform_state  # noqa: F401
-    import os___mapreduceframework_spark.streaming.windows  # noqa: F401
 
     _LOADED = True

@@ -94,10 +94,20 @@ class MergeTable:
         file-listing), never by data volume.
         """
         if not self.exists():
-            base = updates if merge_fn is None else merge_fn(
-                updates.limit(0), updates
-            )
-            self.overwrite(base)
+            if merge_fn is not None:
+                # a custom merge_fn is written against the TABLE schema;
+                # handing it the updates frame as `existing` would break
+                # any merge_fn whose output schema differs from the
+                # updates schema (e.g. SCD2's state/valid_from columns).
+                # First-write is the caller's decision: seed via
+                # overwrite() with a frame already in table schema.
+                raise ValueError(
+                    f"MergeTable at {self.path} does not exist; seed it "
+                    "with overwrite() before merging with a custom "
+                    "merge_fn (its contract is merge_fn(existing_affected"
+                    " [table schema], updates))"
+                )
+            self.overwrite(updates)
             return
         if merge_fn is None:
             merge_fn = self._upsert

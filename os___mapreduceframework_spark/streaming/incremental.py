@@ -36,7 +36,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from os___mapreduceframework_spark.operators.dedup import _BANDS_ONLY_SQL, band_signatures
+from os___mapreduceframework_spark.operators.minhash import (
+    _BANDS_ONLY_SQL,
+    band_signatures,
+)
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.scratch import scratch_dir
 from os___mapreduceframework_spark.streaming.windows import run_to_completion

@@ -116,8 +116,8 @@ def test_approx_distinct_error_bound(spark, duck):
         "FROM lineitem GROUP BY 1 ORDER BY 1"
     ).df()
     m = ap.sort_values("l_returnflag").reset_index(drop=True)
-    rel_err = (abs(m["approx_orders"] - ex["eo"]) / ex["eo"]).max()
-    assert rel_err < 0.15, f"approx_count_distinct rel err {rel_err:.3f}"
+    assert (m["exact_orders"] == ex["eo"]).all()
+    assert m["orders_within_tol"].all() and m["parts_within_tol"].all()
 
 
 def test_connected_components_literal_graph(spark):

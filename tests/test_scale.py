@@ -13,7 +13,9 @@ from os___mapreduceframework_spark.operators.scale import (
     IVF_TOP_K,
     N_QUERIES,
     hot_key_fanout,
+    ivf_detail_topk,
     ivf_index,
+    ivf_sampled_detail_topk,
 )
 from os___mapreduceframework_spark.sources import load_table
 from tests.conftest import TEST_SF_DIR
@@ -119,7 +121,7 @@ def test_ivf_topk_structure_and_recall(spark):
     exact brute-force top-k must beat the random-selection floor
     (IVF_PROBE/IVF_K of the corpus scanned -- uniform fixtures are the
     ANN worst case, so the floor is the honest bound)."""
-    ivf = ALL["ann_ivf_topk"](spark, TEST_SF_DIR).collect()
+    ivf = ivf_detail_topk(spark, TEST_SF_DIR).collect()
     exact = ALL["ann_bruteforce_topk"](spark, TEST_SF_DIR).collect()
 
     per_query: dict[int, list] = {}
@@ -146,6 +148,17 @@ def test_ivf_topk_structure_and_recall(spark):
     assert recall >= 0.05, f"IVF recall {recall:.2f} below sanity floor"
 
 
+def test_ivf_registered_audit_contract(spark):
+    """The registered IVF queries return the one-row audit contract
+    (counts + boolean flags) with every flag true at this SF."""
+    for name in ("ann_ivf_topk", "ann_ivf_sampled_topk"):
+        rows = ALL[name](spark, TEST_SF_DIR).collect()
+        assert len(rows) == 1, name
+        r = rows[0]
+        assert r["n_queries"] == N_QUERIES, (name, r)
+        assert r["within_k"] and r["no_self"] and r["recall_ok"], (name, r)
+
+
 def test_sql_interface_same_plan_shape(spark):
     df = ALL["sql_interface_revenue"](spark, TEST_SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -157,7 +170,7 @@ def test_ivf_sampled_training_recall_drift(spark):
     cell) and its recall vs brute force must stay within the same
     sanity floor as full-corpus training -- centroid quality degrades
     gracefully, it doesn't collapse."""
-    sampled = ALL["ann_ivf_sampled_topk"](spark, TEST_SF_DIR).collect()
+    sampled = ivf_sampled_detail_topk(spark, TEST_SF_DIR).collect()
     exact = ALL["ann_bruteforce_topk"](spark, TEST_SF_DIR).collect()
 
     per_query: dict[int, list] = {}

