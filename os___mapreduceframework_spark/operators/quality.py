@@ -341,6 +341,75 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_quantile_sketch",
+    oracle="""
+    WITH l AS (SELECT source, length(text) AS len FROM documents)
+    SELECT COALESCE(source, 'ALL') AS source,
+           CAST(ROUND(quantile_cont(len, 0.5), 1) AS DOUBLE) AS p50_exact,
+           CAST(ROUND(quantile_cont(len, 0.9), 1) AS DOUBLE) AS p90_exact,
+           CAST(ROUND(quantile_cont(len, 0.99), 1) AS DOUBLE) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM l GROUP BY ROLLUP(source)
+    ORDER BY source
+    """,
+    doc="Mergeable quantile sketch rollup (the t-digest-style companion "
+    "to vocab_hll_rollup): per-source and corpus-wide p50/p90/p99 of "
+    "document length via percentile_approx (KLL-style mergeable "
+    "fixed-size state -- the 100 TB path: the shuffle carries sketches, "
+    "never the value set). The audit flags check the sketch's ACTUAL "
+    "guarantee -- rank containment: the fraction of values strictly "
+    "below / at-or-below the sketch's answer must bracket p (value "
+    "tolerance is the wrong contract: the sketch returns a real element, "
+    "so a distribution gap at the quantile makes value error unbounded "
+    "while rank error stays tiny). Oracle hash-matches the exact "
+    "interpolated percentiles + TRUE flags; ROLLUP computes both "
+    "grouping levels in one pass.",
+)
+def q_quality_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("source", F.length("text").alias("len"))
+    pcts = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    aggs = []
+    for p, tag in pcts:
+        aggs.append(F.expr(f"percentile(len, {p})").alias(f"{tag}_e"))
+        aggs.append(F.expr(f"percentile_approx(len, {p}, 10000)").alias(f"{tag}_a"))
+    stats = (
+        lens.rollup("source")
+        .agg(*aggs)
+        .select(F.coalesce("source", F.lit("ALL")).alias("gsource"), "*")
+        .drop("source")
+    )
+    # rank audit: every len row participates in its own source group AND
+    # the ALL group (explode doubles the scan rows, still one pass);
+    # stats is #groups rows -> broadcast
+    tagged = lens.select(
+        F.explode(F.array("source", F.lit("ALL"))).alias("gsource"), "len"
+    )
+    fr = [
+        f
+        for _, tag in pcts
+        for f in (
+            F.avg((F.col("len") < F.col(f"{tag}_a")).cast("double")).alias(f"{tag}_lt"),
+            F.avg((F.col("len") <= F.col(f"{tag}_a")).cast("double")).alias(f"{tag}_le"),
+        )
+    ]
+    fracs = tagged.join(F.broadcast(stats), "gsource").groupBy("gsource").agg(*fr)
+    eps = 0.005  # rank-error bound: n/accuracy <= 1e-4, plus FP slack
+    out = [F.col("gsource").alias("source")]
+    flags = []
+    for p, tag in pcts:
+        out.append(F.round(F.col(f"{tag}_e"), 1).cast("double").alias(f"{tag}_exact"))
+        flags.append(
+            (
+                (F.col(f"{tag}_lt") <= p + eps) & (F.col(f"{tag}_le") >= p - eps)
+            ).alias(f"{tag}_ok")
+        )
+    return (
+        stats.join(F.broadcast(fracs), "gsource").select(*out, *flags).orderBy("source")
+    )
+
+
+@query(
     "events_funnel",
     oracle="""
     WITH f AS (

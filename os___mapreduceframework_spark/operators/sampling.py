@@ -1,0 +1,178 @@
+"""Deterministic sampling / splitting operators (charter extension).
+
+A training-data pipeline's last mile: assign corpus rows to
+train/val/test splits, draw stratified samples for eval sets, and
+rebalance skewed label distributions. All of it must be DETERMINISTIC
+at 100 TB -- ``rand()``-based sampling is irreproducible across
+retries/speculative tasks and unauditable; every operator here derives
+its randomness from md5 of a stable key (the same scan-stable trick as
+the dedup/ANN hash family, operators/minhash.py), so re-running a task
+yields the same sample and the DuckDB oracle reproduces the selection
+bit-for-bit.
+
+Scale notes:
+
+- split assignment is a scan-local expression: zero shuffles beyond
+  the output sort -- the split column is computable at read time
+  forever after (the property that lets you re-derive any historical
+  split without storing it).
+- stratified sampling ranks within strata (one hash-partitioned
+  window per stratum, parallel across strata) -- never a global sort.
+- class balancing computes per-class quotas from one tiny aggregate
+  (broadcast back) and keeps each class's md5-first quota rows; the
+  heavy side shuffles once on the class key.
+
+The reference has no sampling surface (Search.cpp is its whole query
+corpus); this family is charter scope like dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+# md5-derived uniform bucket in [0, 1000): the split fractions below are
+# exact bucket thresholds, so split sizes are reproducible percentages
+_SPLIT_BUCKETS = 1000
+_TRAIN_LT = 800  # [0, 800)  -> train (80%)
+_VAL_LT = 900    # [800, 900) -> val  (10%), rest test (10%)
+
+_MD5_BUCKET_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    f" % {_SPLIT_BUCKETS}"
+)
+_MD5_BUCKET_DUCK = (
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+    f" % {_SPLIT_BUCKETS}"
+)
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_MD5_BUCKET_DUCK} < {_TRAIN_LT} THEN 'train'
+                WHEN {_MD5_BUCKET_DUCK} < {_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Deterministic train/val/test split (80/10/10): md5-bucket of "
+    "the stable doc key -> threshold mapping, a scan-local expression "
+    "with no shuffle (the sort is presentation only). Reproducible "
+    "under task retry and re-derivable years later without storing the "
+    "assignment -- the property rand()-splits lack. Spark and DuckDB "
+    "compute the identical bucket (verified md5 bit-parity trick from "
+    "the dedup family).",
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_MD5_BUCKET_SPARK)
+    return docs.select(
+        "doc_id",
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+SAMPLE_FRAC_NUM = 1  # keep 1/10 of each stratum
+SAMPLE_FRAC_DEN = 10
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source, doc_id
+    FROM r
+    WHERE rn <= (n * {SAMPLE_FRAC_NUM} + {SAMPLE_FRAC_DEN} - 1) // {SAMPLE_FRAC_DEN}
+    ORDER BY source, doc_id
+    """,
+    doc="Stratified sampling with EXACT per-stratum quotas: within each "
+    "source stratum, rank rows by md5 of the stable key and keep the "
+    "first ceil(n/10) -- a deterministic 10% whose size is exact per "
+    "stratum (frac-of-Bernoulli sampling only hits the quota in "
+    "expectation). One hash-partitioned window per stratum, parallel "
+    "across strata; no global sort anywhere.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wn = W.partitionBy("source")
+    quota = F.ceil(
+        F.count(F.lit(1)).over(wn) * SAMPLE_FRAC_NUM / SAMPLE_FRAC_DEN
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            quota.alias("quota"),
+        )
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "class_balance_downsample",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    m AS (SELECT MIN(n) AS quota FROM c),
+    r AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+      FROM events
+    )
+    SELECT r.event_type,
+           COUNT(*) AS n_kept,
+           CAST(SUM(r.event_id) AS BIGINT) AS checksum
+    FROM r, m
+    WHERE r.rn <= m.quota
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """,
+    doc="Class-balanced downsampling: every event_type keeps exactly "
+    "min-class-count rows, selected deterministically by md5 rank of "
+    "the stable event key. The quota is one tiny aggregate (rows = "
+    "#classes) broadcast back; the fact shuffles once on the class key "
+    "for the per-class window. Output is the per-class manifest (count "
+    "+ id checksum) proving the selection, not the sampled payload -- "
+    "the selection predicate is re-derivable at read time.",
+)
+def q_class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(F.min("n").alias("quota"))
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    ranked = ev.select(
+        "event_type", "event_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("event_id").cast("bigint").alias("checksum"),
+        )
+        .orderBy("event_type")
+    )

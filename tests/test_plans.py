@@ -258,6 +258,10 @@ EXPECTED_MAX_SHUFFLES = {
     "embedding_gram_matrix": 4,  # partial-Gram merge by (i,j) + sort
     "events_gap_fill": 6,     # hourly agg, grid bounds agg, join, window sort
     "merge_upsert_orders": 2, # readback agg/sort; merge I/O is bucket-pruned
+    "split_train_val_test": 1,  # scan-local split expr; sort only
+    "sample_stratified": 2,   # per-stratum window + sort
+    "class_balance_downsample": 4,  # quota agg + class window + final agg/sort
+    "quality_quantile_sketch": 4,  # rollup sketch agg + rank-audit agg + sort
 }
 
 
