@@ -371,3 +371,107 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# PII scrub: the fixture corpus is synthetic word salad with no real
+# PII, so the gate INJECTS a deterministic email for doc_id % 5 == 0
+# before scrubbing -- the extraction/redaction machinery (the part that
+# matters) runs against known ground truth the oracle reproduces.
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+
+
+@query(
+    "curation_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || doc_id::VARCHAR || '@example.com now'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           length(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS len_redacted
+    FROM seeded
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing gate: count and redact email addresses via "
+    "regexp_extract_all / regexp_replace -- scan-local expressions, no "
+    "shuffle, no Python (the regex runs inside whole-stage codegen). "
+    "Synthetic fixtures carry no PII, so a deterministic email is "
+    "injected for doc_id %% 5 == 0 first; the oracle reproduces the "
+    "injection and verifies extraction count and redacted length "
+    "exactly. At 100 TB this is a mapper-only pass fused into whatever "
+    "scan is already running.",
+)
+def q_curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)")).alias(
+            "n_emails"
+        ),
+        F.length(F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")).alias(
+            "len_redacted"
+        ),
+    ).orderBy("doc_id")
+
+
+MIX_TEMPERATURE = 0.7  # source weight ~ n^alpha (temperature sampling)
+
+
+@query(
+    "curation_mix_weights",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(POW(n_tokens, {MIX_TEMPERATURE})) AS z FROM c)
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(POW(n_tokens, {MIX_TEMPERATURE}) / z, 6) AS DOUBLE) AS weight
+    FROM c, t
+    ORDER BY source
+    """,
+    doc="Data-mixture design: temperature-weighted source sampling "
+    f"weights w_s ~ tokens_s^{MIX_TEMPERATURE} (the standard "
+    "upweight-the-tail mix used when composing pretraining corpora "
+    "from skewed sources). One aggregate per source + a 1-row "
+    "normalizer broadcast back -- #sources rows of state regardless of "
+    "corpus size.",
+)
+def q_curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    z = c.agg(F.sum(F.pow("n_tokens", MIX_TEMPERATURE)).alias("z"))
+    return (
+        c.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.pow("n_tokens", MIX_TEMPERATURE) / F.col("z"), 6)
+            .cast("double")
+            .alias("weight"),
+        )
+        .orderBy("source")
+    )

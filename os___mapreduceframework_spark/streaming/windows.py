@@ -49,19 +49,41 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events(raw)
 
 
-def run_to_completion(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_completion(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
     """Drive a streaming frame through a memory sink until the source is
-    exhausted; return the materialized result as a static DataFrame."""
+    exhausted; return the materialized result as a static DataFrame.
+
+    ``shuffle_partitions`` sets the state-store partition count for THIS
+    query (fresh checkpoint every call, so the setting is free to vary).
+    Windowed aggregations carry tiny bounded state (windows x types) and
+    pay ~1 s/query of per-partition state-store setup at 32 partitions
+    -- 8 halves the wall time (measured 2.2 s -> 1.2 s at sf0.1).
+    Compute-heavy streams (incremental minhash) pass None to keep the
+    session's full parallelism. On a real cluster this knob is the
+    state-rebalance tradeoff: partitions are fixed per checkpoint, so
+    production streams size it to peak key cardinality, not setup cost.
+    """
+    spark = sdf.sparkSession
     name = f"stream_sink_{next(_SINK_COUNTER)}"
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 @query(
