@@ -250,3 +250,69 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "merge_time_travel_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 3
+    ),
+    upd AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 IN (6, 7)
+    ),
+    v1 AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT 0 AS version, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price
+    FROM base
+    UNION ALL
+    SELECT 1, COUNT(*),
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    FROM v1
+    ORDER BY version
+    """,
+    doc="Snapshot MERGE with TIME TRAVEL (sinks.SnapshotMergeTable): "
+    "v0 = orders slice, v1 = MERGE of an update batch (matched keys "
+    "doubled, unmatched inserted); BOTH snapshots are then read back "
+    "AS OF their version and summarized. Append-only data files + "
+    "per-version manifests (files -> manifest -> pointer commit order) "
+    "give Iceberg-style snapshot isolation without lakehouse jars; "
+    "merge I/O stays proportional to touched buckets, history cost is "
+    "bounded by vacuum policy. Oracle reconstructs both states "
+    "relationally.",
+)
+def q_merge_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from os___mapreduceframework_spark.sinks.snapshot_table import (
+        SnapshotMergeTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = _scratch("merge_time_travel_orders")
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per invocation
+    table = SnapshotMergeTable(spark, path, keys=["o_orderkey"], n_buckets=16)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 4 != 3))
+    updates = orders.filter((F.col("o_orderkey") % 8).isin(6, 7)).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    table.merge(updates)
+
+    def summarize(version: int) -> DataFrame:
+        return table.read(version=version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        ).select("version", "n_rows", "sum_price")
+
+    return summarize(0).unionByName(summarize(1)).orderBy("version")

@@ -1,0 +1,234 @@
+"""Snapshot-versioned MERGE table: time travel without lakehouse jars.
+
+``sinks.MergeTable`` rewrites affected buckets IN PLACE -- correct and
+bucket-pruned, but history is gone after every merge. This sibling adds
+the other half of what a table format provides: **immutable snapshots
+with time travel**, built the way Iceberg/Delta do it under the hood --
+append-only data files + a manifest per version that says which files
+are live:
+
+- data files are append-only: version ``K`` writes ONLY the affected
+  buckets' new files under ``data/v{K}/`` (partitioned by ``__bucket``
+  inside the version dir); nothing is ever overwritten;
+- ``_manifests/v{K}.json`` maps every bucket to the version dir holding
+  its live data (affected buckets point at ``v{K}``, untouched buckets
+  keep their old pointer -- the O(n_buckets) metadata commit);
+- ``_current`` names the latest version; commit order is
+  files -> manifest -> pointer, so a crash mid-merge leaves the old
+  version intact and the half-written files invisible (the atomicity a
+  format's log commit provides; single-writer assumed, as documented
+  for MergeTable);
+- ``read(version=...)`` reconstructs ANY retained snapshot: group the
+  manifest's buckets by version dir, read each dir partition-pruned to
+  its live buckets, union -- cost proportional to live data, not
+  history;
+- ``vacuum(keep_last=N)`` drops manifests older than the last N and
+  deletes version dirs no kept manifest references (Iceberg's
+  expire-snapshots).
+
+Merge cost stays proportional to touched buckets; history cost is
+bounded by vacuum policy. At 100 TB the manifest is still kilobytes
+(n_buckets entries), and snapshot reads prune to live files exactly as
+the current-version read does.
+
+The reference has no table surface at all (its output is an in-memory
+vector, MapReduceFramework.cpp:336-347); this is charter scope
+(training-pipeline sinks), same family as sinks/merge_table.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.sinks.merge_table import DEFAULT_N_BUCKETS
+
+
+class SnapshotMergeTable:
+    """Bucket-partitioned MERGE table with immutable snapshot versions."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        n_buckets: int = DEFAULT_N_BUCKETS,
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+
+    # -- layout helpers ----------------------------------------------------
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _current_file(self) -> str:
+        return os.path.join(self.path, "_current")
+
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self.path, "data", f"v{version}")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._current_file()) as f:
+                return int(f.read().strip())
+        except OSError:
+            return None
+
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, ascending."""
+        try:
+            names = os.listdir(self._manifest_dir())
+        except OSError:
+            return []
+        return sorted(
+            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _load_manifest(self, version: int) -> dict[str, int]:
+        with open(os.path.join(self._manifest_dir(), f"v{version}.json")) as f:
+            return json.load(f)["buckets"]
+
+    def _commit(self, version: int, buckets: dict[str, int]) -> None:
+        """files -> manifest -> pointer: the crash-safe commit order."""
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        mpath = os.path.join(self._manifest_dir(), f"v{version}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "buckets": buckets}, f)
+        os.replace(tmp, mpath)  # atomic on POSIX
+        tmp_cur = self._current_file() + ".tmp"
+        with open(tmp_cur, "w") as f:
+            f.write(str(version))
+        os.replace(tmp_cur, self._current_file())
+
+    # -- public API --------------------------------------------------------
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Create snapshot v0 (or a fresh full snapshot) from ``df``."""
+        version = 0 if self.current_version() is None else self.current_version() + 1
+        (
+            self._bucket(df)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(self._data_dir(version))
+        )
+        present = {
+            r["__bucket"]
+            for r in self.spark.read.parquet(self._data_dir(version))
+            .select("__bucket")
+            .distinct()
+            .collect()
+        }
+        self._commit(version, {str(b): version for b in present})
+
+    def merge(
+        self,
+        updates: DataFrame,
+        merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    ) -> None:
+        """MERGE ``updates`` as a NEW snapshot; prior versions stay
+        readable. Only affected buckets' data is rewritten (into the new
+        version dir); untouched buckets are carried by manifest pointer.
+        """
+        cur = self.current_version()
+        if cur is None:
+            if merge_fn is not None:
+                raise ValueError(
+                    f"SnapshotMergeTable at {self.path} does not exist; seed "
+                    "it with overwrite() before merging with a custom "
+                    "merge_fn"
+                )
+            self.overwrite(updates)
+            return
+        manifest = self._load_manifest(cur)
+        affected = [
+            r["__bucket"]
+            for r in self._bucket(updates).select("__bucket").distinct().collect()
+        ]
+        existing = self._read_buckets(manifest, affected)
+        if merge_fn is None:
+            merge_fn = self._upsert
+        merged = merge_fn(existing, updates)
+        version = cur + 1
+        bucketed = self._bucket(merged).localCheckpoint(eager=True)
+        (
+            bucketed.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(self._data_dir(version))
+        )
+        survivors = {
+            r["__bucket"] for r in bucketed.select("__bucket").distinct().collect()
+        }
+        new_manifest = dict(manifest)
+        for b in affected:
+            if b in survivors:
+                new_manifest[str(b)] = version
+            else:
+                new_manifest.pop(str(b), None)  # merge emptied the bucket
+        self._commit(version, new_manifest)
+
+    def _upsert(self, existing: DataFrame, updates: DataFrame) -> DataFrame:
+        return existing.join(updates, self.keys, "left_anti").unionByName(updates)
+
+    def _read_buckets(self, manifest: dict[str, int], buckets: list[int]) -> DataFrame:
+        """Read the given buckets at the manifest's version pointers,
+        partition-pruned per version dir."""
+        by_version: dict[int, list[int]] = {}
+        for b in buckets:
+            v = manifest.get(str(b))
+            if v is not None:
+                by_version.setdefault(v, []).append(b)
+        parts = [
+            self.spark.read.parquet(self._data_dir(v))
+            .filter(F.col("__bucket").isin(bs))
+            .drop("__bucket")
+            for v, bs in by_version.items()
+        ]
+        if not parts:
+            empty = self.spark.read.parquet(self._data_dir(0)).drop("__bucket")
+            return empty.limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table AS OF ``version`` (default: current snapshot)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"SnapshotMergeTable at {self.path} does not exist")
+        manifest = self._load_manifest(v)
+        return self._read_buckets(manifest, [int(b) for b in manifest])
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Expire all but the last ``keep_last`` snapshots; delete
+        version dirs no retained manifest references. Returns removed
+        versions."""
+        vs = self.versions()
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        if not drop:
+            return []
+        live_dirs = set()
+        for v in keep:
+            live_dirs.update(self._load_manifest(v).values())
+        removed = []
+        for v in drop:
+            os.remove(os.path.join(self._manifest_dir(), f"v{v}.json"))
+            removed.append(v)
+        for v in set(vs) - set(keep):
+            if v not in live_dirs:
+                shutil.rmtree(self._data_dir(v), ignore_errors=True)
+        return removed

@@ -1,0 +1,84 @@
+"""SnapshotMergeTable: snapshot isolation, time travel, bucket-scoped
+file writes, and vacuum expiry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from os___mapreduceframework_spark.sinks.snapshot_table import SnapshotMergeTable
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = SnapshotMergeTable(
+        spark, str(tmp_path / "snap"), keys=["k"], n_buckets=8
+    )
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    return t
+
+
+def _rows(df):
+    return {(r["k"], r["v"]) for r in df.collect()}
+
+
+def test_merge_creates_new_version_and_preserves_old(spark, table):
+    table.merge(spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"))
+    assert table.versions() == [0, 1]
+    assert _rows(table.read(version=0)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert _rows(table.read(version=1)) == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    assert _rows(table.read()) == _rows(table.read(version=1))
+
+
+def test_untouched_bucket_files_not_rewritten(spark, table):
+    """A merge must write files ONLY under the new version dir; v0's
+    data files stay byte-identical (append-only history)."""
+
+    def file_set(root):
+        return {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(root)
+            for f in fs
+        }
+
+    v0_before = file_set(table._data_dir(0))
+    table.merge(spark.createDataFrame([(2, "B")], "k long, v string"))
+    assert file_set(table._data_dir(0)) == v0_before
+    assert os.path.isdir(table._data_dir(1))
+
+
+def test_chained_merges_time_travel_every_version(spark, table):
+    table.merge(spark.createDataFrame([(1, "A")], "k long, v string"))
+    table.merge(spark.createDataFrame([(5, "e")], "k long, v string"))
+    assert table.versions() == [0, 1, 2]
+    assert _rows(table.read(version=0)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert _rows(table.read(version=1)) == {(1, "A"), (2, "b"), (3, "c")}
+    assert _rows(table.read(version=2)) == {(1, "A"), (2, "b"), (3, "c"), (5, "e")}
+
+
+def test_vacuum_expires_old_snapshots_keeps_referenced_files(spark, table):
+    table.merge(spark.createDataFrame([(2, "B")], "k long, v string"))
+    table.merge(spark.createDataFrame([(3, "C")], "k long, v string"))
+    removed = table.vacuum(keep_last=2)
+    assert removed == [0]
+    assert table.versions() == [1, 2]
+    # v0's data dir must SURVIVE if kept manifests still point into it
+    live_dirs = set(table._load_manifest(1).values()) | set(
+        table._load_manifest(2).values()
+    )
+    if 0 in live_dirs:
+        assert os.path.isdir(table._data_dir(0))
+    # latest state unchanged by vacuum
+    assert _rows(table.read()) == {(1, "a"), (2, "B"), (3, "C")}
+    with pytest.raises(FileNotFoundError):
+        table._load_manifest(0)
+
+
+def test_custom_merge_fn_requires_seeded_table(spark, tmp_path):
+    t = SnapshotMergeTable(spark, str(tmp_path / "x"), keys=["k"])
+    with pytest.raises(ValueError, match="seed"):
+        t.merge(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            merge_fn=lambda e, u: u,
+        )
