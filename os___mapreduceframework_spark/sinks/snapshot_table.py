@@ -181,11 +181,19 @@ class SnapshotMergeTable:
         self._commit(version, new_manifest)
 
     def _upsert(self, existing: DataFrame, updates: DataFrame) -> DataFrame:
-        return existing.join(updates, self.keys, "left_anti").unionByName(updates)
+        # allowMissingColumns = schema evolution on merge: an update
+        # batch may carry columns the table never saw (null-padded into
+        # existing rows) and vice versa -- the additive evolution a
+        # format's schema registry allows
+        return existing.join(updates, self.keys, "left_anti").unionByName(
+            updates, allowMissingColumns=True
+        )
 
     def _read_buckets(self, manifest: dict[str, int], buckets: list[int]) -> DataFrame:
         """Read the given buckets at the manifest's version pointers,
-        partition-pruned per version dir."""
+        partition-pruned per version dir. Version dirs written before a
+        schema evolution lack the newer columns; unionByName null-pads
+        them (read-time schema merge)."""
         by_version: dict[int, list[int]] = {}
         for b in buckets:
             v = manifest.get(str(b))
@@ -202,8 +210,21 @@ class SnapshotMergeTable:
             return empty.limit(0)
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def compact(self) -> int:
+        """Rewrite the CURRENT snapshot into one fresh version dir.
+
+        After many merges the live table is scattered across version
+        dirs (one pointer per bucket); reads stay partition-pruned but
+        touch one dir per distinct pointer. Compaction collapses the
+        scatter: materialize the current state as a new full snapshot
+        (all bucket pointers -> the new dir), after which vacuum can
+        expire every older version. The Iceberg rewrite-data-files
+        action, expressed as overwrite(). Returns the new version."""
+        self.overwrite(self.read())
+        return self.current_version()
 
     def read(self, version: int | None = None) -> DataFrame:
         """The table AS OF ``version`` (default: current snapshot)."""

@@ -82,3 +82,30 @@ def test_custom_merge_fn_requires_seeded_table(spark, tmp_path):
             spark.createDataFrame([(1, "a")], "k long, v string"),
             merge_fn=lambda e, u: u,
         )
+
+
+def test_schema_evolution_on_merge(spark, table):
+    """An update batch carrying a NEW column merges cleanly: old rows
+    null-pad the new column, old snapshots stay readable, and the
+    current read exposes the merged schema."""
+    upd = spark.createDataFrame([(2, "B", 7)], "k long, v string, score long")
+    table.merge(upd)
+    cur = table.read()
+    assert set(cur.columns) == {"k", "v", "score"}
+    got = {(r["k"], r["v"], r["score"]) for r in cur.collect()}
+    assert got == {(1, "a", None), (2, "B", 7), (3, "c", None)}
+    # pre-evolution snapshot unaffected
+    assert set(table.read(version=0).columns) == {"k", "v"}
+
+
+def test_compact_collapses_pointers_then_vacuum_all_history(spark, table):
+    table.merge(spark.createDataFrame([(2, "B")], "k long, v string"))
+    table.merge(spark.createDataFrame([(5, "e")], "k long, v string"))
+    before = _rows(table.read())
+    v = table.compact()
+    manifest = table._load_manifest(v)
+    assert set(manifest.values()) == {v}, "all buckets point at the compacted dir"
+    assert _rows(table.read()) == before
+    table.vacuum(keep_last=1)
+    assert table.versions() == [v]
+    assert _rows(table.read()) == before
