@@ -109,3 +109,42 @@ def test_compact_collapses_pointers_then_vacuum_all_history(spark, table):
     table.vacuum(keep_last=1)
     assert table.versions() == [v]
     assert _rows(table.read()) == before
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# random merge histories: each batch is a small dict of key -> value
+_batches = st.lists(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.text(alphabet="xyz", min_size=1, max_size=3),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=_batches)
+def test_property_merge_history_matches_dict_fold(spark, tmp_path_factory, batches):
+    """Any sequence of upsert batches: the snapshot AS OF version k
+    equals folding the first k+1 batches into a dict -- every retained
+    version, not just the head."""
+    root = tmp_path_factory.mktemp("snap_prop")
+    t = SnapshotMergeTable(spark, str(root / "t"), keys=["k"], n_buckets=4)
+
+    def df_of(d):
+        return spark.createDataFrame(list(d.items()), "k long, v string")
+
+    t.overwrite(df_of(batches[0]))
+    for b in batches[1:]:
+        t.merge(df_of(b))
+
+    state: dict[int, str] = {}
+    for version, b in enumerate(batches):
+        state.update(b)
+        got = {(r["k"], r["v"]) for r in t.read(version=version).collect()}
+        assert got == set(state.items()), (version, batches)
