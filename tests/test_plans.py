@@ -258,6 +258,12 @@ EXPECTED_MAX_SHUFFLES = {
     "embedding_gram_matrix": 4,  # partial-Gram merge by (i,j) + sort
     "events_gap_fill": 6,     # hourly agg, grid bounds agg, join, window sort
     "merge_upsert_orders": 2, # readback agg/sort; merge I/O is bucket-pruned
+    "events_funnel": 2,       # one shuffle on user_id + tiny final agg
+    "events_retention_cohorts": 4,  # two user_id aggs (partitioning reused) + join + sort
+    "curation_pii_scrub": 1,  # codegen-fused regexes; sort only
+    "curation_mix_weights": 4,  # per-source agg + 1-row normalizer + sort
+    "merge_time_travel_orders": 2,  # two single-row version summaries
+    "multimodal_audio_decode": 1,   # encode/decode fused mapInPandas; sort only
     "split_train_val_test": 1,  # scan-local split expr; sort only
     "sample_stratified": 2,   # per-stratum window + sort
     "class_balance_downsample": 4,  # quota agg + class window + final agg/sort
