@@ -11,6 +11,8 @@ notes inline; none of these leave whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from os___mapreduceframework_spark.queries import query
@@ -612,4 +614,42 @@ def q_cross_join_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "status")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("r_name", "status")
+    )
+
+
+@query(
+    "pandas_udf_scalar_score",
+    oracle="""
+    SELECT event_id,
+           CAST(ROUND(1.0 / (1.0 + EXP(-value / 1000.0)), 6) AS DOUBLE) AS score
+    FROM events
+    WHERE event_id % 20 = 0
+    ORDER BY event_id
+    """,
+    doc="Scalar Arrow-vectorized @pandas_udf (the charter's named UDF "
+    "tier between built-ins and mapInPandas): numpy tanh over Arrow "
+    "batches -- one Python call per batch, never per row. Registered "
+    "to pin the full UDF-surface matrix alongside the UDTF "
+    "(udtf_search_count), grouped applyInPandas (compat API), and "
+    "mapInPandas (multimodal) paths; built-ins remain the default hot "
+    "path everywhere else. Deterministic sigmoid, so the oracle "
+    "matches to 6 decimals.",
+)
+def q_pandas_udf_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sigmoid_score(v: pd.Series) -> pd.Series:
+        x = v.to_numpy(dtype="float64") / 1000.0
+        return pd.Series(1.0 / (1.0 + np.exp(-x)))
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id",
+            F.round(sigmoid_score(F.col("value").cast("double")), 6).alias("score"),
+        )
+        .orderBy("event_id")
     )
