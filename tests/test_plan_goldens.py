@@ -33,7 +33,18 @@ REGEN = os.environ.get("REGEN_PLAN_GOLDENS") == "1"
 # micro-batch plans carry checkpoint-specific state-store paths)
 from bench import HEADLINE
 
-GOLDEN_QUERIES = [n for n in HEADLINE if not n.startswith("stream_")]
+GOLDEN_QUERIES = [n for n in HEADLINE if not n.startswith("stream_")] + [
+    # round-3 additions with stable, materialization-free plans
+    "split_train_val_test",
+    "sample_stratified",
+    "class_balance_downsample",
+    "quality_quantile_sketch",
+    "events_funnel",
+    "events_retention_cohorts",
+    "curation_pii_scrub",
+    "curation_mix_weights",
+    "pandas_udf_scalar_score",
+]
 
 
 @pytest.mark.parametrize("name", GOLDEN_QUERIES)
