@@ -383,3 +383,61 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("g"), 4).cast("double").alias("g"))
         .orderBy("i", "j")
     )
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH gated AS (
+      SELECT e.* FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en'
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             {_SQL_COS} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+      FROM embeddings a
+      JOIN gated b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, vec_id, cos_sim
+    FROM scored WHERE rn <= {TOP_K}
+    ORDER BY query_id, cos_sim DESC, vec_id
+    """,
+    doc="METADATA-FILTERED similarity search (the production retrieval "
+    "shape: top-k among vectors whose document passes a gate, here "
+    "lang='en'). The gate applies BEFORE any distance math: a semi-join "
+    "from the filtered documents to the co-keyed embeddings prunes the "
+    "candidate corpus, then the exact cosine top-k runs over the "
+    "survivors only -- at 100 TB the gate's selectivity multiplies "
+    "directly into the scan and score cost, and the same pre-filter "
+    "composes with the LSH/IVF candidate paths unchanged.",
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    en_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    gated = emb.join(en_docs, "vec_id", "left_semi")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    a, b = queries_df.alias("a"), gated.alias("b")
+    cos = F.round(_cosine(F.col("a.e"), F.col("b.e")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        b.join(F.broadcast(a), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+        .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
+    )

@@ -41,6 +41,7 @@ ALLOWED = {
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
+    "ann_filtered_topk",
     # broadcast side is the IVF centroid set (fixed k) + bounded queries
     # (the corpus-assignments join itself is merge-hinted in ivf_topk)
     "ann_ivf_topk",
