@@ -653,3 +653,45 @@ def q_pandas_udf_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "pandas_udaf_weighted_mean",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(o_totalprice * (o_orderkey % 5 + 1))
+                 / SUM(o_orderkey % 5 + 1), 4) AS DOUBLE) AS w_mean_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Grouped-aggregate @pandas_udf (the UDAF tier: whole group in, "
+    "scalar out, Arrow-batched) computing a weighted mean per order "
+    "priority. Completes the registered UDF matrix: built-ins, scalar "
+    "pandas_udf, grouped-agg pandas_udf (this), UDTF, grouped "
+    "applyInPandas, mapInPandas. Note the aggregation state is the "
+    "GROUP's rows (unlike built-in partial aggs) -- fine for bounded "
+    "groups, and the reason the built-in sum/sum form is preferred in "
+    "hot paths at 100 TB.",
+)
+def q_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(price: pd.Series, weight: pd.Series) -> float:
+        w = weight.to_numpy(dtype="float64")
+        return float(np.average(price.to_numpy(dtype="float64"), weights=w))
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_orderkey") % 5 + 1).cast("double").alias("weight"),
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(weighted_mean("price", "weight"), 4).alias("w_mean_price")
+        )
+        .orderBy("o_orderpriority")
+    )
