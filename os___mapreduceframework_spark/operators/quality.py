@@ -522,3 +522,108 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+@query(
+    "quality_rules_check",
+    oracle="""
+    WITH p AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_custkey) AS nn_cust,
+             COUNT(DISTINCT o_orderstatus) AS nd_status,
+             MIN(o_totalprice) AS min_price
+      FROM orders
+    )
+    SELECT 'o_custkey_complete' AS rule,
+           nn_cust = n AS passed FROM p
+    UNION ALL
+    SELECT 'o_orderstatus_domain', nd_status <= 3 FROM p
+    UNION ALL
+    SELECT 'o_totalprice_positive', min_price > 0 FROM p
+    UNION ALL
+    SELECT 'table_nonempty', n > 0 FROM p
+    ORDER BY rule
+    """,
+    doc="Declarative data-quality RULES gate (the Deequ/Great-"
+    "Expectations check shape): completeness, domain-cardinality, "
+    "range, and non-emptiness rules all evaluated from ONE single-scan "
+    "aggregate row, unpivoted to (rule, passed) verdicts. The "
+    "production CI gate for a 100 TB ingest: one pass, fixed-size "
+    "state, rules are data, not code.",
+)
+def q_quality_rules_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+    rules = F.array(
+        F.struct(
+            F.lit("o_custkey_complete").alias("rule"),
+            (F.col("nn_cust") == F.col("n")).alias("passed"),
+        ),
+        F.struct(
+            F.lit("o_orderstatus_domain").alias("rule"),
+            (F.col("nd_status") <= 3).alias("passed"),
+        ),
+        F.struct(
+            F.lit("o_totalprice_positive").alias("rule"),
+            (F.col("min_price") > 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("table_nonempty").alias("rule"),
+            (F.col("n") > 0).alias("passed"),
+        ),
+    )
+    return (
+        p.select(F.explode(rules).alias("r"))
+        .select("r.rule", "r.passed")
+        .orderBy("rule")
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_SAMP(value) AS sigma,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(s.n AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (ABS(e.value - s.mu) > 3 * s.sigma) AS BIGINT)
+             AS n_anomalies
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type, s.n
+    ORDER BY event_type
+    """,
+    doc="Z-score anomaly detection per event class: per-class mean/"
+    "stddev from one aggregate (rows = #classes, broadcast back), then "
+    "a second scan flags |value - mu| > 3 sigma. The classic two-pass "
+    "monitoring shape -- both passes are full scans but the state and "
+    "the join side are class-cardinality, so it runs on any volume; "
+    "counts (not flagged rows) come back, keeping output bounded.",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1)
+            ).alias("n_anomalies")
+        )
+        .select("event_type", F.col("n").cast("bigint"), "n_anomalies")
+        .orderBy("event_type")
+    )
