@@ -24,7 +24,12 @@ are live:
   history;
 - ``vacuum(keep_last=N)`` drops manifests older than the last N and
   deletes version dirs no kept manifest references (Iceberg's
-  expire-snapshots).
+  expire-snapshots);
+- merges use optimistic concurrency: the version-numbered manifest is
+  created O_EXCL and the pointer is re-checked against the merge's
+  base version, so of two racing writers exactly one commits and the
+  other gets ``ConcurrentWriteError`` (re-read + retry) -- the CAS a
+  real format runs against its catalog.
 
 Merge cost stays proportional to touched buckets; history cost is
 bounded by vacuum policy. At 100 TB the manifest is still kilobytes
@@ -46,6 +51,11 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from os___mapreduceframework_spark.sinks.merge_table import DEFAULT_N_BUCKETS
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a snapshot after this merge's base was
+    read; the caller must re-read and retry (optimistic concurrency)."""
 
 
 class SnapshotMergeTable:
@@ -101,14 +111,44 @@ class SnapshotMergeTable:
         with open(os.path.join(self._manifest_dir(), f"v{version}.json")) as f:
             return json.load(f)["buckets"]
 
-    def _commit(self, version: int, buckets: dict[str, int]) -> None:
-        """files -> manifest -> pointer: the crash-safe commit order."""
+    def _commit(
+        self, version: int, buckets: dict[str, int], base: int | None = None
+    ) -> None:
+        """files -> manifest -> pointer: the crash-safe commit order.
+
+        ``base`` is the version this commit was derived from; passing it
+        enables optimistic concurrency: the manifest file is created
+        with O_EXCL (two writers racing to the same version number --
+        i.e. the same base -- lose deterministically; exactly one
+        os.open succeeds), and the pointer is re-checked against base
+        right before the swing. This is the compare-and-swap a real
+        format does against its catalog; losers raise
+        ConcurrentWriteError and must re-read + retry their merge.
+        """
         os.makedirs(self._manifest_dir(), exist_ok=True)
         mpath = os.path.join(self._manifest_dir(), f"v{version}.json")
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "buckets": buckets}, f)
-        os.replace(tmp, mpath)  # atomic on POSIX
+        payload = json.dumps({"version": version, "buckets": buckets})
+        if base is not None:
+            try:
+                fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"version v{version} already committed by another "
+                    f"writer (base was v{base}); re-read and retry"
+                ) from None
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            if self.current_version() != base:
+                os.remove(mpath)  # roll back our manifest; pointer untouched
+                raise ConcurrentWriteError(
+                    f"current advanced past base v{base} during commit; "
+                    "re-read and retry"
+                )
+        else:
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, mpath)  # atomic on POSIX
         tmp_cur = self._current_file() + ".tmp"
         with open(tmp_cur, "w") as f:
             f.write(str(version))
@@ -178,7 +218,7 @@ class SnapshotMergeTable:
                 new_manifest[str(b)] = version
             else:
                 new_manifest.pop(str(b), None)  # merge emptied the bucket
-        self._commit(version, new_manifest)
+        self._commit(version, new_manifest, base=cur)
 
     def _upsert(self, existing: DataFrame, updates: DataFrame) -> DataFrame:
         # allowMissingColumns = schema evolution on merge: an update

@@ -148,3 +148,30 @@ def test_property_merge_history_matches_dict_fold(spark, tmp_path_factory, batch
         state.update(b)
         got = {(r["k"], r["v"]) for r in t.read(version=version).collect()}
         assert got == set(state.items()), (version, batches)
+
+
+def test_concurrent_writers_exactly_one_commits(spark, table):
+    """Two handles merge from the same base: the first commit wins, the
+    second raises ConcurrentWriteError and succeeds after re-read."""
+    from os___mapreduceframework_spark.sinks.snapshot_table import (
+        ConcurrentWriteError,
+    )
+
+    other = SnapshotMergeTable(spark, table.path, keys=["k"], n_buckets=8)
+    # both writers are now based on v0; `table` commits v1 first
+    table.merge(spark.createDataFrame([(2, "B")], "k long, v string"))
+
+    real_commit = other._commit
+    # pin `other`'s merge to the stale base (it would otherwise re-read
+    # current_version() and see v1): force base=0, version=1
+    def stale_commit(version, buckets, base=None):
+        real_commit(1, buckets, base=0)
+
+    other._commit = stale_commit
+    with pytest.raises(ConcurrentWriteError):
+        other.merge(spark.createDataFrame([(9, "z")], "k long, v string"))
+    other._commit = real_commit
+
+    # retry after re-read lands cleanly on top of v1
+    other.merge(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert _rows(other.read()) == {(1, "a"), (2, "B"), (3, "c"), (9, "z")}
