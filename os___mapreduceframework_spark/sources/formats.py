@@ -284,3 +284,59 @@ def bucketed_join_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruned scan itself (pre-aggregation) for plan assertions."""
     return _partitioned_orders(spark, sf_dir).filter(F.col("o_orderstatus") == "F")
+
+
+@query(
+    "source_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id % 50 = 0
+    ORDER BY doc_id
+    """,
+    doc="binaryFile source (the raw-media ingest path): a sample of "
+    "documents is exported as one opaque file each (written "
+    "distributed, one executor task per partition -- at 100 TB this "
+    "is the object-store landing zone), then ingested back through "
+    "Spark's binaryFile source as (path, length, content) rows; ids "
+    "parse from paths, and per-file md5 + length hash-match the "
+    "original table. This is how image/audio corpora actually enter "
+    "the engine before the multimodal operators run; metadata "
+    "(path/length/modificationTime) predicates prune files before "
+    "content bytes load.",
+)
+def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+
+    # sf-keyed + cleaned: a dir shared across scale factors would keep
+    # stale files from a previous SF's export and break the read-back
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = _scratch(f"binaryfile_ingest_{tag}")
+    _shutil.rmtree(path, ignore_errors=True)
+    sample = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+
+    def write_files(rows) -> None:
+        _os.makedirs(path, exist_ok=True)
+        for r in rows:
+            with open(_os.path.join(path, f"doc_{r['doc_id']}.txt"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    sample.foreachPartition(write_files)
+    back = spark.read.format("binaryFile").load(path)
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
