@@ -316,3 +316,55 @@ def q_merge_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "sum_price")
 
     return summarize(0).unionByName(summarize(1)).orderBy("version")
+
+
+@query(
+    "merge_change_feed_orders",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 IN (6, 7)
+    )
+    SELECT CASE WHEN o_orderkey % 8 = 7 THEN 'insert' ELSE 'update' END
+             AS change_type,
+           o_orderkey,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+    FROM upd
+    ORDER BY o_orderkey
+    """,
+    doc="Change data feed between snapshots (Delta CDF semantics on "
+    "SnapshotMergeTable.changes): the v0->v1 diff of the MERGE from "
+    "merge_time_travel_orders surfaces matched keys as 'update' rows "
+    "and unmatched keys as 'insert' rows, with after-images. The diff "
+    "is a full-outer join of two bucket-pruned snapshot reads on the "
+    "table key -- the honest key-level contract for a bucket-granular "
+    "table. Oracle derives the same change set relationally.",
+)
+def q_merge_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from os___mapreduceframework_spark.sinks.snapshot_table import (
+        SnapshotMergeTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = _scratch("merge_change_feed_orders")
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per invocation
+    table = SnapshotMergeTable(spark, path, keys=["o_orderkey"], n_buckets=16)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 4 != 3))
+    table.merge(
+        orders.filter((F.col("o_orderkey") % 8).isin(6, 7)).select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+    )
+    return (
+        table.changes(0, 1)
+        .select(
+            "change_type",
+            "o_orderkey",
+            F.round("o_totalprice", 2).cast("double").alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -274,6 +274,43 @@ class SnapshotMergeTable:
         manifest = self._load_manifest(v)
         return self._read_buckets(manifest, [int(b) for b in manifest])
 
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two snapshots: one row per changed
+        key with change_type in (insert, update, delete) plus the
+        after-image columns (null for deletes).
+
+        Computed as a full outer join of the two snapshots on the table
+        keys -- at scale both sides are bucket-pruned reads and the
+        join shuffles only the two snapshots' rows (a format with
+        row-level tracking can do better; key-level diff is the honest
+        contract for a bucket-granular table). Rows whose non-key
+        columns are unchanged are dropped."""
+        old = self.read(version=v_from).alias("o")
+        new = self.read(version=v_to).alias("n")
+        value_cols = [c for c in new.columns if c not in self.keys]
+        cond = [old[k].eqNullSafe(new[k]) for k in self.keys]
+        j = old.join(new, cond, "full_outer")
+        old_key = F.coalesce(*[old[k] for k in self.keys[:1]])
+        new_key = F.coalesce(*[new[k] for k in self.keys[:1]])
+        change = (
+            F.when(old_key.isNull(), F.lit("insert"))
+            .when(new_key.isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        same = F.lit(True)
+        for c in value_cols:
+            same = same & old[c].eqNullSafe(new[c])
+        out_cols = [
+            F.coalesce(new[k], old[k]).alias(k) for k in self.keys
+        ] + [new[c].alias(c) for c in value_cols]
+        return (
+            j.withColumn("change_type", change)
+            .filter(
+                (F.col("change_type") != "update") | ~same
+            )
+            .select("change_type", *out_cols)
+        )
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Expire all but the last ``keep_last`` snapshots; delete
         version dirs no retained manifest references. Returns removed

@@ -175,3 +175,31 @@ def test_concurrent_writers_exactly_one_commits(spark, table):
     # retry after re-read lands cleanly on top of v1
     other.merge(spark.createDataFrame([(9, "z")], "k long, v string"))
     assert _rows(other.read()) == {(1, "a"), (2, "B"), (3, "c"), (9, "z")}
+
+
+def test_change_feed_insert_update_delete(spark, table):
+    """changes() classifies all three kinds. The delete key must ride in
+    the update batch (tombstone-style) so its bucket counts as affected
+    -- merge_fn only ever sees affected buckets, the bucket-scoped
+    contract."""
+
+    def merge_with_tombstones(existing, updates):
+        live = updates.filter("v IS NOT NULL")
+        dead_keys = updates.filter("v IS NULL").select("k")
+        kept = existing.join(dead_keys, ["k"], "left_anti")
+        return kept.join(live, ["k"], "left_anti").unionByName(live)
+
+    upd = spark.createDataFrame(
+        [(2, "B"), (5, "e"), (3, None)], "k long, v string"
+    )
+    table.merge(upd, merge_fn=merge_with_tombstones)
+    got = {
+        (r["change_type"], r["k"], r["v"])
+        for r in table.changes(0, 1).collect()
+    }
+    assert got == {
+        ("update", 2, "B"),
+        ("insert", 5, "e"),
+        ("delete", 3, None),
+    }
+    # unchanged key 1 must NOT appear
