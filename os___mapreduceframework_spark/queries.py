@@ -124,6 +124,7 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.operators.multimodal  # noqa: F401
     import os___mapreduceframework_spark.streaming.live_search  # noqa: F401
     import os___mapreduceframework_spark.streaming.scd2  # noqa: F401
+    import os___mapreduceframework_spark.streaming.snapshot_cdc  # noqa: F401
     import os___mapreduceframework_spark.streaming.transform_state  # noqa: F401
     import os___mapreduceframework_spark.operators.sampling  # noqa: F401
     # driver-proven families (green rows in CORRECTNESS_r01/r02)

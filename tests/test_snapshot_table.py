@@ -203,3 +203,25 @@ def test_change_feed_insert_update_delete(spark, table):
         ("delete", 3, None),
     }
     # unchanged key 1 must NOT appear
+
+
+def test_stream_cdc_commits_one_version_per_batch(spark):
+    """The streaming CDC query commits a snapshot per micro-batch:
+    multiple versions exist afterwards, and user coverage grows
+    monotonically across them (keep-newest upsert never drops keys)."""
+    from os___mapreduceframework_spark import queries as registry
+    from os___mapreduceframework_spark.scratch import scratch_dir
+    from tests.conftest import TEST_SF_DIR
+
+    out = registry.queries()["stream_snapshot_cdc_upsert"](spark, TEST_SF_DIR)
+    n_users = out.count()
+    t = SnapshotMergeTable(
+        spark, scratch_dir("snapshot_cdc_table"), keys=["user_id"], n_buckets=16
+    )
+    vs = t.versions()
+    assert len(vs) >= 2, f"expected one snapshot per micro-batch, got {vs}"
+    counts = [
+        t.read(version=v).select("user_id").distinct().count() for v in vs
+    ]
+    assert counts == sorted(counts), counts
+    assert counts[-1] == n_users
