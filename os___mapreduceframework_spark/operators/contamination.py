@@ -1,0 +1,166 @@
+"""Benchmark decontamination (charter extension: training-data curation).
+
+A training corpus must not contain the evaluation benchmarks it will be
+scored on; every production LLM pipeline runs an n-gram-overlap
+decontamination pass (the GPT-3/PaLM recipe: flag a training document
+when it shares >= K distinct word n-grams with any eval document). The
+reference engine has no such operator -- this extends its
+map/shuffle/reduce surface (MapReduceFramework.cpp F2-F7) with the
+canonical contamination join, expressed Spark-first.
+
+Scale notes (100 TB):
+
+- The eval set is tiny by construction (benchmarks are MBs; the corpus
+  is TBs), so its distinct n-gram set is **broadcast** and the overlap
+  check is a broadcast LEFT SEMI join evaluated scan-side -- the 100 TB
+  training side never shuffles its n-grams. Only the matched (doc,
+  gram) rows (rare) reach the per-doc aggregation, and that aggregate
+  is map-side-combined on doc_id.
+- Per-doc totals (`n_grams`) are computed as a scan-local expression
+  (size of the distinct-gram array), NOT a second aggregation over the
+  exploded rows -- one scan, one tiny shuffle of hit counts.
+- The contaminated flag is a pure function of (n_shared) so the output
+  can feed a quarantine anti-join without re-reading text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+# Production pipelines use 8-13-gram overlap (GPT-3 used 13); the
+# synthetic fixture corpus draws ~30 vocabulary words into ~25-128-word
+# docs, so 3-grams are the statistical analog that actually produces
+# overlap at test scale. The operator is n-parameterized; only the
+# registered query pins n.
+NGRAM = 3
+EVAL_MOD = 101  # eval set = doc_id % 101 == 0 (deterministic ~1% sample)
+K_CONTAMINATED = 2  # >= K distinct shared 5-grams -> contaminated
+
+# one row per (doc, distinct 5-gram); grams deduped per doc scan-side
+_GRAMS_EXPR = (
+    "array_distinct(transform(sequence(0, size(w) - {n}), "
+    "i -> concat_ws(' ', slice(w, i + 1, {n}))))"
+).format(n=NGRAM)
+
+_GRAMS_SQL = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= {NGRAM}),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - {NGRAM} + 2),
+                     i -> array_to_string(w[CAST(i AS INT):CAST(i + {NGRAM} - 1 AS INT)], ' '))) AS grams
+          FROM t),
+    gr AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g)
+"""
+
+
+def doc_ngrams(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, gram, n_grams): one row per distinct word n-gram of each
+    document, with the document's distinct-gram count carried along so no
+    second aggregation is needed for totals."""
+    grams = F.expr(_GRAMS_EXPR)
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= n)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.explode("grams").alias("gram"), F.size("grams").alias("n_grams"))
+    )
+
+
+@query(
+    "curation_decontaminate",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    eval_grams AS (SELECT DISTINCT gram FROM gr WHERE doc_id % {EVAL_MOD} = 0),
+    train AS (SELECT * FROM gr WHERE doc_id % {EVAL_MOD} <> 0),
+    hits AS (
+      SELECT t.doc_id, ANY_VALUE(t.n_grams) AS n_grams, COUNT(*) AS n_shared
+      FROM train t JOIN eval_grams e USING (gram)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_shared,
+           (n_shared >= {K_CONTAMINATED}) AS contaminated
+    FROM hits
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing >= "
+    f"{K_CONTAMINATED} distinct word {NGRAM}-grams with the (deterministic "
+    "1%) eval split. Eval grams broadcast; training side never shuffles "
+    "its n-grams -- the GPT-3-style contamination check at corpus scale.",
+)
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = doc_ngrams(load_table(spark, sf_dir, "documents"))
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.any_value("n_grams").alias("n_grams"), F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared") >= K_CONTAMINATED).alias("contaminated"),
+        ).orderBy("doc_id")
+    )
+
+
+@query(
+    "curation_decontaminate_summary",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    eval_grams AS (SELECT DISTINCT gram FROM gr WHERE doc_id % {EVAL_MOD} = 0),
+    train_docs AS (SELECT DISTINCT doc_id FROM gr WHERE doc_id % {EVAL_MOD} <> 0),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM (SELECT * FROM gr WHERE doc_id % {EVAL_MOD} <> 0) t
+      JOIN eval_grams e USING (gram)
+      GROUP BY t.doc_id
+    ),
+    flagged AS (SELECT doc_id FROM hits WHERE n_shared >= {K_CONTAMINATED})
+    SELECT d.source,
+           COUNT(*) AS docs_total,
+           COUNT(f.doc_id) AS docs_contaminated,
+           ROUND(COUNT(f.doc_id) / COUNT(*), 6) AS contamination_rate
+    FROM documents d
+    JOIN train_docs t ON d.doc_id = t.doc_id
+    LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Per-source contamination audit: rate of training documents "
+    "flagged by the decontamination pass, for the curation dashboard. "
+    "Same broadcast-semi shape; one extra tiny join to source labels.",
+)
+def q_curation_decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = doc_ngrams(docs)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    flagged = (
+        train.join(F.broadcast(eval_grams), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= K_CONTAMINATED)
+        .select("doc_id")
+    )
+    train_docs = train.select("doc_id").distinct()
+    return (
+        docs.join(train_docs, "doc_id", "inner")
+        .join(flagged.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_total"),
+            F.count("hit").alias("docs_contaminated"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )

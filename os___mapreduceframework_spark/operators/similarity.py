@@ -441,3 +441,97 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(ROUND(AVG(v), 4) + 0.0 AS DOUBLE) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM ex
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    doc="Per-label mean embedding (class centroids): posexplode to "
+    "(label, dim, v) and average -- one partial+final hash aggregate on "
+    "(label, dim), map-side-combined, state is labels x dims regardless "
+    "of corpus size. The centroid table is the input to classifier "
+    "init, cluster naming, and the cohesion audit below.",
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).cast("double").alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "embedding_label_cohesion",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim, CAST(ROUND(AVG(v), 4) + 0.0 AS DOUBLE) AS c
+      FROM ex GROUP BY label, dim
+    ),
+    cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+    cos AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cv.cv), 6) AS cs
+      FROM embeddings e JOIN cvec cv USING (label)
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(ROUND(AVG(cs), 4) + 0.0 AS DOUBLE) AS mean_cos,
+           CAST(ROUND(MIN(cs), 4) + 0.0 AS DOUBLE) AS min_cos
+    FROM cos
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Intra-class cohesion: cosine of each vector to its label "
+    "centroid, aggregated per label. Two passes over the corpus; the "
+    "centroid table (labels x dims, tiny) is re-packed to arrays and "
+    "broadcast into the second scan -- no shuffle of the embedding "
+    "side. Low cohesion flags mislabeled or noisy training classes.",
+)
+def q_embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .groupBy("label", F.col("dim0").alias("dim"))
+        .agg((F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).cast("double").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("sc"))
+        .select("label", F.expr("transform(sc, x -> x.c)").alias("cv"))
+    )
+    cos = F.round(
+        _cosine(F.expr("transform(embedding, x -> cast(x as double))"), F.col("cv")), 6
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("label", cos.alias("cs"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.round(F.avg("cs"), 4) + F.lit(0.0)).cast("double").alias("mean_cos"),
+            (F.round(F.min("cs"), 4) + F.lit(0.0)).cast("double").alias("min_cos"),
+        )
+        .orderBy("label")
+    )

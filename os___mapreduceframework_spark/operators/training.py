@@ -368,3 +368,48 @@ def q_merge_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+CHUNK_W = 16  # words per chunk (context-window slice)
+CHUNK_STRIDE = 8  # overlap = W - stride
+
+
+@query(
+    "training_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+             CAST(s AS BIGINT) AS start_tok,
+             array_to_string(w[CAST(s + 1 AS INT):CAST(s + {CHUNK_W} AS INT)], ' ') AS chunk_text
+      FROM t, unnest(range(0, len(w), {CHUNK_STRIDE})) AS u(s)
+    )
+    SELECT doc_id, chunk_id, start_tok,
+           len(string_split(chunk_text, ' ')) AS n_tokens,
+           md5(chunk_text) AS chunk_md5
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Overlapping sliding-window chunking (W=16 words, stride 8) -- the "
+    "RAG / long-context training pre-pass. Pure scan-local expression "
+    "(sequence + slice + posexplode): no shuffle, no Python; a 100 TB "
+    "corpus chunks at full scan parallelism. Chunk identity is "
+    "(doc_id, chunk_id) with an md5 for content addressing.",
+)
+def q_training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    starts = f"sequence(0, size(w) - 1, {CHUNK_STRIDE})"
+    chunk = f"transform({starts}, s -> concat_ws(' ', slice(w, s + 1, {CHUNK_W})))"
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.posexplode(F.expr(chunk)).alias("idx", "chunk_text"))
+        .select(
+            "doc_id",
+            (F.col("idx")).alias("chunk_id"),
+            (F.col("idx") * CHUNK_STRIDE).alias("start_tok"),
+            F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

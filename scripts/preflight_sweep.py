@@ -38,7 +38,14 @@ def norm(cols, rows):
 
 
 def main() -> int:
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # argv[1]: integer -> check only the first N (sweep-order prefix);
+    # comma-separated names -> check only those (targeted re-verify)
+    limit, only = 0, None
+    if len(sys.argv) > 1:
+        if sys.argv[1].isdigit():
+            limit = int(sys.argv[1])
+        else:
+            only = set(sys.argv[1].split(","))
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
@@ -56,6 +63,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     names = list(qs)[: limit or len(qs)]
+    if only is not None:
+        missing = only - set(names)
+        if missing:
+            print(f"UNKNOWN query names: {sorted(missing)}", flush=True)
+            return 1
+        names = [n for n in names if n in only]
     bad = 0
     t_start = time.time()
     for i, name in enumerate(names):
