@@ -139,5 +139,6 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.operators.advanced  # noqa: F401
     # round-3 late additions (will lead the r04 rotation)
     import os___mapreduceframework_spark.operators.contamination  # noqa: F401
+    import os___mapreduceframework_spark.operators.graph  # noqa: F401
 
     _LOADED = True
