@@ -1,0 +1,152 @@
+"""Count-min sketch: fixed-size mergeable frequency state (charter
+extension: approximate algorithms for 100 TB streams/corpora).
+
+The HLL vocabulary rollup (training.py) covers mergeable *distinct*
+counting; this module adds the mergeable *frequency* sketch. A count-min
+sketch is a D x W counter grid; every token increments one cell per
+hash row, and a token's estimate is the MIN over its D cells --
+never an undercount, overcount bounded by eps*N (eps ~ e/W). The grid
+is tiny (D*W counters), merges by cell-wise +, and builds map-side:
+exactly the partial-aggregate shape Spark's hash aggregate gives for
+free when the grouping key is (row, cell). At 100 TB the shuffle
+carries at most partitions x D x W partial cells -- corpus-size-
+independent, the same argument as the HLL and Gram-matrix operators.
+
+Hashing reuses the minhash module's md5-derived universal family
+(operators/minhash.py:36-40), so the DuckDB oracle computes the SAME
+deterministic sketch bit-for-bit -- the approximate operator is
+*exactly* oracled, estimates and error-bound flags both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from os___mapreduceframework_spark.operators.minhash import _MH_PRIME
+from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.sources import load_table
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # cells per row
+TOP_K = 10
+
+
+def _h(j: int, x: str) -> str:
+    """Row-j cell index of pre-hashed token value ``x`` (SQL, both engines)."""
+    return f"((2 * {j} + 1) * {x} + 7919 * {j} + 13) % {_MH_PRIME} % {CMS_W}"
+
+
+_SPARK_X = (
+    f"cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint) % {_MH_PRIME}"
+)
+_DUCK_X = f"('0x' || substr(md5(token), 1, 15))::BIGINT % {_MH_PRIME}"
+
+
+def cms_cells(tokens: DataFrame) -> DataFrame:
+    """Build the sketch as a (j, cell, n) relation: explode each token
+    occurrence into its D cells, then one map-side-combined aggregate.
+    Partial state per task is at most D*W cells regardless of input."""
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.expr(_h(j, "x")).cast("long").alias("cell"))
+            for j in range(CMS_D)
+        ]
+    )
+    return (
+        tokens.select(F.expr(_SPARK_X).cast("long").alias("x"))
+        .select(F.explode(rows).alias("r"))
+        .groupBy(F.col("r.j").alias("j"), F.col("r.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tx AS (SELECT token, {_DUCK_X} AS x FROM tok),
+    cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j, {_h(j, 'x')} AS cell, COUNT(*) AS n"
+        f" FROM tx GROUP BY cell" for j in range(CMS_D)
+      )}
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    top AS (
+      SELECT token, ANY_VALUE(x) AS x, COUNT(*) AS true_cnt
+      FROM tx GROUP BY token
+      ORDER BY true_cnt DESC, token LIMIT {TOP_K}
+    ),
+    est AS (
+      SELECT t.token, t.true_cnt,
+             MIN(c.n) AS cms_est
+      FROM top t
+      JOIN cells c
+        ON (c.j = 0 AND c.cell = {_h(0, "t.x")})
+        OR (c.j = 1 AND c.cell = {_h(1, "t.x")})
+        OR (c.j = 2 AND c.cell = {_h(2, "t.x")})
+        OR (c.j = 3 AND c.cell = {_h(3, "t.x")})
+      GROUP BY t.token, t.true_cnt
+    )
+    SELECT token, true_cnt, cms_est,
+           (cms_est >= true_cnt) AS no_undercount,
+           (cms_est <= true_cnt + 2.0 * (SELECT total FROM tot) / {CMS_W})
+             AS within_bound
+    FROM est
+    ORDER BY true_cnt DESC, token
+    """,
+    doc=f"Count-min sketch ({CMS_D}x{CMS_W}) over the corpus token "
+    "stream, audited against the exact top-10 heavy hitters: estimate, "
+    "no-undercount guarantee, and the eps*N overcount bound, all "
+    "deterministic (md5-derived hash family) so the oracle recomputes "
+    "the identical sketch. The grid is fixed-size mergeable state -- "
+    "the frequency analog of the HLL vocabulary rollup.",
+)
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = cms_cells(tokens)
+    total = tokens.agg(F.count(F.lit(1)).alias("total"))
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "token")
+        .limit(TOP_K)
+        .withColumn("x", F.expr(_SPARK_X).cast("long"))
+    )
+    # expand each top token to its D (j, cell) probes and take MIN over
+    # the matching cells; cells relation is D*W rows -> broadcast
+    probes = top.select(
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_h(j, "x")).cast("long").alias("cell"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "true_cnt", F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+    est = (
+        probes.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("true_cnt")).alias("no_undercount"),
+            (
+                F.col("cms_est")
+                <= F.col("true_cnt") + 2.0 * F.col("total") / CMS_W
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("true_cnt"), "token")
+    )

@@ -140,5 +140,7 @@ def _load_all() -> None:
     # round-3 late additions (will lead the r04 rotation)
     import os___mapreduceframework_spark.operators.contamination  # noqa: F401
     import os___mapreduceframework_spark.operators.graph  # noqa: F401
+    import os___mapreduceframework_spark.operators.sketches  # noqa: F401
+    import os___mapreduceframework_spark.operators.layout  # noqa: F401
 
     _LOADED = True
