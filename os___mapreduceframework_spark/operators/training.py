@@ -413,3 +413,74 @@ def q_training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@query(
+    "merge_txn_two_tables",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           ROUND(o.o_totalprice * 2, 2) AS price,
+           i.n_items + 100 AS n_items
+    FROM orders o JOIN items i USING (o_orderkey)
+    WHERE o.o_orderkey % 10 = 0
+    ORDER BY o.o_orderkey
+    """,
+    doc="Atomic multi-table transaction (sinks.SnapshotTransaction): one "
+    "commit updates an orders table AND its per-order item-count "
+    "rollup; the query reads BOTH tables back post-commit and joins "
+    "them, so a torn commit (one table updated, the other not) would "
+    "break the oracle. Two-phase prepare/commit-record/roll-forward "
+    "protocol; crash recovery pinned in tests/test_snapshot_table.py.",
+)
+def q_merge_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from os___mapreduceframework_spark.sinks.snapshot_table import (
+        SnapshotMergeTable,
+        SnapshotTransaction,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    root = _scratch("merge_txn_two_tables")
+    shutil.rmtree(root, ignore_errors=True)  # idempotent per invocation
+    ta = SnapshotMergeTable(spark, os.path.join(root, "orders"),
+                            keys=["o_orderkey"], n_buckets=16)
+    tb = SnapshotMergeTable(spark, os.path.join(root, "items"),
+                            keys=["o_orderkey"], n_buckets=16)
+    ta.overwrite(orders)
+    tb.overwrite(items)
+    touched = F.col("o_orderkey") % 10 == 0
+    tx = SnapshotTransaction(root, {"orders": ta, "items": tb})
+    tx.stage_merge(
+        "orders",
+        orders.filter(touched).select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        ),
+    )
+    tx.stage_merge(
+        "items",
+        items.filter(touched).select(
+            "o_orderkey", (F.col("n_items") + 100).alias("n_items")
+        ),
+    )
+    tx.commit()
+    return (
+        ta.read()
+        .filter(touched)
+        .join(tb.read().filter(touched), "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "n_items",
+        )
+        .orderBy("o_orderkey")
+    )

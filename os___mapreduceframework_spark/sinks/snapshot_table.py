@@ -111,19 +111,15 @@ class SnapshotMergeTable:
         with open(os.path.join(self._manifest_dir(), f"v{version}.json")) as f:
             return json.load(f)["buckets"]
 
-    def _commit(
+    def _write_manifest(
         self, version: int, buckets: dict[str, int], base: int | None = None
     ) -> None:
-        """files -> manifest -> pointer: the crash-safe commit order.
+        """Stage the version manifest (no visibility change yet).
 
-        ``base`` is the version this commit was derived from; passing it
-        enables optimistic concurrency: the manifest file is created
-        with O_EXCL (two writers racing to the same version number --
-        i.e. the same base -- lose deterministically; exactly one
-        os.open succeeds), and the pointer is re-checked against base
-        right before the swing. This is the compare-and-swap a real
-        format does against its catalog; losers raise
-        ConcurrentWriteError and must re-read + retry their merge.
+        With ``base`` set the manifest file is created O_EXCL and the
+        pointer is re-checked against base -- two writers racing to the
+        same version number lose deterministically (exactly one os.open
+        succeeds); the CAS a real format runs against its catalog.
         """
         os.makedirs(self._manifest_dir(), exist_ok=True)
         mpath = os.path.join(self._manifest_dir(), f"v{version}.json")
@@ -149,10 +145,26 @@ class SnapshotMergeTable:
             with open(tmp, "w") as f:
                 f.write(payload)
             os.replace(tmp, mpath)  # atomic on POSIX
+
+    def _drop_manifest(self, version: int) -> None:
+        try:
+            os.remove(os.path.join(self._manifest_dir(), f"v{version}.json"))
+        except OSError:
+            pass
+
+    def _swing_pointer(self, version: int) -> None:
+        """Make ``version`` the visible snapshot (atomic rename)."""
         tmp_cur = self._current_file() + ".tmp"
         with open(tmp_cur, "w") as f:
             f.write(str(version))
         os.replace(tmp_cur, self._current_file())
+
+    def _commit(
+        self, version: int, buckets: dict[str, int], base: int | None = None
+    ) -> None:
+        """files -> manifest -> pointer: the crash-safe commit order."""
+        self._write_manifest(version, buckets, base=base)
+        self._swing_pointer(version)
 
     # -- public API --------------------------------------------------------
 
@@ -193,6 +205,25 @@ class SnapshotMergeTable:
                 )
             self.overwrite(updates)
             return
+        base, version, new_manifest = self._prepare_merge(updates, merge_fn)
+        self._commit(version, new_manifest, base=base)
+
+    def _prepare_merge(
+        self,
+        updates: DataFrame,
+        merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    ) -> tuple[int, int, dict[str, int]]:
+        """Write the merged data files for the NEXT version and return
+        (base, version, manifest) WITHOUT committing -- the prepare
+        phase of a (multi-table) transactional commit. Uncommitted
+        version dirs are invisible (no manifest references them) and
+        reclaimable."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"SnapshotMergeTable at {self.path} does not exist; seed "
+                "it with overwrite() before staging a merge"
+            )
         manifest = self._load_manifest(cur)
         affected = [
             r["__bucket"]
@@ -218,7 +249,7 @@ class SnapshotMergeTable:
                 new_manifest[str(b)] = version
             else:
                 new_manifest.pop(str(b), None)  # merge emptied the bucket
-        self._commit(version, new_manifest, base=cur)
+        return cur, version, new_manifest
 
     def _upsert(self, existing: DataFrame, updates: DataFrame) -> DataFrame:
         # allowMissingColumns = schema evolution on merge: an update
@@ -330,3 +361,122 @@ class SnapshotMergeTable:
             if v not in live_dirs:
                 shutil.rmtree(self._data_dir(v), ignore_errors=True)
         return removed
+
+
+class SnapshotTransaction:
+    """Atomic multi-table commit across SnapshotMergeTables (the
+    multi-table transaction a shared-catalog lakehouse provides).
+
+    Two-phase protocol over a coordinator log:
+
+    1. **prepare** -- each staged merge writes its table's next-version
+       data files AND manifest (manifest created O_EXCL against the
+       table's base, so a concurrent single-table writer conflicts
+       here), but no ``_current`` pointer moves: nothing is visible.
+    2. **commit point** -- one record ``_tx/tx{K}.json`` is created
+       O_EXCL listing every (table, base, version). Its existence IS the
+       transaction: created = committed, absent = aborted.
+    3. **roll forward** -- every table's pointer is swung to its staged
+       version. A crash between 2 and 3 leaves a committed-but-
+       unswung transaction; ``recover()`` re-reads the last record and
+       completes the swings (pointers are idempotent), so readers never
+       observe table A at the new version with table B at the old one
+       for longer than a recover() call.
+
+    Failures before the commit point drop staged manifests and leave
+    every table untouched (data dirs are unreferenced and reclaimable).
+    This is exactly the write-ahead commit-record pattern; the fsync
+    granularity of a catalog database is approximated by POSIX atomic
+    rename/O_EXCL, consistent with the single-node commit story of the
+    sibling classes.
+    """
+
+    def __init__(self, root: str, tables: dict[str, SnapshotMergeTable]):
+        self.root = root
+        self.tables = tables
+        self._staged: dict[str, tuple[int, int, dict[str, int]]] = {}
+
+    def _tx_dir(self) -> str:
+        return os.path.join(self.root, "_tx")
+
+    def _tx_ids(self) -> list[int]:
+        try:
+            names = os.listdir(self._tx_dir())
+        except OSError:
+            return []
+        return sorted(
+            int(n[2:-5]) for n in names if n.startswith("tx") and n.endswith(".json")
+        )
+
+    def stage_merge(
+        self,
+        name: str,
+        updates: DataFrame,
+        merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    ) -> None:
+        """Prepare ``updates`` against table ``name`` (files written,
+        nothing visible)."""
+        if name in self._staged:
+            raise ValueError(f"table {name} already staged in this transaction")
+        self._staged[name] = self.tables[name]._prepare_merge(updates, merge_fn)
+
+    def commit(self) -> int:
+        """Write every staged manifest (CAS against each table's base),
+        then the transaction record (the commit point), then swing every
+        pointer. Returns the transaction id."""
+        if not self._staged:
+            raise ValueError("nothing staged")
+        written: list[tuple[SnapshotMergeTable, int]] = []
+        try:
+            for name, (base, version, manifest) in self._staged.items():
+                t = self.tables[name]
+                t._write_manifest(version, manifest, base=base)
+                written.append((t, version))
+        except ConcurrentWriteError:
+            for t, v in written:  # abort: drop staged manifests, no pointer moved
+                t._drop_manifest(v)
+            self._staged.clear()
+            raise
+        tx_id = (self._tx_ids()[-1] + 1) if self._tx_ids() else 0
+        os.makedirs(self._tx_dir(), exist_ok=True)
+        record = {
+            name: {"base": base, "version": version}
+            for name, (base, version, _m) in self._staged.items()
+        }
+        tx_path = os.path.join(self._tx_dir(), f"tx{tx_id}.json")
+        try:
+            fd = os.open(tx_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            for t, v in written:
+                t._drop_manifest(v)
+            self._staged.clear()
+            raise ConcurrentWriteError(
+                f"transaction tx{tx_id} already committed by another writer"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(record))
+        # ---- commit point passed: roll forward (crash-safe via recover) ----
+        for name, (_base, version, _m) in self._staged.items():
+            self.tables[name]._swing_pointer(version)
+        self._staged.clear()
+        return tx_id
+
+    def recover(self) -> dict[str, int]:
+        """Complete the pointer swings of the last committed transaction
+        (no-op if all pointers already reached it). Run at writer
+        startup after a crash. Returns {table: version} rolled forward."""
+        ids = self._tx_ids()
+        if not ids:
+            return {}
+        with open(os.path.join(self._tx_dir(), f"tx{ids[-1]}.json")) as f:
+            record = json.load(f)
+        moved = {}
+        for name, vs in record.items():
+            t = self.tables.get(name)
+            if t is None:
+                continue
+            cur = t.current_version()
+            if cur is None or cur < vs["version"]:
+                t._swing_pointer(vs["version"])
+                moved[name] = vs["version"]
+        return moved

@@ -225,3 +225,90 @@ def test_stream_cdc_commits_one_version_per_batch(spark):
     ]
     assert counts == sorted(counts), counts
     assert counts[-1] == n_users
+
+
+# ---------------------------------------------------------------------------
+# SnapshotTransaction: atomic multi-table commit
+# ---------------------------------------------------------------------------
+
+from os___mapreduceframework_spark.sinks.snapshot_table import (  # noqa: E402
+    ConcurrentWriteError,
+    SnapshotTransaction,
+)
+
+
+@pytest.fixture
+def two_tables(spark, tmp_path):
+    a = SnapshotMergeTable(spark, str(tmp_path / "a"), keys=["k"], n_buckets=8)
+    b = SnapshotMergeTable(spark, str(tmp_path / "b"), keys=["k"], n_buckets=8)
+    a.overwrite(spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, v string"))
+    b.overwrite(spark.createDataFrame([(1, "b1"), (2, "b2")], "k long, v string"))
+    return str(tmp_path), {"a": a, "b": b}
+
+
+def test_txn_commits_both_tables_atomically(spark, two_tables):
+    root, tables = two_tables
+    tx = SnapshotTransaction(root, tables)
+    tx.stage_merge("a", spark.createDataFrame([(2, "A2")], "k long, v string"))
+    # nothing visible while staged (prepare wrote files, no pointers moved)
+    assert tables["a"].current_version() == 0
+    tx.stage_merge("b", spark.createDataFrame([(3, "B3")], "k long, v string"))
+    tx_id = tx.commit()
+    assert tx_id == 0
+    assert tables["a"].current_version() == 1
+    assert tables["b"].current_version() == 1
+    assert _rows(tables["a"].read()) == {(1, "a1"), (2, "A2")}
+    assert _rows(tables["b"].read()) == {(1, "b1"), (2, "b2"), (3, "B3")}
+    # time travel still works per table
+    assert _rows(tables["a"].read(version=0)) == {(1, "a1"), (2, "a2")}
+
+
+def test_txn_conflict_aborts_every_table(spark, two_tables):
+    """If one table's base moved under the transaction, NO table commits
+    (staged manifests dropped, pointers untouched)."""
+    root, tables = two_tables
+    tx = SnapshotTransaction(root, tables)
+    tx.stage_merge("a", spark.createDataFrame([(2, "A2")], "k long, v string"))
+    tx.stage_merge("b", spark.createDataFrame([(3, "B3")], "k long, v string"))
+    # an independent writer advances table b before the txn commits
+    tables["b"].merge(spark.createDataFrame([(9, "race")], "k long, v string"))
+    with pytest.raises(ConcurrentWriteError):
+        tx.commit()
+    assert tables["a"].current_version() == 0
+    assert tables["a"].versions() == [0]  # staged manifest rolled back
+    assert tables["b"].current_version() == 1  # the racer's commit, not ours
+    assert _rows(tables["b"].read()) == {(1, "b1"), (2, "b2"), (9, "race")}
+
+
+def test_txn_recover_rolls_forward_after_crash(spark, two_tables):
+    """Crash between the commit record and the pointer swings: recover()
+    completes the transaction; no mixed-version window survives it."""
+    root, tables = two_tables
+    tx = SnapshotTransaction(root, tables)
+    tx.stage_merge("a", spark.createDataFrame([(2, "A2")], "k long, v string"))
+    tx.stage_merge("b", spark.createDataFrame([(3, "B3")], "k long, v string"))
+    # simulate the crash: run commit() but stop after the tx record by
+    # monkeypatching one table's pointer swing to raise
+    orig = tables["b"]._swing_pointer
+    tables["b"]._swing_pointer = lambda v: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        tx.commit()
+    tables["b"]._swing_pointer = orig
+    # table a swung, table b did not: the mixed state recover() fixes
+    assert tables["a"].current_version() == 1
+    assert tables["b"].current_version() == 0
+    moved = SnapshotTransaction(root, tables).recover()
+    assert moved == {"b": 1}
+    assert tables["b"].current_version() == 1
+    assert _rows(tables["b"].read()) == {(1, "b1"), (2, "b2"), (3, "B3")}
+    # idempotent: a second recover moves nothing
+    assert SnapshotTransaction(root, tables).recover() == {}
+
+
+def test_txn_ids_increment(spark, two_tables):
+    root, tables = two_tables
+    for i in range(2):
+        tx = SnapshotTransaction(root, tables)
+        tx.stage_merge("a", spark.createDataFrame([(10 + i, f"x{i}")], "k long, v string"))
+        assert tx.commit() == i
+    assert tables["a"].current_version() == 2
