@@ -13,19 +13,20 @@ Spark-first formulation -- each iteration is pure DataFrame algebra:
 - contributions: edges equi-join current ranks, SUM per destination
   (one shuffle on supplier key, map-side combined);
 - dangling mass (suppliers have no out-edges): a 1-row aggregate
-  cross-joined back in (broadcast nested loop of one row -- **no
-  driver-side collect between iterations**, the whole k-iteration plan
-  stays lazy);
+  cross-joined back in (broadcast nested loop of one row -- no
+  driver-side collect of rank values between iterations);
 - the iteration count is fixed (k=3) and unrolled, so the DuckDB oracle
   is the same recurrence unrolled as chained CTEs -- an *exact* oracle
   for an "iterative, non-SQL-expressible" algorithm.
 
-Scale notes (100 TB): edges are the big table; each iteration shuffles
-only (dst, contribution) partials, never re-materializes the rank
-vector per edge. Ranks are |nodes|-sized (small relative to edges).
-For k >> 3 on a real cluster, insert ``localCheckpoint()`` per
-iteration to truncate lineage (the pattern dedup_near_clusters pins);
-at k=3 the lazy unrolled plan is the faster choice.
+Scale notes (100 TB): edges are the big table; they are materialized
+once (localCheckpoint -- the edge-cache every production PageRank
+uses) and each iteration shuffles only (dst, contribution) partials.
+Rank vectors are |nodes|-sized (small relative to edges) and
+checkpointed per iteration so every job's plan is one iteration deep
+-- without this the fully-lazy unroll re-derives the edge join inside
+each iteration and the plan grows ~100x Exchanges by k=3 (measured;
+the pattern dedup_near_clusters pins for the same reason).
 """
 
 from __future__ import annotations
@@ -55,18 +56,25 @@ def pagerank_suppliers(
     """PageRank over the bipartite purchase graph; returns one row per
     supplier node with its rank normalized by |nodes| (so values are
     O(1) and stable under corpus growth)."""
-    e = _edges(spark, sf_dir)
+    # Materialize the per-iteration inputs once (localCheckpoint): the
+    # naive fully-lazy unroll re-derives the edge join inside every
+    # iteration's contribution aggregate and the plan grows ~100x
+    # Exchanges by k=3. Caching the edge relation is what every
+    # production PageRank does; rank vectors are checkpointed per
+    # iteration to keep each job's plan one-iteration deep.
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     outdeg = e.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     nc = e.select("c").distinct()
     ns = e.select("s").distinct()
-    # |nodes| as a lazy 1-row frame, cross-joined where needed
-    n_nodes = nc.agg(F.count(F.lit(1)).alias("ncust")).crossJoin(
-        ns.agg(F.count(F.lit(1)).alias("nsupp"))
-    ).select((F.col("ncust") + F.col("nsupp")).alias("n"))
-
+    n_nodes = (
+        nc.agg(F.count(F.lit(1)).alias("ncust"))
+        .crossJoin(ns.agg(F.count(F.lit(1)).alias("nsupp")))
+        .select((F.col("ncust") + F.col("nsupp")).alias("n"))
+        .localCheckpoint(eager=True)  # 1 row
+    )
     prc = nc.crossJoin(n_nodes).select("c", (F.lit(1.0) / F.col("n")).alias("pr"))
     prs = ns.crossJoin(n_nodes).select("s", (F.lit(1.0) / F.col("n")).alias("pr"))
-    ew = e.join(outdeg, "c")  # (c, s, deg)
+    ew = e.join(outdeg, "c").localCheckpoint(eager=True)  # (c, s, deg)
     for _ in range(n_iter):
         contrib = (
             ew.join(prc, "c")
@@ -80,6 +88,7 @@ def pagerank_suppliers(
             .crossJoin(n_nodes)
             .crossJoin(dang)
             .select("c", base.alias("pr"))
+            .localCheckpoint(eager=True)
         )
         prs = (
             prs.select("s")
@@ -89,6 +98,7 @@ def pagerank_suppliers(
             .select(
                 "s", (base + F.lit(d) * F.coalesce("m", F.lit(0.0))).alias("pr")
             )
+            .localCheckpoint(eager=True)
         )
     return prs.crossJoin(n_nodes).select(
         "s", F.round(F.col("pr") * F.col("n"), 6).alias("pr_norm")
@@ -138,7 +148,8 @@ def _oracle_pagerank(n_iter: int = N_ITER, d: float = DAMPING) -> str:
     doc="PageRank (k=3, d=0.85) over the bipartite customer->supplier "
     "purchase graph; per-iteration dataflow is one shuffled partial-sum "
     "on the destination key plus two 1-row broadcast aggregates "
-    "(|nodes|, dangling mass) -- no driver collect in the loop. The "
+    "(|nodes|, dangling mass); edges and rank vectors localCheckpoint "
+    "per iteration (lineage truncation). The "
     "oracle unrolls the identical recurrence as chained CTEs, making an "
     "iterative algorithm exactly SQL-checkable.",
 )

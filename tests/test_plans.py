@@ -268,6 +268,16 @@ EXPECTED_MAX_SHUFFLES = {
     "sample_stratified": 2,   # per-stratum window + sort
     "class_balance_downsample": 4,  # quota agg + class window + final agg/sort
     "quality_quantile_sketch": 4,  # rollup sketch agg + rank-audit agg + sort
+    "curation_decontaminate": 4,   # eval-gram dedup + broadcast-hit agg + sort
+    "curation_decontaminate_summary": 8,  # + per-source rollup joins
+    "training_chunk_documents": 1, # scan-local chunk expr; sort only
+    "embedding_label_centroids": 2,  # one (label,dim) agg + sort
+    "embedding_label_cohesion": 5,   # centroid agg chain + per-label agg
+    "graph_pagerank_suppliers": 2,   # final plan post-checkpoint: join + sort
+    "graph_degree_stats": 9,       # 2x (edge-distinct + deg agg + hist agg) + union sort
+    "sketch_cms_heavy_hitters": 5, # cells agg + exact top-k + probe join
+    "layout_zorder_stats": 2,      # bucket agg + sort
+    "merge_txn_two_tables": 6,     # two table reads + readback join + sort
 }
 
 
