@@ -142,5 +142,6 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.operators.graph  # noqa: F401
     import os___mapreduceframework_spark.operators.sketches  # noqa: F401
     import os___mapreduceframework_spark.operators.layout  # noqa: F401
+    import os___mapreduceframework_spark.operators.ivm  # noqa: F401
 
     _LOADED = True

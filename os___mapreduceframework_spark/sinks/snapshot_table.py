@@ -305,10 +305,16 @@ class SnapshotMergeTable:
         manifest = self._load_manifest(v)
         return self._read_buckets(manifest, [int(b) for b in manifest])
 
-    def changes(self, v_from: int, v_to: int) -> DataFrame:
+    def changes(
+        self, v_from: int, v_to: int, before_image: bool = False
+    ) -> DataFrame:
         """Change data feed between two snapshots: one row per changed
         key with change_type in (insert, update, delete) plus the
-        after-image columns (null for deletes).
+        after-image columns (null for deletes). With ``before_image``,
+        each value column additionally appears as ``{col}__before``
+        (null for inserts) -- what a downstream incremental consumer
+        (e.g. view maintenance, which must SUBTRACT an update's old
+        contribution) needs beyond upsert replay.
 
         Computed as a full outer join of the two snapshots on the table
         keys -- at scale both sides are bucket-pruned reads and the
@@ -334,6 +340,12 @@ class SnapshotMergeTable:
         out_cols = [
             F.coalesce(new[k], old[k]).alias(k) for k in self.keys
         ] + [new[c].alias(c) for c in value_cols]
+        if before_image:
+            out_cols += [
+                old[c].alias(f"{c}__before")
+                for c in old.columns
+                if c not in self.keys
+            ]
         return (
             j.withColumn("change_type", change)
             .filter(

@@ -278,6 +278,7 @@ EXPECTED_MAX_SHUFFLES = {
     "sketch_cms_heavy_hitters": 5, # cells agg + exact top-k + probe join
     "layout_zorder_stats": 2,      # bucket agg + sort
     "merge_txn_two_tables": 6,     # two table reads + readback join + sort
+    "ivm_revenue_by_customer": 5,  # v0 view agg + cdf join + delta agg + merge join
 }
 
 

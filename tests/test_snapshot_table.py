@@ -312,3 +312,26 @@ def test_txn_ids_increment(spark, two_tables):
         tx.stage_merge("a", spark.createDataFrame([(10 + i, f"x{i}")], "k long, v string"))
         assert tx.commit() == i
     assert tables["a"].current_version() == 2
+
+
+def test_change_feed_before_images(spark, table):
+    """before_image=True adds {col}__before: old value for updates and
+    deletes, NULL for inserts -- what incremental view maintenance
+    subtracts."""
+    def merge_fn(existing, updates):
+        merged = existing.join(updates, ["k"], "left_anti").unionByName(updates)
+        return merged.filter("k <> 3")  # delete k=3
+
+    table.merge(
+        spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], "k long, v string"),
+        merge_fn=merge_fn,
+    )
+    rows = {
+        r["k"]: (r["change_type"], r["v"], r["v__before"])
+        for r in table.changes(0, 1, before_image=True).collect()
+    }
+    assert rows == {
+        2: ("update", "B", "b"),
+        3: ("delete", None, "c"),
+        4: ("insert", "d", None),
+    }
