@@ -150,3 +150,56 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_cnt"), "token")
     )
+
+
+@query(
+    "text_bpe_pair_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    pairs AS (
+      SELECT substr(token, CAST(i AS INT), 2) AS pair, n
+      FROM tok, unnest(range(1, length(token))) AS u(i)
+      WHERE length(token) >= 2
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS weight
+    FROM pairs
+    GROUP BY pair
+    ORDER BY weight DESC, pair
+    LIMIT 15
+    """,
+    doc="BPE-training pair statistics: corpus-weighted adjacent-symbol "
+    "pair counts, the argmax of which is the next merge rule. Computed "
+    "over the DISTINCT token vocabulary weighted by occurrence count "
+    "-- at 100 TB the pair explosion runs over the (tiny) vocab table, "
+    "not the corpus; the corpus is touched once for the token counts "
+    "(map-side-combined agg). Each training iteration re-runs this "
+    "with the learned merges applied; the statistics pass shown here "
+    "is the per-iteration cost.",
+)
+def q_text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("token") >= 2)
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("weight"))
+        .orderBy(F.desc("weight"), "pair")
+        .limit(15)
+    )
