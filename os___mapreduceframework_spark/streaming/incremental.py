@@ -345,3 +345,45 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_dedup(docs), "update", shuffle_partitions=None
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch: mergeable frequency state as streaming agg
+# ---------------------------------------------------------------------------
+
+from os___mapreduceframework_spark.operators.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    _DUCK_X,
+    _h,
+    cms_cells,
+)
+
+
+@query(
+    "stream_cms_cells",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tx AS (SELECT token, {_DUCK_X} AS x FROM tok),
+    cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j, {_h(j, 'x')} AS cell, COUNT(*) AS n"
+        f" FROM tx GROUP BY cell" for j in range(CMS_D)
+      )}
+    )
+    SELECT j, cell, n FROM cells
+    ORDER BY j, cell
+    """,
+    doc=f"Count-min sketch ({CMS_D}x{CMS_W}) built INCREMENTALLY over the "
+    "document stream: the cell grid is a streaming groupBy count in "
+    "complete mode, so each micro-batch folds its tokens into the "
+    "sketch and the state never exceeds D*W counters no matter how "
+    "long the stream runs -- the canonical mergeable-sketch-as-"
+    "streaming-state pattern. Batch-equivalent by construction; the "
+    "oracle is the batch sketch (exact hash-level equality).",
+)
+def q_stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents_stream(spark, sf_dir)
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    out = run_to_completion(cms_cells(tokens), "complete")
+    return out.orderBy("j", "cell")
