@@ -44,6 +44,16 @@ GOLDEN_QUERIES = [n for n in HEADLINE if not n.startswith("stream_")] + [
     "curation_pii_scrub",
     "curation_mix_weights",
     "pandas_udf_scalar_score",
+    # round-3 continuation additions (materialization-free plans only:
+    # pagerank/merge-txn/ivm run jobs at build time and are excluded)
+    "curation_decontaminate",
+    "training_chunk_documents",
+    "embedding_label_centroids",
+    "embedding_label_cohesion",
+    "graph_degree_stats",
+    "sketch_cms_heavy_hitters",
+    "text_bpe_pair_stats",
+    "layout_zorder_stats",
 ]
 
 
