@@ -176,3 +176,63 @@ def q_class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# 13 hex chars of md5 = 52 bits -> exact in a double; u in [0, 1)
+_SPARK_U = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)"
+    " / cast(4503599627370496 as double)"
+)
+_DUCK_U = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
+    " / CAST(4503599627370496 AS DOUBLE)"
+)
+
+
+@query(
+    "sample_weighted_by_length",
+    oracle=f"""
+    WITH m AS (SELECT MAX(n_chars) AS maxc FROM documents),
+    s AS (
+      SELECT doc_id, source, n_chars,
+             {_DUCK_U} AS u,
+             n_chars / (SELECT CAST(maxc AS DOUBLE) FROM m) AS p
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS checksum,
+           CAST(ROUND(SUM(1.0 / p), 2) AS DOUBLE) AS est_total
+    FROM s
+    WHERE u < p
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Deterministic weighted Bernoulli sampling (probability "
+    "proportional to document length): the inclusion coin is 52 md5 "
+    "bits of the key -- re-derivable, retry/speculation-safe, "
+    "auditable, unlike rand(). Inclusion is a scan-local predicate "
+    "(the max-weight normalizer is a 1-row broadcast); the "
+    "Horvitz-Thompson inverse-probability sum estimates the population "
+    "size, checked by the oracle. The size-biased sample is the "
+    "standard curation move when long documents matter more.",
+)
+def q_sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    maxc = docs.agg(F.max("n_chars").alias("maxc"))
+    s = docs.crossJoin(F.broadcast(maxc)).select(
+        "doc_id",
+        "source",
+        F.expr(_SPARK_U).alias("u"),
+        (F.col("n_chars") / F.col("maxc").cast("double")).alias("p"),
+    )
+    return (
+        s.filter(F.col("u") < F.col("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("checksum"),
+            F.round(F.sum(1.0 / F.col("p")), 2).cast("double").alias("est_total"),
+        )
+        .orderBy("source")
+    )
