@@ -1129,3 +1129,126 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "basket_pair_support",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    norders AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+    pf AS (SELECT p, COUNT(*) AS np FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_both
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT p1, p2, n_both,
+           ROUND(n_both / (SELECT CAST(n AS DOUBLE) FROM norders), 6) AS support,
+           ROUND(n_both * (SELECT CAST(n AS DOUBLE) FROM norders)
+                 / (f1.np * CAST(f2.np AS DOUBLE)), 4) AS lift
+    FROM pairs
+    JOIN pf f1 ON p1 = f1.p
+    JOIN pf f2 ON p2 = f2.p
+    ORDER BY n_both DESC, p1, p2
+    LIMIT 20
+    """,
+    doc="Market-basket pair mining (association rules): top part pairs "
+    "co-occurring in an order, with support and lift. The pair "
+    "generation is a self-equi-join on the basket key -- pairs per "
+    "basket is O(items_per_basket^2) with small baskets (TPC-H ~4), "
+    "never a global cross product; the join co-partitions both sides "
+    "on orderkey (one shuffle), and the part-frequency/lift factors "
+    "are tiny broadcast relations. The FP-growth pre-pass a "
+    "recommender pipeline runs at 100 TB.",
+)
+def q_basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    norders = items.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
+    pf = items.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(F.broadcast(pf.withColumnRenamed("p", "p1").withColumnRenamed("np", "np1")), "p1")
+        .join(F.broadcast(pf.withColumnRenamed("p", "p2").withColumnRenamed("np", "np2")), "p2")
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n").cast("double"), 6).alias("support"),
+            F.round(
+                F.col("n_both") * F.col("n").cast("double")
+                / (F.col("np1") * F.col("np2").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation: one "
+    "aggregate over orders, three NTILE(5) rankings (deterministic "
+    "tiebreak on the key so both engines split ties identically), "
+    "segment-cell counts out. The per-customer aggregate is "
+    "map-side-combined; the NTILE windows are global sorts over the "
+    "CUSTOMER relation (small relative to orders) -- at 100 TB the "
+    "segmentation input is the rolled-up table, never the fact.",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    rfm = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
