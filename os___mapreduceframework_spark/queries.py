@@ -143,5 +143,6 @@ def _load_all() -> None:
     import os___mapreduceframework_spark.operators.sketches  # noqa: F401
     import os___mapreduceframework_spark.operators.layout  # noqa: F401
     import os___mapreduceframework_spark.operators.ivm  # noqa: F401
+    import os___mapreduceframework_spark.operators.fuzzy  # noqa: F401
 
     _LOADED = True
