@@ -627,3 +627,77 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("n").cast("bigint"), "n_anomalies")
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN struct_pack(t := ts, c := event_type) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    ),
+    attributed AS (
+      SELECT CASE WHEN touch IS NOT NULL
+                   AND touch.t >= ts - INTERVAL 1 HOUR THEN touch.c
+                  ELSE 'none' END AS channel,
+             value
+      FROM w WHERE event_type = 'purchase'
+    )
+    SELECT channel, COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS attributed_value
+    FROM attributed
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    doc="Last-touch marketing attribution: each purchase is credited to "
+    "the user's most recent click/view within the preceding hour (else "
+    "'none'). One window pass per user (hash-partitioned on user_id -- "
+    "the same single-shuffle layout as sessionize/funnel), attribution "
+    "is a scan-local expression over the carried struct, rollup is a "
+    "tiny channel aggregate. DECIMAL money sums.",
+)
+def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct(F.col("ts").alias("t"), F.col("event_type").alias("c")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("touch").isNotNull()
+                & (F.col("touch.t") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+                F.col("touch.c"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("channel"),
+            "value",
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
