@@ -1171,7 +1171,11 @@ def q_basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norders = items.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
     pf = items.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
-    a, b = items.alias("a"), items.alias("b")
+    # both sides of the pair join are corpus-scale (distinct basket
+    # items): force the co-partitioned merge join -- small-SF stats
+    # would happily broadcast one side, which is fatal at 100 TB (the
+    # q4 trap, see tests/test_fact_broadcast_audit.py)
+    a, b = items.alias("a"), items.hint("merge").alias("b")
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
