@@ -279,6 +279,13 @@ EXPECTED_MAX_SHUFFLES = {
     "layout_zorder_stats": 2,      # bucket agg + sort
     "merge_txn_two_tables": 6,     # two table reads + readback join + sort
     "ivm_revenue_by_customer": 5,  # v0 view agg + cdf join + delta agg + merge join
+    "sample_weighted_by_length": 4,  # 1-row max + per-source agg + sort
+    "basket_pair_support": 14,     # distinct + forced SMJ pair join + aggs (no fact broadcast)
+    "customer_rfm_segments": 2,    # per-customer agg + segment rollup (ntile windows reuse)
+    "fuzzy_match_part_names": 5,   # gram join + candidate agg + probe window
+    "events_attribution_last_touch": 3,  # user_id window + channel agg + sort
+    "text_bpe_pair_stats": 2,      # vocab agg + pair agg (TakeOrdered)
+    "multimodal_audio_spectrum": 1,  # fused mapInPandas chain; sort only
 }
 
 
