@@ -701,3 +701,40 @@ def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+    doc="Markov transition counts over per-user event sequences "
+    "(sequence mining: which step follows which). One hash-partitioned "
+    "window on user_id (the funnel/sessionize layout, shuffle reused "
+    "if composed), then a types x types aggregate whose state is "
+    "constant-size. The input to next-event prediction and "
+    "anomalous-flow detection.",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
