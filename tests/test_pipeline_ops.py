@@ -164,3 +164,134 @@ def test_embedding_near_banded_recall_and_precision(spark):
     }
     assert got <= exact, f"false positives: {got - exact}"
     assert len(got) >= 0.85 * len(exact), (len(got), len(exact))
+
+
+# ---------------------------------------------------------------------------
+# Property tests: count-min sketch and incremental view maintenance
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_property_cms_never_undercounts_and_merges(spark, tokens):
+    """For ANY token multiset: (1) every token's CMS estimate >= its
+    true count (the sketch's guarantee); (2) the grid built from the
+    whole set equals the cell-wise SUM of grids built from any split
+    (mergeability -- the property that makes it distributed state)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from os___mapreduceframework_spark.operators.sketches import cms_cells
+
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    cells = {(r["j"], r["cell"]): r["n"] for r in cms_cells(df).collect()}
+    # (1) point estimates via the same hash family, computed in SQL
+    probe = (
+        spark.createDataFrame([(t,) for t in set(tokens)], "token string")
+        .select("token", *[
+            F.expr(
+                f"((2 * {j} + 1) * (cast(conv(substr(md5(token), 1, 15), 16, 10)"
+                f" as bigint) % 2147483647) + 7919 * {j} + 13)"
+                f" % 2147483647 % 512"
+            ).alias(f"c{j}")
+            for j in range(4)
+        ])
+        .collect()
+    )
+    true = Counter(tokens)
+    for r in probe:
+        est = min(cells[(j, r[f"c{j}"])] for j in range(4))
+        assert est >= true[r["token"]]
+    # (2) mergeability: split the multiset in half, sum the grids
+    half = len(tokens) // 2
+    merged = Counter()
+    for part in (tokens[:half], tokens[half:]):
+        if not part:
+            continue
+        pdf = spark.createDataFrame([(t,) for t in part], "token string")
+        for r in cms_cells(pdf).collect():
+            merged[(r["j"], r["cell"])] += r["n"]
+    assert dict(merged) == cells
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.dictionaries(
+        st.integers(0, 15), st.integers(1, 500), min_size=1, max_size=10
+    ),
+    changes=st.dictionaries(
+        st.integers(0, 25),
+        st.one_of(st.none(), st.integers(1, 500)),  # None = delete
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_property_ivm_refresh_equals_recompute(spark, tmp_path_factory, base, changes):
+    """maintain_sum_count over a real table's change feed == full
+    recompute of the view from the post-merge state, for arbitrary
+    insert/update/delete batches."""
+    from pyspark.sql import functions as F
+
+    from os___mapreduceframework_spark.operators.ivm import maintain_sum_count
+    from os___mapreduceframework_spark.sinks.snapshot_table import SnapshotMergeTable
+
+    path = str(tmp_path_factory.mktemp("ivm_prop") / "t")
+    t = SnapshotMergeTable(spark, path, keys=["k"], n_buckets=4)
+    rows = [(k, k % 3, float(v)) for k, v in base.items()]
+    t.overwrite(spark.createDataFrame(rows, "k long, g long, x double"))
+    upserts = [
+        (k, k % 3, float(v)) for k, v in changes.items() if v is not None
+    ]
+    deletes = {k for k, v in changes.items() if v is None}
+    upd_df = spark.createDataFrame(
+        upserts + [(k, k % 3, 0.0) for k in deletes], "k long, g long, x double"
+    )
+
+    def merge_fn(existing, updates):
+        merged = existing.join(updates, ["k"], "left_anti").unionByName(updates)
+        return merged.filter(~F.col("k").isin(list(deletes)) if deletes else F.lit(True))
+
+    t.merge(upd_df, merge_fn=merge_fn)
+    m0 = (
+        t.read(version=0)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total"),
+        )
+    )
+    got = {
+        r["g"]: (r["n"], float(r["total"]))
+        for r in maintain_sum_count(
+            m0, t.changes(0, 1, before_image=True), "g", "x"
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n"], float(r["total"]))
+        for r in t.read(version=1)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
