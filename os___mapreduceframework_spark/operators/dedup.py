@@ -469,3 +469,85 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+CONTAINMENT_MIN = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {{bands}},
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+              FROM cand c
+              JOIN ds x ON x.doc_id = c.doc_a
+              JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+              GROUP BY c.doc_a, c.doc_b),
+    scored AS (
+      SELECT i.doc_a, i.doc_b, sa.n AS na, sb.n AS nb,
+             ROUND(n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+               AS containment
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc,
+           containment
+    FROM scored
+    WHERE containment >= {CONTAINMENT_MIN}
+    ORDER BY doc_a, doc_b
+    """.format(bands=_BANDS_SQL),
+    doc="Shingle-set CONTAINMENT (|A∩B| / min(|A|,|B|)) on LSH-banded "
+    "candidates: catches sub-document duplication -- a short document "
+    "quoted inside a longer one scores near 1.0 here but low on "
+    "symmetric Jaccard, which dilutes by the union. Same "
+    "candidates-only cost model as the Jaccard verify; the smaller "
+    "side is reported as the contained (droppable) document.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidates(docs)
+    ds = _shingles(docs).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = ds.alias("x"), ds.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == cand.doc_a)
+        .join(
+            y,
+            (F.col("y.doc_id") == cand.doc_b)
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (
+        inter.join(sa, F.col("sa.doc_id") == inter.doc_a)
+        .join(sb, F.col("sb.doc_id") == inter.doc_b)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+            F.round(
+                F.col("n_common")
+                / F.least(F.col("sa.n"), F.col("sb.n")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+    return (
+        scored.filter(F.col("containment") >= CONTAINMENT_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            "containment",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
