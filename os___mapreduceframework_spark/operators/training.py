@@ -484,3 +484,57 @@ def q_merge_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "merge_forget_customers",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_forgotten_remaining
+    FROM orders
+    WHERE o_custkey % 97 <> 0
+    """,
+    doc="Right-to-be-forgotten delete: every order of the forgotten "
+    "customer set is removed by one bucket-scoped merge, then "
+    "vacuum(keep_last=1) expires the pre-delete snapshot INCLUDING the "
+    "now-unreferenced bucket partitions inside retained version dirs "
+    "-- so the deletion is physical (no file under the table root "
+    "still holds a forgotten row; pinned byte-level in "
+    "tests/test_snapshot_table.py), not merely invisible. Cost is "
+    "proportional to the forgotten customers' buckets, not the table.",
+)
+def q_merge_forget_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from os___mapreduceframework_spark.sinks.snapshot_table import (
+        SnapshotMergeTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _scratch("merge_forget_customers")
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per invocation
+    table = SnapshotMergeTable(spark, path, keys=["o_orderkey"], n_buckets=16)
+    table.overwrite(orders)
+    forgotten = orders.filter(F.col("o_custkey") % 97 == 0)
+
+    def forget(existing: DataFrame, updates: DataFrame) -> DataFrame:
+        merged = existing.join(updates, ["o_orderkey"], "left_anti").unionByName(
+            updates
+        )
+        return merged.filter(F.col("o_custkey") % 97 != 0)
+
+    table.merge(forgotten, merge_fn=forget)
+    table.vacuum(keep_last=1)
+    return table.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.sum((F.col("o_custkey") % 97 == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_forgotten_remaining"),
+    )

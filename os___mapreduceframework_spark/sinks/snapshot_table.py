@@ -356,22 +356,43 @@ class SnapshotMergeTable:
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Expire all but the last ``keep_last`` snapshots; delete
-        version dirs no retained manifest references. Returns removed
-        versions."""
+        version dirs no retained manifest references, and inside
+        retained dirs delete bucket partitions no retained manifest
+        points at (bucket-granular expiry -- REQUIRED for physical
+        deletes: a merge that drops rows rewrites the affected buckets
+        into the new version dir, so the old rows survive only in the
+        old dir's now-unreferenced bucket partitions; removing them is
+        what makes a right-to-be-forgotten delete physical, not just
+        logical). Returns removed versions."""
         vs = self.versions()
         drop, keep = vs[:-keep_last], vs[-keep_last:]
         if not drop:
             return []
-        live_dirs = set()
+        live: set[tuple[int, int]] = set()  # (version dir, bucket)
         for v in keep:
-            live_dirs.update(self._load_manifest(v).values())
+            for b, vdir in self._load_manifest(v).items():
+                live.add((vdir, int(b)))
         removed = []
         for v in drop:
             os.remove(os.path.join(self._manifest_dir(), f"v{v}.json"))
             removed.append(v)
+        live_dirs = {vdir for vdir, _b in live}
         for v in set(vs) - set(keep):
             if v not in live_dirs:
                 shutil.rmtree(self._data_dir(v), ignore_errors=True)
+        # bucket-granular pass inside retained dirs
+        for vdir in live_dirs:
+            root = self._data_dir(vdir)
+            try:
+                parts = os.listdir(root)
+            except OSError:
+                continue
+            for name in parts:
+                if not name.startswith("__bucket="):
+                    continue
+                b = int(name.split("=", 1)[1])
+                if (vdir, b) not in live:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         return removed
 
 

@@ -335,3 +335,32 @@ def test_change_feed_before_images(spark, table):
         3: ("delete", None, "c"),
         4: ("insert", "d", None),
     }
+
+
+def test_vacuum_is_bucket_granular_physical_delete(spark, tmp_path):
+    """After a delete-merge + vacuum(keep_last=1), NO parquet file under
+    the table root may still hold a deleted row -- the old version
+    dir's rewritten-bucket partitions must be gone even though the dir
+    itself is still referenced for untouched buckets."""
+    t = SnapshotMergeTable(spark, str(tmp_path / "forget"), keys=["k"], n_buckets=4)
+    rows = [(i, f"v{i}") for i in range(40)]
+    t.overwrite(spark.createDataFrame(rows, "k long, v string"))
+    doomed = {7}  # one key -> one affected bucket
+
+    def forget(existing, updates):
+        merged = existing.join(updates, ["k"], "left_anti").unionByName(updates)
+        return merged.filter(~merged.k.isin(list(doomed)))
+
+    t.merge(
+        spark.createDataFrame([(7, "v7")], "k long, v string"), merge_fn=forget
+    )
+    t.vacuum(keep_last=1)
+    assert t.versions() == [1]
+    # logical read: key gone, everything else intact
+    keys = {r["k"] for r in t.read().collect()}
+    assert keys == set(range(40)) - doomed
+    # physical read: scan EVERY remaining parquet file directly
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "forget" / "data")
+    )
+    assert {r["k"] for r in raw.select("k").collect()} == set(range(40)) - doomed
