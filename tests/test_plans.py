@@ -286,6 +286,9 @@ EXPECTED_MAX_SHUFFLES = {
     "events_attribution_last_touch": 3,  # user_id window + channel agg + sort
     "text_bpe_pair_stats": 2,      # vocab agg + pair agg (TakeOrdered)
     "multimodal_audio_spectrum": 1,  # fused mapInPandas chain; sort only
+    "dedup_containment": 14,       # banded candidates + shingle joins (mirrors ngram_jaccard)
+    "text_keywords_per_doc": 8,    # tf + df aggs + term join + doc window
+    "events_transition_matrix": 3, # user window + pair agg + sort
 }
 
 
