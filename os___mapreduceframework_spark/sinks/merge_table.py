@@ -73,7 +73,11 @@ class MergeTable:
 
     def overwrite(self, df: DataFrame) -> None:
         """(Re)create the table from scratch."""
-        self._bucket(df).write.mode("overwrite").partitionBy("__bucket").parquet(
+        # repartition on __bucket so each bucket is one task's contiguous
+        # write (without it: tasks x buckets small files)
+        self._bucket(df).repartition(self.n_buckets, F.col("__bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(
             self.path
         )
 
@@ -153,7 +157,11 @@ class MergeTable:
         written data, so an affected bucket the merge emptied must have
         its directory removed explicitly (the delete-commit a format
         encodes in its log)."""
-        bucketed = self._bucket(new_slice).localCheckpoint(eager=True)
+        bucketed = (
+            self._bucket(new_slice)
+            .repartition(self.n_buckets, F.col("__bucket"))
+            .localCheckpoint(eager=True)
+        )
         (
             bucketed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
