@@ -346,10 +346,19 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_embed",
-    oracle=None,  # array<double> fake embedding; rows-only driver check + unit tests
+    oracle=f"""
+    SELECT doc_id,
+           list_transform(range(0, {FAKE_FEATURE_DIM}),
+               i -> ('0x' || substr(md5(text), CAST(2 * i + 1 AS INT), 2))::BIGINT
+                    / 255.0) AS feat
+    FROM documents
+    ORDER BY doc_id
+    """,
     doc="Full multimodal embedding pipeline: binary payload -> "
-    "mapInPandas -> array<double> feature column (deterministic fake "
-    "decode; real decode stubbed behind decode_media).",
+    "mapInPandas -> array<double> feature column. The stand-in decode "
+    "is md5-seeded (real decode stubbed behind decode_media), which "
+    "makes even this Python-side path exactly oracle-checkable: the "
+    "oracle recomputes the same md5-derived components in SQL.",
 )
 def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = with_media_columns(load_table(spark, sf_dir, "documents"))

@@ -39,7 +39,11 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
 
     def cell(v):
-        if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
+        if hasattr(v, "tolist"):  # numpy array/scalar (duckdb .df() arrays)
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if pd.isna(v) if not isinstance(v, dict) else False:
             return "NULL"
         if isinstance(v, float):
             return repr(round(v, 9))
