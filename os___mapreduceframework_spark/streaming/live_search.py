@@ -93,9 +93,21 @@ def drain_live_search(
     return spark.table(name)
 
 
+_FIXTURE_TABLES = sorted(
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
 @query(
     "stream_live_search",
-    oracle=None,  # directory listings are outside the DuckDB table views
+    # The watched directory IS the fixture contract (TESTDATA.md): it
+    # holds exactly the ten table parquet files, so the expected
+    # aggregation is a static relation -- the one case where a VALUES
+    # oracle is the honest ground truth (dir listings are otherwise
+    # outside the DuckDB views).
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}.parquet', CAST(1 AS BIGINT))" for t in _FIXTURE_TABLES)
+    + ") AS t(name, cnt) ORDER BY name",
     doc="The reference's Search workload as a live pipeline: the "
     "streaming dir_entries watcher feeds the SAME search_count operator "
     "the batch flagship uses; the complete-mode sink holds the "
