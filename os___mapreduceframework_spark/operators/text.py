@@ -289,3 +289,54 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+    ),
+    freq AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, SUM(n) AS total FROM freq GROUP BY doc_id),
+    ent AS (
+      SELECT f.doc_id,
+             ROUND(-SUM((n / CAST(total AS DOUBLE))
+                        * log2(n / CAST(total AS DOUBLE))), 6) AS entropy
+      FROM freq f JOIN tot USING (doc_id)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, entropy, (entropy < 3.5) AS low_entropy
+    FROM ent
+    ORDER BY doc_id
+    """,
+    doc="Character-level Shannon entropy per document -- the "
+    "information-theoretic junk filter (low entropy = repetitive "
+    "boilerplate, high = random noise; natural text sits ~4 bits). "
+    "Two-level aggregate: per-(doc, char) counts, then the entropy sum "
+    "-- both map-side-combined, the first shuffle's doc_id "
+    "partitioning reused by the second. Complements the token-ratio "
+    "gates in text_quality with a tokenizer-free signal.",
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    ent = (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+    )
+    return ent.select(
+        "doc_id", "entropy", (F.col("entropy") < 3.5).alias("low_entropy")
+    ).orderBy("doc_id")
