@@ -164,3 +164,85 @@ def q_curation_decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+@query(
+    "curation_pipeline_v2",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    eval_grams AS (SELECT DISTINCT gram FROM gr WHERE doc_id % {EVAL_MOD} = 0),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM (SELECT * FROM gr WHERE doc_id % {EVAL_MOD} <> 0) t
+      JOIN eval_grams e USING (gram)
+      GROUP BY t.doc_id
+    ),
+    contaminated AS (SELECT doc_id FROM hits WHERE n_shared >= {K_CONTAMINATED}),
+    -- exact dedup: keeper = min doc_id per normalized-text fingerprint
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ),
+    survivors AS (
+      SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d
+      JOIN keepers k ON d.doc_id = k.doc_id
+      LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % {EVAL_MOD} <> 0 AND c.doc_id IS NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM((n_tok - 1) // {8} + 1) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM survivors
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Composed curation pipeline v2: drop the eval split, drop "
+    "benchmark-contaminated documents (broadcast n-gram semi-join), "
+    "drop exact duplicates (min-doc_id keeper per normalized-text "
+    "fingerprint), then account the sliding-window chunking "
+    "(W=16/stride=8) of the survivors -- chunk and token counts are "
+    "pure arithmetic on the token count, no explode needed. One fused "
+    "Catalyst plan; each stage is the registered standalone operator's "
+    "exact semantics, proving the operator set composes into the "
+    "production path.",
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = doc_ngrams(docs)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= K_CONTAMINATED)
+        .select("doc_id")
+    )
+    fingerprint = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    keepers = (
+        docs.groupBy(fingerprint.alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = (
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(keepers, "doc_id", "semi")
+        .join(contaminated, "doc_id", "anti")
+        .select("source", F.size(F.split("text", " ")).alias("n_tok"))
+    )
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.floor((F.col("n_tok") - 1) / 8) + 1)
+            .cast("bigint")
+            .alias("n_chunks"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
