@@ -54,6 +54,8 @@ GOLDEN_QUERIES = [n for n in HEADLINE if not n.startswith("stream_")] + [
     "sketch_cms_heavy_hitters",
     "text_bpe_pair_stats",
     "layout_zorder_stats",
+    "text_char_entropy",
+    "curation_pipeline_v2",
 ]
 
 

@@ -289,6 +289,8 @@ EXPECTED_MAX_SHUFFLES = {
     "dedup_containment": 14,       # banded candidates + shingle joins (mirrors ngram_jaccard)
     "text_keywords_per_doc": 8,    # tf + df aggs + term join + doc window
     "events_transition_matrix": 3, # user window + pair agg + sort
+    "text_char_entropy": 6,        # char-freq agg + totals join + entropy agg
+    "curation_pipeline_v2": 8,     # contamination semi + dedup keeper + source rollup
 }
 
 
