@@ -551,3 +551,70 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH {_BANDS_SQL},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    r AS (
+      WITH RECURSIVE reach(s, t) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.s, e.b FROM reach JOIN edges e ON reach.t = e.a
+      )
+      SELECT s, t FROM reach
+    ),
+    memb AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM r GROUP BY s),
+    j AS (SELECT m.cluster_id, m.doc_id, d.n_chars
+          FROM memb m JOIN documents d USING (doc_id)),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j
+    )
+    SELECT cluster_id, doc_id AS canonical_doc, n_chars AS canonical_chars,
+           n_members, n_members - 1 AS n_removed
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+    doc="Canonical-representative selection: the step after clustering "
+    "that a curation pipeline actually ships -- per near-dup cluster, "
+    "keep the RICHEST member (max n_chars, ties to min doc_id) rather "
+    "than an arbitrary id, and account for what gets dropped. One "
+    "max_by aggregate per cluster over the membership join: no "
+    "per-cluster sort, no window over the corpus -- state is one row "
+    "per cluster however large the cluster (the boilerplate-cluster "
+    "hazard at 100 TB). Oracle: DuckDB recursive-CTE components + "
+    "ROW_NUMBER argmax.",
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components(lsh_candidates(docs))
+    memb = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    # max_by on a (n_chars, -doc_id) struct: lexicographic struct order
+    # gives max length with min-doc_id tie-break in ONE aggregate pass
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("n_chars")),
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    return (
+        memb.groupBy("cluster_id")
+        .agg(
+            best.alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("best.doc_id").alias("canonical_doc"),
+            F.col("best.n_chars").alias("canonical_chars"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -738,3 +738,85 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+_MI_BINS = 16
+
+
+@query(
+    "quality_mutual_information",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type AS x,
+             LEAST(GREATEST(CAST(FLOOR((value - {_HIST_LO})
+               / (({_HIST_HI} - {_HIST_LO}) / {_MI_BINS})) AS BIGINT), 0),
+               {_MI_BINS - 1}) AS y
+      FROM events
+    ),
+    j AS (SELECT x, y, COUNT(*)::DOUBLE AS n FROM b GROUP BY x, y),
+    t AS (SELECT SUM(n) AS nt FROM j),
+    mx AS (SELECT x, SUM(n) AS nx FROM j GROUP BY x),
+    my AS (SELECT y, SUM(n) AS ny FROM j GROUP BY y)
+    SELECT
+      CAST(ROUND(SUM(n / t.nt * LN(n * t.nt / (mx.nx * my.ny))), 4) AS DOUBLE)
+        AS mi_nats,
+      CAST(ROUND(SUM(n / t.nt * LN(n * t.nt / (mx.nx * my.ny))) /
+                 SQRT((SELECT SUM(nx / nt * LN(nt / nx)) FROM mx, t)
+                      * (SELECT SUM(ny / nt * LN(nt / ny)) FROM my, t)),
+                 4) AS DOUBLE) AS nmi,
+      CAST(ROUND((SELECT SUM(nx / nt * LN(nt / nx)) FROM mx, t), 4) AS DOUBLE)
+        AS h_event_type,
+      CAST(ROUND((SELECT SUM(ny / nt * LN(nt / ny)) FROM my, t), 4) AS DOUBLE)
+        AS h_value_bin
+    FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+    """,
+    doc="Mutual information I(event_type; value-bin) plus the two "
+    "marginal entropies -- the feature-relevance statistic a training "
+    "pipeline computes before keeping a label column. Joint counts are "
+    "one hash aggregate whose state is #types x #bins cells (constant); "
+    "marginals and totals come from window sums OVER THE JOINT (cell-"
+    "count data), and both entropies fold into the same final aggregate "
+    "via sum_y n(x,y) = nx -- so the corpus is scanned exactly once, "
+    "and every later operator touches only the cell table, no matter "
+    "the volume. nmi is the sqrt-normalized MI in [0,1] (label-"
+    "association strength independent of cardinality). Natural-log "
+    "nats, rounded to 4 on both engines.",
+)
+def q_quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    step = (_HIST_HI - _HIST_LO) / _MI_BINS
+    b = ev.select(
+        F.col("event_type").alias("x"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - _HIST_LO) / step).cast("bigint"), F.lit(0)
+            ),
+            F.lit(_MI_BINS - 1),
+        ).alias("y"),
+    )
+    j = b.groupBy("x", "y").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # marginals as window sums over the joint (<= types x bins rows):
+    # branching j into separate groupBy aggregates would recompute the
+    # corpus scan once per branch -- windows keep ONE lineage
+    cells = j.select(
+        "n",
+        F.sum("n").over(W.partitionBy("x")).alias("nx"),
+        F.sum("n").over(W.partitionBy("y")).alias("ny"),
+        F.sum("n").over(W.partitionBy()).alias("nt"),
+    )
+    p = F.col("n") / F.col("nt")
+    return cells.agg(
+        F.sum(
+            p * F.log(F.col("n") * F.col("nt") / (F.col("nx") * F.col("ny")))
+        ).alias("mi"),
+        # sum_y n(x,y) = nx makes the cell-weighted log a marginal entropy
+        F.sum(p * F.log(F.col("nt") / F.col("nx"))).alias("hx"),
+        F.sum(p * F.log(F.col("nt") / F.col("ny"))).alias("hy"),
+    ).select(
+        F.round("mi", 4).cast("double").alias("mi_nats"),
+        F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 4)
+        .cast("double")
+        .alias("nmi"),
+        F.round("hx", 4).cast("double").alias("h_event_type"),
+        F.round("hy", 4).cast("double").alias("h_value_bin"),
+    )

@@ -538,3 +538,58 @@ def q_merge_forget_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_forgotten_remaining"),
     )
+
+
+N_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "training_shuffle_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(doc_id::VARCHAR || ':42') AS hx
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, hx,
+             ('0x' || substr(hx, 1, 15))::BIGINT % {N_SHUFFLE_SHARDS} AS shard
+      FROM h
+    )
+    SELECT shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                AS BIGINT) AS pos,
+           doc_id, source
+    FROM s
+    ORDER BY shard, pos
+    """,
+    doc="Deterministic global training-order shuffle: every document "
+    "gets a reproducible pseudo-random position, as (shard, pos) -- "
+    "shard from an md5 prefix (scan-local, no shuffle to decide), "
+    "position by md5 order WITHIN the shard. The global training order "
+    "is (shard, pos), exactly how a 100 TB corpus is shuffled in "
+    "practice: a single global ROW_NUMBER would serialize the sort "
+    "into one window partition, while per-shard windows run all "
+    "shards in parallel and re-running on an appended corpus never "
+    "moves an existing doc to another shard. Seed 42 is baked into "
+    "the hash input; changing it re-deals the whole permutation.",
+)
+def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    shard = (
+        F.expr("cast(conv(substr(hx, 1, 15), 16, 10) as bigint)")
+        % N_SHUFFLE_SHARDS
+    )
+    w = W.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        docs.select("doc_id", "source", hx.alias("hx"))
+        .withColumn("shard", shard)
+        .select(
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+            "source",
+        )
+        .orderBy("shard", "pos")
+    )

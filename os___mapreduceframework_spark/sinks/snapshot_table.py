@@ -321,14 +321,25 @@ class SnapshotMergeTable:
         (e.g. view maintenance, which must SUBTRACT an update's old
         contribution) needs beyond upsert replay.
 
-        Computed as a full outer join of the two snapshots on the table
-        keys -- at scale both sides are bucket-pruned reads and the
-        join shuffles only the two snapshots' rows (a format with
-        row-level tracking can do better; key-level diff is the honest
-        contract for a bucket-granular table). Rows whose non-key
-        columns are unchanged are dropped."""
-        old = self.read(version=v_from).alias("o")
-        new = self.read(version=v_to).alias("n")
+        The diff never reads the whole table: data dirs are immutable,
+        so a bucket whose manifest pointer is IDENTICAL in both
+        snapshots holds byte-identical data and cannot contribute a
+        change row. Both sides therefore read only the buckets whose
+        pointer differs between the two manifests (file-granular change
+        tracking -- the same trick a format's snapshot diff plays with
+        its file lists), and the full outer join on the table keys
+        shuffles only those buckets' rows: cost proportional to changed
+        data, not table size. Rows whose non-key columns are unchanged
+        are dropped."""
+        m_from = self._load_manifest(v_from)
+        m_to = self._load_manifest(v_to)
+        changed = sorted(
+            int(b)
+            for b in set(m_from) | set(m_to)
+            if m_from.get(b) != m_to.get(b)
+        )
+        old = self._read_buckets(m_from, changed).alias("o")
+        new = self._read_buckets(m_to, changed).alias("n")
         value_cols = [c for c in new.columns if c not in self.keys]
         cond = [old[k].eqNullSafe(new[k]) for k in self.keys]
         j = old.join(new, cond, "full_outer")
@@ -370,7 +381,16 @@ class SnapshotMergeTable:
         what makes a right-to-be-forgotten delete physical, not just
         logical). Returns removed versions."""
         vs = self.versions()
-        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        return self._vacuum_keep(vs[-keep_last:] if keep_last > 0 else [])
+
+    def _vacuum_keep(self, keep: Sequence[int]) -> list[int]:
+        """Expire every snapshot NOT in ``keep`` (the policy-agnostic
+        core: ``vacuum`` keeps a trailing count, a transaction
+        coordinator keeps whatever its retained commit records still
+        reference)."""
+        vs = self.versions()
+        keep = [v for v in vs if v in set(keep)]
+        drop = [v for v in vs if v not in set(keep)]
         if not drop:
             return []
         live: set[tuple[int, int]] = set()  # (version dir, bucket)
@@ -498,6 +518,50 @@ class SnapshotTransaction:
             self.tables[name]._swing_pointer(version)
         self._staged.clear()
         return tx_id
+
+    def vacuum(self, retain_last_tx: int = 2) -> dict[str, list[int]]:
+        """Expire table history beyond the transaction-retention window.
+
+        A per-table ``SnapshotMergeTable.vacuum(keep_last=N)`` counts
+        versions, which is the wrong unit once tables commit through
+        transactions: expiring table A's v3 while a retained commit
+        record still names (A@v3, B@v7) breaks the one guarantee the
+        coordinator exists for -- that readers can reconstruct a
+        CONSISTENT cross-table state for any retained transaction.
+        This policy ties expiry to the commit log instead: keep the
+        last ``retain_last_tx`` transaction records, and for every
+        table keep every snapshot from the OLDEST version those records
+        reference onward (a contiguous tail, so single-table merges
+        that landed between transactions stay time-travelable too);
+        older manifests and their unreferenced data dirs are deleted,
+        as are the expired tx records. At least one record is always
+        retained so ``recover()`` keeps its crash anchor. Returns
+        {table: removed versions}.
+        """
+        if retain_last_tx < 1:
+            raise ValueError("retain_last_tx must be >= 1 (recover() "
+                             "needs the last commit record)")
+        ids = self._tx_ids()
+        kept_ids = ids[-retain_last_tx:]
+        floors: dict[str, int] = {}
+        for tx_id in kept_ids:
+            with open(os.path.join(self._tx_dir(), f"tx{tx_id}.json")) as f:
+                record = json.load(f)
+            for name, vs in record.items():
+                floors[name] = min(floors.get(name, vs["version"]), vs["version"])
+        removed: dict[str, list[int]] = {}
+        for name, t in self.tables.items():
+            cur = t.current_version()
+            if cur is None:
+                continue
+            floor = min(floors.get(name, cur), cur)
+            removed[name] = t._vacuum_keep([v for v in t.versions() if v >= floor])
+        for tx_id in ids[:-retain_last_tx]:
+            try:
+                os.remove(os.path.join(self._tx_dir(), f"tx{tx_id}.json"))
+            except OSError:
+                pass
+        return removed
 
     def recover(self) -> dict[str, int]:
         """Complete the pointer swings of the last committed transaction

@@ -291,6 +291,9 @@ EXPECTED_MAX_SHUFFLES = {
     "events_transition_matrix": 3, # user window + pair agg + sort
     "text_char_entropy": 6,        # char-freq agg + totals join + entropy agg
     "curation_pipeline_v2": 8,     # contamination semi + dedup keeper + source rollup
+    "dedup_keep_canonical": 3,     # post-checkpoint: membership join + cluster agg + sort
+    "training_shuffle_order": 2,   # per-shard window + (shard,pos) sort
+    "quality_mutual_information": 4,  # joint agg + cell-table windows (types x bins rows)
 }
 
 

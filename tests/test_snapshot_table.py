@@ -337,6 +337,61 @@ def test_change_feed_before_images(spark, table):
     }
 
 
+def test_change_feed_reads_only_changed_buckets(spark, tmp_path):
+    """changes() must not scan the whole table: buckets whose manifest
+    pointer is identical in both snapshots are byte-identical and must
+    not appear in either side's input files (file-granular change
+    tracking)."""
+    t = SnapshotMergeTable(spark, str(tmp_path / "cdf"), keys=["k"], n_buckets=8)
+    t.overwrite(
+        spark.createDataFrame([(i, f"v{i}") for i in range(64)], "k long, v string")
+    )
+    t.merge(spark.createDataFrame([(7, "V7")], "k long, v string"))
+    m0, m1 = t._load_manifest(0), t._load_manifest(1)
+    changed = {b for b in set(m0) | set(m1) if m0.get(b) != m1.get(b)}
+    assert 0 < len(changed) < len(m1)  # one key touches few of 8 buckets
+    # behavioral proof of pruning: remove every UNCHANGED bucket
+    # partition from the v0 dir; the diff must neither list nor read
+    # them, so changes() still computes (inputFiles() can't prove this
+    # -- it lists the relation's files before partition pruning)
+    import shutil
+
+    for b in set(m0) - changed:
+        shutil.rmtree(
+            os.path.join(t._data_dir(0), f"__bucket={b}"), ignore_errors=True
+        )
+    cdf = t.changes(0, 1)
+    assert {(r["change_type"], r["k"], r["v"]) for r in cdf.collect()} == {
+        ("update", 7, "V7")
+    }
+
+
+def test_txn_vacuum_retention_follows_commit_log(spark, two_tables):
+    """SnapshotTransaction.vacuum(retain_last_tx=N) keeps every version
+    the retained commit records reference (consistent cross-table time
+    travel), expires older history, and prunes expired tx records."""
+    root, tables = two_tables
+    for i in range(3):
+        tx = SnapshotTransaction(root, tables)
+        tx.stage_merge("a", spark.createDataFrame([(2, f"A{i}")], "k long, v string"))
+        tx.stage_merge("b", spark.createDataFrame([(3, f"B{i}")], "k long, v string"))
+        tx.commit()
+    # versions now 0..3 per table; tx records 0..2 reference v1..v3
+    coord = SnapshotTransaction(root, tables)
+    removed = coord.vacuum(retain_last_tx=2)
+    # last 2 txs reference v2,v3 -> floor v2; v0,v1 expire on both tables
+    assert removed == {"a": [0, 1], "b": [0, 1]}
+    assert tables["a"].versions() == [2, 3]
+    assert coord._tx_ids() == [1, 2]
+    # every retained transaction is still reconstructible consistently
+    assert _rows(tables["a"].read(version=2)) == {(1, "a1"), (2, "A1")}
+    assert _rows(tables["b"].read(version=3)) == {(1, "b1"), (2, "b2"), (3, "B2")}
+    # recover() still has its anchor record and is a no-op
+    assert coord.recover() == {}
+    with pytest.raises(ValueError, match="retain_last_tx"):
+        coord.vacuum(retain_last_tx=0)
+
+
 def test_vacuum_is_bucket_granular_physical_delete(spark, tmp_path):
     """After a delete-merge + vacuum(keep_last=1), NO parquet file under
     the table root may still hold a deleted row -- the old version
