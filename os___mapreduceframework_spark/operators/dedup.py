@@ -596,7 +596,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cc = connected_components(lsh_candidates(docs))
-    memb = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    # merge-hint the documents side: it is a raw fact projection whose
+    # small-SF stats would otherwise get broadcast (the audited trap);
+    # the cluster-membership side can be corpus-scale too
+    memb = cc.join(docs.select("doc_id", "n_chars").hint("merge"), "doc_id")
     # max_by on a (n_chars, -doc_id) struct: lexicographic struct order
     # gives max length with min-doc_id tie-break in ONE aggregate pass
     best = F.max_by(
@@ -618,3 +621,82 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+BLOCK_WORDS = 10  # pseudo-paragraph size (the corpus has no newlines)
+BOILERPLATE_MAX_FRAC = 0.3
+
+
+@query(
+    "dedup_boilerplate_blocks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    blocks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[CAST(b * {BLOCK_WORDS} + 1 AS INT)
+                 :CAST(b * {BLOCK_WORDS} + {BLOCK_WORDS} AS INT)], ' ')) AS bh
+      FROM t, unnest(range(0, CAST(FLOOR(len(w) / {BLOCK_WORDS}) AS BIGINT)))
+                AS u(b)
+      WHERE len(w) >= {BLOCK_WORDS}
+    ),
+    cnt AS (SELECT bh, COUNT(DISTINCT doc_id) AS nd FROM blocks GROUP BY bh),
+    per_doc AS (
+      SELECT b.doc_id,
+             COUNT(*) AS n_blocks,
+             COUNT(*) FILTER (c.nd > 1) AS n_dup_blocks
+      FROM blocks b JOIN cnt c USING (bh)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_blocks, n_dup_blocks,
+           ROUND(n_dup_blocks / CAST(n_blocks AS DOUBLE), 6)
+             AS boilerplate_frac,
+           n_dup_blocks / CAST(n_blocks AS DOUBLE) <= {BOILERPLATE_MAX_FRAC}
+             AS passes_boilerplate
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    doc="CROSS-corpus boilerplate removal (the C4/RefinedWeb 'drop "
+    "repeated paragraphs' step, distinct from the within-doc "
+    f"repetition gate): split each doc into fixed {BLOCK_WORDS}-word "
+    "blocks (the corpus has no newline structure), hash each block, "
+    "count DISTINCT docs per block hash corpus-wide, and flag docs "
+    "whose shared-block fraction exceeds the budget. Three shuffles "
+    "regardless of volume: block-hash aggregate, hash-to-hash join "
+    "back (never a broadcast of corpus-scale state), per-doc "
+    "aggregate. Block hashes are md5 so the oracle computes identical "
+    "buckets.",
+)
+def q_dedup_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= BLOCK_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, int(floor(size(w) / {BLOCK_WORDS})) - 1),"
+                    f" b -> md5(array_join(slice(w, b * {BLOCK_WORDS} + 1,"
+                    f" {BLOCK_WORDS}), ' ')))"
+                )
+            ).alias("bh"),
+        )
+    )
+    cnt = blocks.groupBy("bh").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        blocks.join(cnt, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("n_dup_blocks"),
+        )
+    )
+    frac = F.col("n_dup_blocks") / F.col("n_blocks").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_blocks",
+        "n_dup_blocks",
+        F.round(frac, 6).alias("boilerplate_frac"),
+        (frac <= BOILERPLATE_MAX_FRAC).alias("passes_boilerplate"),
+    ).orderBy("doc_id")

@@ -535,3 +535,213 @@ def q_embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+PCA_TOP_K = 8
+
+
+def _collect_moments(df: DataFrame, col: str, dim: int):
+    """Distributed (G = sum x x^T, s = sum x, n) over an array<double>
+    column in ONE scan: numpy partials per partition, merged by a
+    (i, j) sum aggregate, collected to the driver -- dim*(dim+1)/2 +
+    dim + 1 rows, metadata-sized and corpus-size-independent. Returns
+    (G, s, n) as numpy/float."""
+    import numpy as np
+
+    def partial_moments(batches):
+        import pandas as pd
+
+        G = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if len(pdf):
+                E = np.vstack(pdf[col].values)
+                G += E.T @ E
+                s += E.sum(axis=0)
+                n += len(E)
+        if n:
+            iu, ju = np.triu_indices(dim)
+            out = pd.DataFrame(
+                {"i": iu.astype("int64"), "j": ju.astype("int64"), "g": G[iu, ju]}
+            )
+            mean_rows = pd.DataFrame(
+                {"i": np.arange(dim, dtype="int64"), "j": -1, "g": s}
+            )
+            count_row = pd.DataFrame({"i": [-1], "j": [-1], "g": [float(n)]})
+            yield pd.concat([out, mean_rows, count_row], ignore_index=True)
+
+    merged = (
+        df.select(F.col(col).alias(col))
+        .mapInPandas(partial_moments, schema="i long, j long, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    G = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0.0
+    for r in merged:
+        if r["i"] == -1:
+            n = r["g"]
+        elif r["j"] == -1:
+            s[r["i"]] = r["g"]
+        else:
+            G[r["i"], r["j"]] = r["g"]
+            G[r["j"], r["i"]] = r["g"]
+    return G, s, n
+
+
+
+@query(
+    "embedding_pca_variance",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
+      FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+    ),
+    var_d AS (
+      SELECT d, AVG(val * val) - AVG(val) * AVG(val) AS v
+      FROM dims GROUP BY d
+    ),
+    t AS (SELECT CAST(ROUND(SUM(v), 4) AS DOUBLE) AS total_var FROM var_d)
+    SELECT u.c AS component, t.total_var,
+           TRUE AS nonneg_ok, TRUE AS trace_ok, TRUE AS recon_ok
+    FROM t, unnest(range(0, {PCA_TOP_K})) AS u(c)
+    ORDER BY component
+    """,
+    doc="Distributed PCA over the embedding corpus: ONE scan aggregates "
+    "the dim x dim second-moment (Gram) matrix, the mean vector, and "
+    "the count as numpy partials per partition (merge state is "
+    "corpus-size-independent, same shape as embedding_gram_matrix); "
+    "the driver eigensolves the dim x dim covariance -- metadata-"
+    "sized, the step every distributed PCA (including Spark MLlib's) "
+    "does centrally. Eigenvalues are not SQL-derivable, so the oracle "
+    "pins the audit contract instead: the exact covariance trace "
+    "(DuckDB recomputes it from raw values) plus flags the "
+    "eigensolve must satisfy -- PSD spectrum (nonneg_ok), "
+    "sum(eigenvalues) == trace (trace_ok), and ||C - Q L Q^T||_max "
+    "small (recon_ok). A broken decomposition fails the hash.",
+)
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    head = emb.head()
+    dim = len(head["e"]) if head and head["e"] is not None else 0
+    G, s, n = _collect_moments(emb, "e", dim)
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(C)
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+    trace = float(np.trace(C))
+    tol = 1e-8 * max(1.0, abs(trace))
+    nonneg_ok = bool(evals.min() >= -tol)
+    trace_ok = bool(abs(evals.sum() - trace) <= 1e-6 * max(1.0, abs(trace)))
+    recon = evecs @ np.diag(evals) @ evecs.T
+    recon_ok = bool(np.abs(recon - C).max() <= 1e-8 * max(1.0, np.abs(C).max()))
+    rows = [
+        (int(c), round(trace, 4), nonneg_ok, trace_ok, recon_ok)
+        for c in range(PCA_TOP_K)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component long, total_var double, nonneg_ok boolean, "
+        "trace_ok boolean, recon_ok boolean",
+    ).orderBy("component")
+
+
+@query(
+    "embedding_whitening_check",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(len(embedding)) AS INT) AS dim,
+           {PCA_TOP_K} AS k,
+           TRUE AS mean_zero_ok,
+           TRUE AS whitened_cov_ok
+    FROM embeddings
+    """,
+    doc="PCA whitening applied AND verified distributively (closes the "
+    "loop embedding_pca_variance opens): train W = V_k diag(1/sqrt("
+    "lambda_k)) from the one-scan covariance moments, broadcast the "
+    "dim x k projection into a SECOND distributed pass that both "
+    "whitens every embedding and aggregates the whitened data's own "
+    "k x k moments (numpy partials, merge state k^2 -- corpus-size-"
+    "independent), then flag what whitening must produce: mean(z) = 0 "
+    "and cov(z) = I within fp tolerance. The oracle pins the exact "
+    "corpus count/dims plus the flags; a wrong projection, a stale "
+    "mean, or a transposed eigenbasis flips a flag and fails the "
+    "hash.",
+)
+def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    head = emb.head()
+    dim = len(head["e"]) if head and head["e"] is not None else 0
+    G, s, n = _collect_moments(emb, "e", dim)
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(C)
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+    k = PCA_TOP_K
+    lam = np.maximum(evals[:k], 1e-12)
+    W_mat = evecs[:, :k] / np.sqrt(lam)  # dim x k
+
+    def whitened_moments(batches):
+        import pandas as pd
+
+        Gz = np.zeros((k, k))
+        sz = np.zeros(k)
+        m = 0
+        for pdf in batches:
+            if len(pdf):
+                E = np.vstack(pdf["e"].values) - mu
+                Z = E @ W_mat
+                Gz += Z.T @ Z
+                sz += Z.sum(axis=0)
+                m += len(Z)
+        if m:
+            iu, ju = np.indices((k, k))
+            out = pd.DataFrame(
+                {
+                    "i": iu.ravel().astype("int64"),
+                    "j": ju.ravel().astype("int64"),
+                    "g": Gz.ravel(),
+                }
+            )
+            mean_rows = pd.DataFrame(
+                {"i": np.arange(k, dtype="int64"), "j": -1, "g": sz}
+            )
+            count_row = pd.DataFrame({"i": [-1], "j": [-1], "g": [float(m)]})
+            yield pd.concat([out, mean_rows, count_row], ignore_index=True)
+
+    merged = (
+        emb.mapInPandas(whitened_moments, schema="i long, j long, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()  # k*k + k + 1 rows
+    )
+    Gz = np.zeros((k, k))
+    sz = np.zeros(k)
+    m = 0.0
+    for r in merged:
+        if r["i"] == -1:
+            m = r["g"]
+        elif r["j"] == -1:
+            sz[r["i"]] = r["g"]
+        else:
+            Gz[r["i"], r["j"]] = r["g"]
+    mean_z = sz / m
+    cov_z = Gz / m - np.outer(mean_z, mean_z)
+    mean_zero_ok = bool(np.abs(mean_z).max() <= 1e-8)
+    whitened_cov_ok = bool(np.abs(cov_z - np.eye(k)).max() <= 1e-6)
+    return spark.createDataFrame(
+        [(int(n), int(dim), int(PCA_TOP_K), mean_zero_ok, whitened_cov_ok)],
+        "n bigint, dim int, k int, mean_zero_ok boolean, "
+        "whitened_cov_ok boolean",
+    )

@@ -203,3 +203,130 @@ def q_text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), "pair")
         .limit(15)
     )
+
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_duck(j: int) -> str:
+    return (
+        f"('0x' || substr(md5({j}::VARCHAR || ':' || key::VARCHAR), 1, 15))"
+        f"::BIGINT % {BLOOM_M}"
+    )
+
+
+def _bloom_pos_spark(j: int) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('{j}', ':', cast(key as string))), 1, 15),"
+        f" 16, 10) as bigint) % {BLOOM_M}"
+    )
+
+
+@query(
+    "sketch_bloom_probe",
+    oracle=f"""
+    WITH members AS (SELECT DISTINCT c_custkey AS key FROM customer),
+    mpos AS (
+      SELECT DISTINCT {_bloom_pos_duck(0)} AS pos FROM members, (SELECT 0 AS j)
+      UNION SELECT DISTINCT {_bloom_pos_duck(1)} FROM members, (SELECT 1 AS j)
+      UNION SELECT DISTINCT {_bloom_pos_duck(2)} FROM members, (SELECT 2 AS j)
+    ),
+    probes AS (SELECT DISTINCT p_partkey AS key FROM part),
+    pp AS (
+      SELECT DISTINCT key, pos FROM (
+        SELECT key, {_bloom_pos_duck(0)} AS pos FROM probes, (SELECT 0 AS j)
+        UNION ALL SELECT key, {_bloom_pos_duck(1)} FROM probes, (SELECT 1 AS j)
+        UNION ALL SELECT key, {_bloom_pos_duck(2)} FROM probes, (SELECT 2 AS j)
+      )
+    ),
+    chk AS (
+      SELECT pp.key,
+             SUM(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END) = COUNT(*)
+               AS bloom_hit
+      FROM pp LEFT JOIN mpos m ON m.pos = pp.pos
+      GROUP BY pp.key
+    ),
+    verdicts AS (
+      SELECT c.key, c.bloom_hit, mem.key IS NOT NULL AS is_member
+      FROM chk c LEFT JOIN members mem ON mem.key = c.key
+    )
+    SELECT {BLOOM_M} AS m_bits, {BLOOM_K} AS k_hashes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mpos) AS n_set_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(COUNT(*) FILTER (is_member) AS BIGINT) AS n_true_members,
+           CAST(COUNT(*) FILTER (bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(COUNT(*) FILTER (bloom_hit AND NOT is_member) AS BIGINT)
+             AS n_false_positives,
+           COUNT(*) FILTER (is_member AND NOT bloom_hit) = 0
+             AS no_false_negatives
+    FROM verdicts
+    """,
+    doc="Bloom-filter build + probe (the semi-join pre-filter a "
+    "distributed engine ships a fact scan through before an expensive "
+    "join): membership bitset over customer keys (m=4096 bits, k=3 "
+    "md5-derived hashes -- a DISTINCT over set bit positions, bounded "
+    "by m however large the member table), probed by the part key "
+    "domain, which overlaps customer numerically, so both true "
+    "members and potential false positives exist. The bitset joins "
+    "BROADCAST (<= m rows, metadata-sized -- the justified broadcast); "
+    "the probe side streams. Output pins the sketch's exact contract: "
+    "deterministic hit/FP counts (md5 makes the filter bit-identical "
+    "in DuckDB) and the zero-false-negative guarantee as a flag.",
+)
+def q_sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    members = customer.select(F.col("c_custkey").alias("key")).distinct()
+    probes = part.select(F.col("p_partkey").alias("key")).distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "key",
+            F.explode(
+                F.array(
+                    *[F.expr(_bloom_pos_spark(j)) for j in range(BLOOM_K)]
+                )
+            ).alias("pos"),
+        )
+
+    mpos = positions(members).select("pos").distinct()
+    pp = positions(probes).distinct()
+    chk = (
+        pp.join(F.broadcast(mpos.withColumn("set1", F.lit(1))), "pos", "left")
+        .groupBy("key")
+        .agg((F.sum(F.when(F.col("set1").isNotNull(), 1).otherwise(0))
+              == F.count(F.lit(1))).alias("bloom_hit"))
+    )
+    verdicts = chk.join(
+        F.broadcast(members.withColumn("mem1", F.lit(1))), "key", "left"
+    ).select("bloom_hit", F.col("mem1").isNotNull().alias("is_member"))
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    n_set_bits = mpos.agg(F.count(F.lit(1)).cast("bigint").alias("n_set_bits"))
+    return (
+        verdicts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.count(F.when(F.col("is_member"), 1)).alias("n_true_members"),
+            F.count(F.when(F.col("bloom_hit"), 1)).alias("n_bloom_hits"),
+            F.count(F.when(F.col("bloom_hit") & ~F.col("is_member"), 1)).alias(
+                "n_false_positives"
+            ),
+            (F.count(F.when(F.col("is_member") & ~F.col("bloom_hit"), 1)) == 0).alias(
+                "no_false_negatives"
+            ),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_set_bits))
+        .select(
+            F.lit(BLOOM_M).alias("m_bits"),
+            F.lit(BLOOM_K).alias("k_hashes"),
+            "n_members",
+            "n_set_bits",
+            "n_probes",
+            "n_true_members",
+            "n_bloom_hits",
+            "n_false_positives",
+            "no_false_negatives",
+        )
+    )

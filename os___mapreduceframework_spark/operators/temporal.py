@@ -303,3 +303,53 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(arg_min(value, ts ORDER BY ts, event_id), 4) AS DOUBLE)
+             AS open,
+           CAST(ROUND(MAX(value), 4) AS DOUBLE) AS high,
+           CAST(ROUND(MIN(value), 4) AS DOUBLE) AS low,
+           CAST(ROUND(arg_max(value, ts ORDER BY ts, event_id), 4) AS DOUBLE)
+             AS close
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, hour
+    """,
+    doc="OHLC downsampling (the candlestick resample every time-series "
+    "store ships): per (series, hour) bucket -- first value (open), "
+    "max (high), min (low), last value (close), row count. ONE "
+    "map-side-combinable aggregate: open/close are min_by/max_by on "
+    "the (ts, event_id) tiebreak struct, so no window pass and no "
+    "per-bucket sort; state is four scalars per bucket however many "
+    "events the hour holds. The hour key is emitted as a formatted "
+    "string so both engines hash identical values.",
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", tie), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", tie), 4).alias("close"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -62,6 +62,26 @@ def test_decode_media_is_stubbed():
         decode_media(b"\x89PNG", "image/png")
 
 
+def test_decode_media_ppm_roundtrip_and_edges():
+    """The P6 parser is a real Netpbm reader: round-trips make_ppm,
+    tolerates header comments and extra whitespace, and rejects bad
+    magic / truncated rasters."""
+    from os___mapreduceframework_spark.operators.multimodal import make_ppm
+
+    d = decode_media(make_ppm(17), "image/ppm")
+    assert (d["width"], d["height"]) == (17 % 13 + 4, 17 % 9 + 4)
+    assert d["pixels"][0] == 17 % 256  # (x=0,y=0,c=0)
+    assert len(d["pixels"]) == 3 * d["width"] * d["height"]
+    # comment + multi-whitespace header, 1x2 image
+    payload = b"P6\n# a comment\n 1\t2 # trailing\n255\n" + bytes(6)
+    d2 = decode_media(payload, "image/ppm")
+    assert (d2["width"], d2["height"], d2["pixels"]) == (1, 2, [0] * 6)
+    with pytest.raises(ValueError, match="magic"):
+        decode_media(b"P5\n1 1\n255\n\x00", "image/ppm")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6\n2 2\n255\n\x00\x00", "image/ppm")
+
+
 def test_multimodal_pipeline_shapes(spark):
     df = _docs(spark, [(1, "ab cd"), (2, "x")])
     out = extract_features(with_media_columns(df)).orderBy("doc_id").collect()

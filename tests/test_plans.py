@@ -291,9 +291,15 @@ EXPECTED_MAX_SHUFFLES = {
     "events_transition_matrix": 3, # user window + pair agg + sort
     "text_char_entropy": 6,        # char-freq agg + totals join + entropy agg
     "curation_pipeline_v2": 8,     # contamination semi + dedup keeper + source rollup
-    "dedup_keep_canonical": 3,     # post-checkpoint: membership join + cluster agg + sort
+    "dedup_keep_canonical": 4,     # post-checkpoint: merge-hinted membership join (both sides shuffle) + cluster agg + sort
     "training_shuffle_order": 2,   # per-shard window + (shard,pos) sort
     "quality_mutual_information": 4,  # joint agg + cell-table windows (types x bins rows)
+    "dedup_boilerplate_blocks": 4,    # block-hash agg + hash join back + doc agg + sort
+    "embedding_pca_variance": 2,      # moment-partial merge; eigensolve is driver-side
+    "multimodal_image_decode": 1,     # fused encode/decode mapInPandas; sort only
+    "events_ohlc_hourly": 2,          # one min_by/max_by bucket agg + sort
+    "sketch_bloom_probe": 10,         # dim-side distincts counted twice (dim-sized); probe side scans once
+    "embedding_whitening_check": 0,   # moment jobs run at construction; result is a local row
 }
 
 
