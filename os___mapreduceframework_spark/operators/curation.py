@@ -287,6 +287,42 @@ def q_curation_token_budget_stratified(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_bigram_count, n_bigrams, n_tokens, n_uniq): the
+    within-document repetition statistics (Gopher-style gate inputs),
+    one map-side-combinable aggregation path over the bigram explode.
+    Docs with < 2 tokens have no bigrams (absent from the result)."""
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = (
+        t.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.size(F.array_distinct("w")).alias("n_uniq"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    return (
+        bg.groupBy("doc_id", "bigram")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_uniq").alias("n_uniq"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_count"),
+            F.sum("c").alias("n_bigrams"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_uniq").alias("n_uniq"),
+        )
+    )
+
+
 @query(
     "text_repetition_filter",
     oracle="""
@@ -327,37 +363,7 @@ def q_curation_token_budget_stratified(spark: SparkSession, sf_dir: str) -> Data
     "of a raw documents projection; no cross-document state.",
 )
 def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    bg = (
-        t.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.size("w").alias("n_tokens"),
-            F.size(F.array_distinct("w")).alias("n_uniq"),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))"
-                )
-            ).alias("bigram"),
-        )
-    )
-    stats = (
-        bg.groupBy("doc_id", "bigram")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.max("n_tokens").alias("n_tokens"),
-            F.max("n_uniq").alias("n_uniq"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").alias("top_bigram_count"),
-            F.sum("c").alias("n_bigrams"),
-            F.max("n_tokens").alias("n_tokens"),
-            F.max("n_uniq").alias("n_uniq"),
-        )
-    )
+    stats = repetition_stats(load_table(spark, sf_dir, "documents"))
     top_frac = F.col("top_bigram_count") / F.col("n_bigrams")
     dup_ratio = F.lit(1.0) - F.col("n_uniq") / F.col("n_tokens")
     return (
@@ -535,4 +541,140 @@ def q_text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "tfidf")
         .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "curation_pipeline_v3",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    -- gate 1: cross-corpus boilerplate blocks (dedup_boilerplate_blocks)
+    blocks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[CAST(b * 10 + 1 AS INT):CAST(b * 10 + 10 AS INT)], ' ')) AS bh
+      FROM t, unnest(range(0, CAST(FLOOR(len(w) / 10) AS BIGINT))) AS u(b)
+      WHERE len(w) >= 10
+    ),
+    bcnt AS (SELECT bh, COUNT(DISTINCT doc_id) AS nd FROM blocks GROUP BY bh),
+    bstat AS (
+      SELECT b.doc_id, COUNT(*) AS nb, COUNT(*) FILTER (c.nd > 1) AS ndup
+      FROM blocks b JOIN bcnt c USING (bh) GROUP BY b.doc_id
+    ),
+    -- gate 2: within-doc repetition (text_repetition_filter)
+    rbg AS (
+      SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS bigram
+      FROM t, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2
+    ),
+    rpb AS (SELECT doc_id, bigram, COUNT(*) AS c FROM rbg GROUP BY doc_id, bigram),
+    rstat AS (
+      SELECT p.doc_id, MAX(p.c) AS topc, SUM(p.c) AS nbg,
+             MAX(len(k.w)) AS ntok, MAX(len(list_distinct(k.w))) AS nuq
+      FROM rpb p JOIN t k USING (doc_id) GROUP BY p.doc_id
+    ),
+    -- gate 3: corpus-trained bigram-LM perplexity (text_perplexity_bigram)
+    pbg AS (
+      SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2
+      FROM t, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM pbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT COUNT(*)::DOUBLE AS vsz FROM c1),
+    pstat AS (
+      SELECT pbg.doc_id, EXP(-AVG(LN((c2.c + 1) / (c1.c1 + v.vsz)))) AS ppl
+      FROM pbg
+      JOIN c2 ON c2.w1 = pbg.w1 AND c2.w2 = pbg.w2
+      JOIN c1 ON c1.w1 = pbg.w1
+      CROSS JOIN v
+      GROUP BY pbg.doc_id
+    ),
+    flags AS (
+      SELECT t.source, len(t.w) AS n_tok,
+             COALESCE(b.ndup / CAST(b.nb AS DOUBLE) <= 0.3, TRUE) AS f_boiler,
+             COALESCE(r.topc / CAST(r.nbg AS DOUBLE) <= 0.2
+                      AND 1.0 - r.nuq / CAST(r.ntok AS DOUBLE) <= 0.5,
+                      TRUE) AS f_rep,
+             COALESCE(p.ppl <= 80.0, TRUE) AS f_ppl
+      FROM t
+      LEFT JOIN bstat b USING (doc_id)
+      LEFT JOIN rstat r USING (doc_id)
+      LEFT JOIN pstat p USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (f_boiler) AS BIGINT) AS n_pass_boilerplate,
+           CAST(COUNT(*) FILTER (f_rep) AS BIGINT) AS n_pass_repetition,
+           CAST(COUNT(*) FILTER (f_ppl) AS BIGINT) AS n_pass_ppl,
+           CAST(COUNT(*) FILTER (f_boiler AND f_rep AND f_ppl) AS BIGINT)
+             AS n_pass_all,
+           CAST(COALESCE(SUM(n_tok) FILTER (f_boiler AND f_rep AND f_ppl), 0)
+             AS BIGINT) AS kept_tokens
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Composed curation pipeline v3 -- the QUALITY funnel (sibling "
+    "of v2's dedup/decontamination funnel): cross-corpus boilerplate "
+    "blocks, within-doc repetition, and corpus-trained bigram-LM "
+    "perplexity, each gate the registered standalone operator's exact "
+    "semantics (shared helper, not re-implementation), left-joined "
+    "per doc (too-short docs pass a gate they can't trigger) and "
+    "rolled up per source with pass counts and surviving token mass. "
+    "One fused Catalyst plan; the per-source funnel is what a "
+    "curation run reports before committing a training mix.",
+)
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from os___mapreduceframework_spark.operators.dedup import boilerplate_stats
+    from os___mapreduceframework_spark.operators.text import (
+        PPL_MAX,
+        perplexity_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    b = boilerplate_stats(docs)
+    r = repetition_stats(docs).select(
+        "doc_id", "top_bigram_count",
+        F.col("n_bigrams").alias("r_nbg"), "n_tokens", "n_uniq",
+    )
+    p = perplexity_stats(docs).select("doc_id", "ppl_raw")
+    f_boiler = F.coalesce(
+        F.col("n_dup_blocks") / F.col("n_blocks").cast("double") <= 0.3,
+        F.lit(True),
+    )
+    f_rep = F.coalesce(
+        (F.col("top_bigram_count") / F.col("r_nbg").cast("double") <= 0.2)
+        & (1.0 - F.col("n_uniq") / F.col("n_tokens").cast("double") <= 0.5),
+        F.lit(True),
+    )
+    f_ppl = F.coalesce(F.col("ppl_raw") <= PPL_MAX, F.lit(True))
+    flags = (
+        base.join(b, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .join(p, "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            f_boiler.alias("f_boiler"),
+            f_rep.alias("f_rep"),
+            f_ppl.alias("f_ppl"),
+        )
+    )
+    f_all = F.col("f_boiler") & F.col("f_rep") & F.col("f_ppl")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("f_boiler"), 1)).alias("n_pass_boilerplate"),
+            F.count(F.when(F.col("f_rep"), 1)).alias("n_pass_repetition"),
+            F.count(F.when(F.col("f_ppl"), 1)).alias("n_pass_ppl"),
+            F.count(F.when(f_all, 1)).alias("n_pass_all"),
+            F.coalesce(F.sum(F.when(f_all, F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
     )

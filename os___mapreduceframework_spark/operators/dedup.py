@@ -627,6 +627,38 @@ BLOCK_WORDS = 10  # pseudo-paragraph size (the corpus has no newlines)
 BOILERPLATE_MAX_FRAC = 0.3
 
 
+def boilerplate_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_blocks, n_dup_blocks): per-doc counts of fixed-size
+    word blocks and how many of them appear in MORE THAN ONE document
+    corpus-wide. Block-hash aggregate + hash-to-hash join back + per-doc
+    aggregate -- three shuffles on uniform md5 keys, no broadcast of
+    corpus-scale state. Docs shorter than BLOCK_WORDS have no blocks
+    (absent from the result; join side decides the default)."""
+    blocks = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= BLOCK_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, int(floor(size(w) / {BLOCK_WORDS})) - 1),"
+                    f" b -> md5(array_join(slice(w, b * {BLOCK_WORDS} + 1,"
+                    f" {BLOCK_WORDS}), ' ')))"
+                )
+            ).alias("bh"),
+        )
+    )
+    cnt = blocks.groupBy("bh").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        blocks.join(cnt, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("n_dup_blocks"),
+        )
+    )
+
+
 @query(
     "dedup_boilerplate_blocks",
     oracle=f"""
@@ -668,30 +700,7 @@ BOILERPLATE_MAX_FRAC = 0.3
     "buckets.",
 )
 def q_dedup_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    blocks = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= BLOCK_WORDS)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, int(floor(size(w) / {BLOCK_WORDS})) - 1),"
-                    f" b -> md5(array_join(slice(w, b * {BLOCK_WORDS} + 1,"
-                    f" {BLOCK_WORDS}), ' ')))"
-                )
-            ).alias("bh"),
-        )
-    )
-    cnt = blocks.groupBy("bh").agg(F.countDistinct("doc_id").alias("nd"))
-    per_doc = (
-        blocks.join(cnt, "bh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.count(F.when(F.col("nd") > 1, 1)).alias("n_dup_blocks"),
-        )
-    )
+    per_doc = boilerplate_stats(load_table(spark, sf_dir, "documents"))
     frac = F.col("n_dup_blocks") / F.col("n_blocks").cast("double")
     return per_doc.select(
         "doc_id",

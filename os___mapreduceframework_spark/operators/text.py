@@ -340,3 +340,89 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.select(
         "doc_id", "entropy", (F.col("entropy") < 3.5).alias("low_entropy")
     ).orderBy("doc_id")
+
+
+PPL_MAX = 80.0  # perplexity gate (CCNet-style: drop high-ppl junk)
+
+
+def perplexity_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, ppl_raw): add-1-smoothed bigram-LM perplexity
+    of each doc, LM trained on the corpus itself in the same plan.
+    Train and score share one bigram explode; count tables are hash
+    aggregates joined back hash-to-hash. Docs with < 2 tokens have no
+    bigrams (absent; join side decides the default)."""
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).cast("double").alias("vsz"))
+    lp = F.log((F.col("c") + 1) / (F.col("c1") + F.col("vsz")))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.exp(-F.avg(lp)).alias("ppl_raw"),
+        )
+    )
+
+
+@query(
+    "text_perplexity_bigram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2
+      FROM t, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT COUNT(*)::DOUBLE AS vsz FROM c1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(EXP(-AVG(LN((c2.c + 1) / (c1.c1 + v.vsz)))), 4)
+                AS DOUBLE) AS ppl,
+           EXP(-AVG(LN((c2.c + 1) / (c1.c1 + v.vsz)))) <= {PPL_MAX}
+             AS passes_ppl
+    FROM bg
+    JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+    JOIN c1 ON c1.w1 = bg.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    doc="Perplexity quality filter (the CCNet/KenLM gate, with the LM "
+    "trained on the corpus itself): add-1-smoothed bigram language "
+    "model -- P(w2|w1) = (C(w1,w2)+1)/(C(w1)+|V|), |V| = distinct "
+    "conditioning tokens -- scored as per-doc perplexity "
+    "exp(-mean ln P). Train and score share ONE bigram explode: "
+    "counts are hash aggregates of it, scoring joins the (fact-scale) "
+    "bigram stream to the aggregated count tables hash-to-hash "
+    "(aggregated sides -- legitimate to broadcast when small, safe to "
+    "shuffle when the vocab is large), and the per-doc reduce is one "
+    "more hash aggregate. No Python anywhere; the whole LM is "
+    "relational state.",
+)
+def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = perplexity_stats(load_table(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("ppl_raw", 4).cast("double").alias("ppl"),
+        (F.col("ppl_raw") <= PPL_MAX).alias("passes_ppl"),
+    ).orderBy("doc_id")

@@ -382,3 +382,56 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_to_completion(agg, "complete").orderBy("event_type")
+
+
+@query(
+    "stream_ohlc_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(arg_min(value, ts ORDER BY ts, event_id), 4) AS DOUBLE)
+             AS open,
+           CAST(ROUND(MAX(value), 4) AS DOUBLE) AS high,
+           CAST(ROUND(MIN(value), 4) AS DOUBLE) AS low,
+           CAST(ROUND(arg_max(value, ts ORDER BY ts, event_id), 4) AS DOUBLE)
+             AS close
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming OHLC candles: the events_ohlc_hourly aggregate run "
+    "as a Structured Streaming tumbling window (watermark-bounded "
+    "state). min_by/max_by over (ts, event_id) tiebreak structs are "
+    "incrementally mergeable, so open/close carry exactly four scalars "
+    "of state per (window, series) -- the live-market-data shape. "
+    "Oracle is the batch-equivalent candle per the streaming module's "
+    "batch-equivalence contract.",
+)
+def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", tie), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", tie), 4).alias("close"),
+        )
+    )
+    out = run_to_completion(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+    ).orderBy("window_start", "event_type")

@@ -1,0 +1,39 @@
+"""Scoreboard drift gate: the docs must track the registry.
+
+Rounds 1 and 2 both shipped stale counts/inventories (flagged in the
+round verdicts); this makes the sync mechanical instead of remembered.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from os___mapreduceframework_spark import queries as registry
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(name: str) -> str:
+    with open(os.path.join(_ROOT, name)) as f:
+        return f.read()
+
+
+def test_every_registered_query_is_in_readme():
+    readme = _read("README.md")
+    missing = sorted(n for n in registry.queries() if f"`{n}`" not in readme)
+    assert not missing, f"README.md inventory is missing: {missing}"
+
+
+def test_roadmap_query_count_matches_registry():
+    n = len(registry.queries())
+    m = re.search(r"\*\*(\d+) registered queries\*\*", _read("ROADMAP.md"))
+    assert m, "ROADMAP.md no longer states a registered-query count"
+    assert int(m.group(1)) == n, (
+        f"ROADMAP.md says {m.group(1)} registered queries; registry has {n}"
+    )
+
+
+def test_every_oracle_matches_a_registered_query():
+    q, o = registry.queries(), registry.oracle_sql()
+    assert set(o) <= set(q)

@@ -300,6 +300,8 @@ EXPECTED_MAX_SHUFFLES = {
     "events_ohlc_hourly": 2,          # one min_by/max_by bucket agg + sort
     "sketch_bloom_probe": 10,         # dim-side distincts counted twice (dim-sized); probe side scans once
     "embedding_whitening_check": 0,   # moment jobs run at construction; result is a local row
+    "text_perplexity_bigram": 8,      # bigram aggs (c2,c1,v) + score joins + per-doc agg + sort
+    "curation_pipeline_v3": 14,       # three gate subplans + doc_id joins + source rollup
 }
 
 
