@@ -315,3 +315,32 @@ def test_property_ivm_refresh_equals_recompute(spark, tmp_path_factory, base, ch
         .collect()
     }
     assert got == want
+
+
+def test_decode_media_ppm_property_roundtrip():
+    """Property: any (w, h, raster) encodes to a P6 payload the parser
+    inverts exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from os___mapreduceframework_spark.operators.multimodal import decode_media
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=20),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        raster = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+                )
+            )
+        )
+        payload = f"P6\n{w} {h}\n255\n".encode() + raster
+        d = decode_media(payload, "image/ppm")
+        assert (d["width"], d["height"]) == (w, h)
+        assert bytes(d["pixels"]) == raster
+
+    check()
