@@ -820,3 +820,50 @@ def q_quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hx", 4).cast("double").alias("h_event_type"),
         F.round("hy", 4).cast("double").alias("h_value_bin"),
     )
+
+
+_QB_PCTS = [i / 10 for i in range(1, 10)]  # decile boundaries
+
+
+@query(
+    "feature_quantile_bucketize",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_cont(value, {_QB_PCTS}) AS bs FROM events
+    )
+    SELECT e.event_type,
+           CAST(len(list_filter(b.bs, x -> x <= e.value)) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(AVG(e.value), 4) AS DOUBLE) AS mean_v
+    FROM events e CROSS JOIN b
+    GROUP BY e.event_type, 2
+    ORDER BY event_type, bucket
+    """,
+    doc="Quantile discretization (the MLlib QuantileDiscretizer / "
+    "feature-binning shape, exact): one aggregate computes the 9 "
+    "interpolated decile boundaries of events.value, the boundary "
+    "array broadcasts back into a second scan where each row's bucket "
+    "is the count of boundaries <= value (a scan-local higher-order "
+    "filter over a 9-element array -- no join, no sort), and a "
+    "types x 10 aggregate summarizes each cell. Two passes over the "
+    "corpus, state bounded by #types x 10; both engines interpolate "
+    "percentiles identically so the bucketing is bit-for-bit.",
+)
+def q_feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pcts = ", ".join(str(p) for p in _QB_PCTS)
+    bounds = ev.agg(F.expr(f"percentile(value, array({pcts}))").alias("bs"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.expr("size(filter(bs, x -> x <= value))").cast("int").alias("bucket"),
+            "value",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).cast("double").alias("mean_v"),
+        )
+        .orderBy("event_type", "bucket")
+    )

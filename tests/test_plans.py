@@ -302,6 +302,7 @@ EXPECTED_MAX_SHUFFLES = {
     "embedding_whitening_check": 0,   # moment jobs run at construction; result is a local row
     "text_perplexity_bigram": 8,      # bigram aggs (c2,c1,v) + score joins + per-doc agg + sort
     "curation_pipeline_v3": 14,       # three gate subplans + doc_id joins + source rollup
+    "feature_quantile_bucketize": 3,  # boundary agg (1-row broadcast) + cell agg + sort
 }
 
 
