@@ -37,7 +37,7 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     lsh_candidates,
     minhash_signatures,
 )
-from os___mapreduceframework_spark.queries import query
+from os___mapreduceframework_spark.queries import REGISTRY, query
 from os___mapreduceframework_spark.sources import load_table
 
 SIM_BITS = 28  # simhash width: 7 md5 hex chars
@@ -709,3 +709,53 @@ def q_dedup_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("boilerplate_frac"),
         (frac <= BOILERPLATE_MAX_FRAC).alias("passes_boilerplate"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH {_EMB_BANDS_SQL},
+    near AS (
+      SELECT c.vec_a, c.vec_b
+      FROM ecand c
+      JOIN embeddings a ON a.vec_id = c.vec_a
+      JOIN embeddings b ON b.vec_id = c.vec_b
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4)
+            >= {COSINE_NEAR_THRESHOLD}
+    ),
+    edges AS (SELECT vec_a AS a, vec_b AS b FROM near
+              UNION SELECT vec_b, vec_a FROM near),
+    nodes AS (SELECT DISTINCT a AS vec_id FROM edges),
+    r AS (
+      WITH RECURSIVE reach(s, t) AS (
+        SELECT vec_id, vec_id FROM nodes
+        UNION
+        SELECT reach.s, e.b FROM reach JOIN edges e ON reach.t = e.a
+      )
+      SELECT s, t FROM reach
+    )
+    SELECT s AS vec_id, MIN(t) AS cluster_id, MIN(t) = s AS is_keeper
+    FROM r GROUP BY s
+    ORDER BY vec_id
+    """,
+    doc="SEMANTIC near-dup clustering (the embedding-space sibling of "
+    "the MinHash dedup_clusters): banded hyperplane LSH candidates -> "
+    "exact cosine verification -> connected components (iterative "
+    "min-label propagation with localCheckpoint lineage truncation) -> "
+    "cluster id + keeper flag. What a semantic-dedup pass deletes "
+    "with at 100 TB: every stage is bucketed/banded, the iterative CC "
+    "runs on the (sparse) verified-pair graph only. Oracle: DuckDB "
+    "recursive-CTE transitive closure over the identical verified "
+    "pairs.",
+)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    near = REGISTRY["dedup_embedding_near"].fn(spark, sf_dir).select(
+        "vec_a", "vec_b"
+    )
+    cc = connected_components(near, src="vec_a", dst="vec_b")
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id"),
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
+    ).orderBy("vec_id")

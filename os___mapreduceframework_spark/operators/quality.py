@@ -867,3 +867,67 @@ def q_feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+_MZ_LOOKBACK = 20  # trailing rows per series
+_MZ_MIN_N = 10  # minimum history before scoring
+
+
+@query(
+    "window_moving_zscore",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, value,
+             AVG(value) OVER win AS mu,
+             STDDEV_SAMP(value) OVER win AS sd,
+             COUNT(*) OVER win AS n_hist
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {_MZ_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (n_hist >= {_MZ_MIN_N}) AS BIGINT) AS n_scored,
+           CAST(COUNT(*) FILTER (n_hist >= {_MZ_MIN_N}
+                  AND ABS(value - mu) > 3 * sd) AS BIGINT) AS n_anomalies
+    FROM w
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="ROLLING z-score anomaly detection (the streaming-monitoring "
+    "sibling of the global events_anomaly_zscore): each event is "
+    "scored against the trailing-20 window of ITS OWN series -- the "
+    "baseline adapts to drift, which a global mean cannot. One "
+    "hash-partitioned window per event_type (the sessionize/funnel "
+    "layout; series sort in parallel), counts-only output so nothing "
+    "row-scale leaves the executors. Rows with under 10 observations "
+    "of history are unscored, not free passes.",
+)
+def q_window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_MZ_LOOKBACK, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("n_hist"),
+    )
+    has_hist = F.col("n_hist") >= _MZ_MIN_N
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.when(has_hist, 1)).alias("n_scored"),
+            F.count(
+                F.when(
+                    has_hist
+                    & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd")),
+                    1,
+                )
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

@@ -303,6 +303,8 @@ EXPECTED_MAX_SHUFFLES = {
     "text_perplexity_bigram": 8,      # bigram aggs (c2,c1,v) + score joins + per-doc agg + sort
     "curation_pipeline_v3": 14,       # three gate subplans + doc_id joins + source rollup
     "feature_quantile_bucketize": 3,  # boundary agg (1-row broadcast) + cell agg + sort
+    "dedup_embedding_clusters": 2,    # post-checkpoint: label join + sort (CC iterations checkpointed)
+    "window_moving_zscore": 2,        # per-series window + class agg
 }
 
 
