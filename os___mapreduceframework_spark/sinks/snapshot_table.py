@@ -379,9 +379,11 @@ class SnapshotMergeTable:
         into the new version dir, so the old rows survive only in the
         old dir's now-unreferenced bucket partitions; removing them is
         what makes a right-to-be-forgotten delete physical, not just
-        logical). Returns removed versions."""
+        logical). ``keep_last <= 0`` is a no-op (a retention policy
+        that keeps nothing would delete the live table). Returns
+        removed versions."""
         vs = self.versions()
-        return self._vacuum_keep(vs[-keep_last:] if keep_last > 0 else [])
+        return self._vacuum_keep(vs[-keep_last:] if keep_last > 0 else vs)
 
     def _vacuum_keep(self, keep: Sequence[int]) -> list[int]:
         """Expire every snapshot NOT in ``keep`` (the policy-agnostic

@@ -75,6 +75,15 @@ def test_vacuum_expires_old_snapshots_keeps_referenced_files(spark, table):
         table._load_manifest(0)
 
 
+def test_vacuum_zero_keep_is_noop(spark, table):
+    """keep_last=0 must keep everything -- a retention policy that
+    keeps nothing would delete the live table."""
+    table.merge(spark.createDataFrame([(2, "B")], "k long, v string"))
+    assert table.vacuum(keep_last=0) == []
+    assert table.versions() == [0, 1]
+    assert _rows(table.read()) == {(1, "a"), (2, "B"), (3, "c")}
+
+
 def test_custom_merge_fn_requires_seeded_table(spark, tmp_path):
     t = SnapshotMergeTable(spark, str(tmp_path / "x"), keys=["k"])
     with pytest.raises(ValueError, match="seed"):
