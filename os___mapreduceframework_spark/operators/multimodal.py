@@ -101,14 +101,21 @@ def decode_media(payload: bytes, media_type: str):
         # tokens; '#' starts a comment through end-of-line
         pos, tokens = 0, []
         while len(tokens) < 4:
+            if pos >= len(payload):  # header ends before 4 tokens
+                raise ValueError("truncated ppm header")
             if payload[pos : pos + 1] == b"#":
-                pos = payload.index(b"\n", pos) + 1
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("truncated ppm header")
+                pos = nl + 1
                 continue
             if payload[pos : pos + 1].isspace():
                 pos += 1
                 continue
             end = pos
-            while not payload[end : end + 1].isspace():
+            # bound by len(): b"" is not whitespace, so an unterminated
+            # final token would otherwise scan forever
+            while end < len(payload) and not payload[end : end + 1].isspace():
                 end += 1
             tokens.append(payload[pos:end])
             pos = end

@@ -80,6 +80,14 @@ def test_decode_media_ppm_roundtrip_and_edges():
         decode_media(b"P5\n1 1\n255\n\x00", "image/ppm")
     with pytest.raises(ValueError, match="truncated"):
         decode_media(b"P6\n2 2\n255\n\x00\x00", "image/ppm")
+    # truncated headers must error, not hang (b"" is never whitespace,
+    # so an unbounded token scan would loop forever)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6", "image/ppm")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6\n1 1\n255", "image/ppm")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6\n# comment with no newline", "image/ppm")
 
 
 def test_multimodal_pipeline_shapes(spark):
