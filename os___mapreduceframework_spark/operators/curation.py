@@ -32,7 +32,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from os___mapreduceframework_spark.operators.text import STOPWORDS, _sql_in
+from os___mapreduceframework_spark.operators.dedup import (
+    BLOCK_WORDS,
+    BOILERPLATE_MAX_FRAC,
+    boilerplate_stats,
+)
+from os___mapreduceframework_spark.operators.text import (
+    PPL_MAX,
+    STOPWORDS,
+    _sql_in,
+    perplexity_stats,
+)
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
 
@@ -287,6 +297,10 @@ def q_curation_token_budget_stratified(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+REP_TOP_MAX = 0.2  # max mass fraction of the top bigram
+REP_DUP_MAX = 0.5  # max duplicate-token ratio
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, top_bigram_count, n_bigrams, n_tokens, n_uniq): the
     within-document repetition statistics (Gopher-style gate inputs),
@@ -325,7 +339,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
 @query(
     "text_repetition_filter",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     bg AS (
       SELECT doc_id,
@@ -349,8 +363,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     SELECT s.doc_id,
            ROUND(s.top_bigram_count / s.n_bigrams, 6) AS top_bigram_frac,
            ROUND(1.0 - k.n_uniq / k.n_tokens, 6) AS dup_token_ratio,
-           CASE WHEN s.top_bigram_count / s.n_bigrams <= 0.2
-                 AND 1.0 - k.n_uniq / k.n_tokens <= 0.5
+           CASE WHEN s.top_bigram_count / s.n_bigrams <= {REP_TOP_MAX}
+                 AND 1.0 - k.n_uniq / k.n_tokens <= {REP_DUP_MAX}
                 THEN 1 ELSE 0 END AS passes_repetition
     FROM stats s JOIN toks k ON s.doc_id = k.doc_id
     ORDER BY s.doc_id
@@ -371,7 +385,7 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(top_frac, 6).alias("top_bigram_frac"),
             F.round(dup_ratio, 6).alias("dup_token_ratio"),
-            F.when((top_frac <= 0.2) & (dup_ratio <= 0.5), 1)
+            F.when((top_frac <= REP_TOP_MAX) & (dup_ratio <= REP_DUP_MAX), 1)
             .otherwise(0)
             .alias("passes_repetition"),
         )
@@ -546,16 +560,18 @@ def q_text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "curation_pipeline_v3",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
                FROM documents),
     -- gate 1: cross-corpus boilerplate blocks (dedup_boilerplate_blocks)
     blocks AS (
       SELECT doc_id,
              md5(array_to_string(
-               w[CAST(b * 10 + 1 AS INT):CAST(b * 10 + 10 AS INT)], ' ')) AS bh
-      FROM t, unnest(range(0, CAST(FLOOR(len(w) / 10) AS BIGINT))) AS u(b)
-      WHERE len(w) >= 10
+               w[CAST(b * {BLOCK_WORDS} + 1 AS INT)
+                 :CAST(b * {BLOCK_WORDS} + {BLOCK_WORDS} AS INT)], ' ')) AS bh
+      FROM t, unnest(range(0, CAST(FLOOR(len(w) / {BLOCK_WORDS}) AS BIGINT)))
+             AS u(b)
+      WHERE len(w) >= {BLOCK_WORDS}
     ),
     bcnt AS (SELECT bh, COUNT(DISTINCT doc_id) AS nd FROM blocks GROUP BY bh),
     bstat AS (
@@ -591,11 +607,11 @@ def q_text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flags AS (
       SELECT t.source, len(t.w) AS n_tok,
-             COALESCE(b.ndup / CAST(b.nb AS DOUBLE) <= 0.3, TRUE) AS f_boiler,
-             COALESCE(r.topc / CAST(r.nbg AS DOUBLE) <= 0.2
-                      AND 1.0 - r.nuq / CAST(r.ntok AS DOUBLE) <= 0.5,
+             COALESCE(b.ndup / CAST(b.nb AS DOUBLE) <= {BOILERPLATE_MAX_FRAC}, TRUE) AS f_boiler,
+             COALESCE(r.topc / CAST(r.nbg AS DOUBLE) <= {REP_TOP_MAX}
+                      AND 1.0 - r.nuq / CAST(r.ntok AS DOUBLE) <= {REP_DUP_MAX},
                       TRUE) AS f_rep,
-             COALESCE(p.ppl <= 80.0, TRUE) AS f_ppl
+             COALESCE(p.ppl <= {PPL_MAX}, TRUE) AS f_ppl
       FROM t
       LEFT JOIN bstat b USING (doc_id)
       LEFT JOIN rstat r USING (doc_id)
@@ -625,12 +641,6 @@ def q_text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation run reports before committing a training mix.",
 )
 def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from os___mapreduceframework_spark.operators.dedup import boilerplate_stats
-    from os___mapreduceframework_spark.operators.text import (
-        PPL_MAX,
-        perplexity_stats,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
@@ -642,12 +652,13 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = perplexity_stats(docs).select("doc_id", "ppl_raw")
     f_boiler = F.coalesce(
-        F.col("n_dup_blocks") / F.col("n_blocks").cast("double") <= 0.3,
+        F.col("n_dup_blocks") / F.col("n_blocks").cast("double")
+        <= BOILERPLATE_MAX_FRAC,
         F.lit(True),
     )
     f_rep = F.coalesce(
-        (F.col("top_bigram_count") / F.col("r_nbg").cast("double") <= 0.2)
-        & (1.0 - F.col("n_uniq") / F.col("n_tokens").cast("double") <= 0.5),
+        (F.col("top_bigram_count") / F.col("r_nbg").cast("double") <= REP_TOP_MAX)
+        & (1.0 - F.col("n_uniq") / F.col("n_tokens").cast("double") <= REP_DUP_MAX),
         F.lit(True),
     )
     f_ppl = F.coalesce(F.col("ppl_raw") <= PPL_MAX, F.lit(True))

@@ -593,6 +593,33 @@ def _collect_moments(df: DataFrame, col: str, dim: int):
 
 
 
+def _pca_decomposition(emb):
+    """Shared PCA prologue for the pca/whitening queries: one-scan
+    moments + driver-side eigensolve of the dim x dim covariance.
+    Returns (dim, n, mu, C, evals_desc, evecs_desc), or None when the
+    corpus is empty (0 rows or all-null embeddings) -- callers return
+    an empty result frame instead of dividing by zero."""
+    import numpy as np
+
+    head = emb.head()
+    dim = len(head["e"]) if head and head["e"] is not None else 0
+    if dim == 0:
+        return None
+    G, s, n = _collect_moments(emb, "e", dim)
+    if n == 0:
+        return None
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(C)
+    return dim, n, mu, C, evals[::-1], evecs[:, ::-1]
+
+
+_PCA_SCHEMA = (
+    "component long, total_var double, nonneg_ok boolean, "
+    "trace_ok boolean, recon_ok boolean"
+)
+
+
 @query(
     "embedding_pca_variance",
     oracle=f"""
@@ -629,13 +656,10 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    head = emb.head()
-    dim = len(head["e"]) if head and head["e"] is not None else 0
-    G, s, n = _collect_moments(emb, "e", dim)
-    mu = s / n
-    C = G / n - np.outer(mu, mu)
-    evals, evecs = np.linalg.eigh(C)
-    evals, evecs = evals[::-1], evecs[:, ::-1]
+    dec = _pca_decomposition(emb)
+    if dec is None:
+        return spark.createDataFrame([], _PCA_SCHEMA)
+    _dim, _n, _mu, C, evals, evecs = dec
     trace = float(np.trace(C))
     tol = 1e-8 * max(1.0, abs(trace))
     nonneg_ok = bool(evals.min() >= -tol)
@@ -646,11 +670,13 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(c), round(trace, 4), nonneg_ok, trace_ok, recon_ok)
         for c in range(PCA_TOP_K)
     ]
-    return spark.createDataFrame(
-        rows,
-        "component long, total_var double, nonneg_ok boolean, "
-        "trace_ok boolean, recon_ok boolean",
-    ).orderBy("component")
+    return spark.createDataFrame(rows, _PCA_SCHEMA).orderBy("component")
+
+
+_WHITEN_SCHEMA = (
+    "n bigint, dim int, k int, mean_zero_ok boolean, "
+    "whitened_cov_ok boolean"
+)
 
 
 @query(
@@ -681,13 +707,10 @@ def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    head = emb.head()
-    dim = len(head["e"]) if head and head["e"] is not None else 0
-    G, s, n = _collect_moments(emb, "e", dim)
-    mu = s / n
-    C = G / n - np.outer(mu, mu)
-    evals, evecs = np.linalg.eigh(C)
-    evals, evecs = evals[::-1], evecs[:, ::-1]
+    dec = _pca_decomposition(emb)
+    if dec is None:
+        return spark.createDataFrame([], _WHITEN_SCHEMA)
+    dim, n, mu, _C, evals, evecs = dec
     k = PCA_TOP_K
     lam = np.maximum(evals[:k], 1e-12)
     W_mat = evecs[:, :k] / np.sqrt(lam)  # dim x k
@@ -742,6 +765,5 @@ def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitened_cov_ok = bool(np.abs(cov_z - np.eye(k)).max() <= 1e-6)
     return spark.createDataFrame(
         [(int(n), int(dim), int(PCA_TOP_K), mean_zero_ok, whitened_cov_ok)],
-        "n bigint, dim int, k int, mean_zero_ok boolean, "
-        "whitened_cov_ok boolean",
+        _WHITEN_SCHEMA,
     )

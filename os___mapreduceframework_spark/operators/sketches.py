@@ -299,8 +299,11 @@ def q_sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.when(F.col("set1").isNotNull(), 1).otherwise(0))
               == F.count(F.lit(1))).alias("bloom_hit"))
     )
+    # ground-truth membership join is hash/merge, NOT broadcast: the
+    # member set is table-cardinality (only the <= m-row BITSET gets
+    # the justified broadcast above)
     verdicts = chk.join(
-        F.broadcast(members.withColumn("mem1", F.lit(1))), "key", "left"
+        members.withColumn("mem1", F.lit(1)).hint("merge"), "key", "left"
     ).select("bloom_hit", F.col("mem1").isNotNull().alias("is_member"))
     n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
     n_set_bits = mpos.agg(F.count(F.lit(1)).cast("bigint").alias("n_set_bits"))

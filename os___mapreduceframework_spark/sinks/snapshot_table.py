@@ -282,7 +282,23 @@ class SnapshotMergeTable:
             for v, bs in by_version.items()
         ]
         if not parts:
-            empty = self.spark.read.parquet(self._data_dir(0)).drop("__bucket")
+            # schema-only read for an empty selection: data/v0 may have
+            # been vacuumed away, so derive the schema from a dir some
+            # RETAINED manifest still references (this manifest's
+            # pointers first, then any retained version's)
+            fallback = next(iter(set(manifest.values())), None)
+            if fallback is None:
+                for v in reversed(self.versions()):
+                    m2 = self._load_manifest(v)
+                    if m2:
+                        fallback = next(iter(m2.values()))
+                        break
+            if fallback is None:
+                raise ValueError(
+                    f"SnapshotMergeTable at {self.path} has no data files "
+                    "to derive a schema from"
+                )
+            empty = self.spark.read.parquet(self._data_dir(fallback)).drop("__bucket")
             return empty.limit(0)
         out = parts[0]
         for p in parts[1:]:
@@ -532,13 +548,17 @@ class SnapshotTransaction:
         CONSISTENT cross-table state for any retained transaction.
         This policy ties expiry to the commit log instead: keep the
         last ``retain_last_tx`` transaction records, and for every
-        table keep every snapshot from the OLDEST version those records
-        reference onward (a contiguous tail, so single-table merges
-        that landed between transactions stay time-travelable too);
-        older manifests and their unreferenced data dirs are deleted,
-        as are the expired tx records. At least one record is always
-        retained so ``recover()`` keeps its crash anchor. Returns
-        {table: removed versions}.
+        table THOSE RECORDS REFERENCE keep every snapshot from the
+        oldest referenced version onward (a contiguous tail, so
+        single-table merges that landed between transactions stay
+        time-travelable too); older manifests and their unreferenced
+        data dirs are deleted, as are the expired tx records. Tables
+        the retained records never name are left UNTOUCHED -- the
+        commit log says nothing about what of theirs is safe to drop,
+        and "expire everything" is the wrong default for a retention
+        policy (use the per-table ``vacuum(keep_last=)`` for those).
+        At least one record is always retained so ``recover()`` keeps
+        its crash anchor. Returns {table: removed versions}.
         """
         if retain_last_tx < 1:
             raise ValueError("retain_last_tx must be >= 1 (recover() "
@@ -554,9 +574,9 @@ class SnapshotTransaction:
         removed: dict[str, list[int]] = {}
         for name, t in self.tables.items():
             cur = t.current_version()
-            if cur is None:
+            if cur is None or name not in floors:
                 continue
-            floor = min(floors.get(name, cur), cur)
+            floor = min(floors[name], cur)
             removed[name] = t._vacuum_keep([v for v in t.versions() if v >= floor])
         for tx_id in ids[:-retain_last_tx]:
             try:

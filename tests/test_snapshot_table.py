@@ -401,6 +401,38 @@ def test_txn_vacuum_retention_follows_commit_log(spark, two_tables):
         coord.vacuum(retain_last_tx=0)
 
 
+def test_txn_vacuum_leaves_unreferenced_tables_alone(spark, two_tables):
+    """A table the retained commit records never name must NOT be
+    expired -- the log says nothing about what of its history is safe
+    to drop."""
+    root, tables = two_tables
+    # table b evolves only via direct merges; only a goes through txs
+    tables["b"].merge(spark.createDataFrame([(3, "x")], "k long, v string"))
+    for i in range(2):
+        tx = SnapshotTransaction(root, tables)
+        tx.stage_merge("a", spark.createDataFrame([(2, f"A{i}")], "k long, v string"))
+        tx.commit()
+    removed = SnapshotTransaction(root, tables).vacuum(retain_last_tx=1)
+    assert "b" not in removed
+    assert tables["b"].versions() == [0, 1]  # untouched
+    assert _rows(tables["b"].read(version=0)) == {(1, "b1"), (2, "b2")}
+
+
+def test_change_feed_after_vacuum_and_noop_diff(spark, table):
+    """changes() between identical snapshots returns an empty feed --
+    including after vacuum deleted the v0 data dir the old empty-read
+    fallback depended on."""
+    table.merge(spark.createDataFrame([(1, "A"), (2, "B"), (3, "C")],
+                                      "k long, v string"))
+    table.merge(spark.createDataFrame([(1, "AA"), (2, "BB"), (3, "CC")],
+                                      "k long, v string"))
+    table.vacuum(keep_last=2)  # v0 fully unreferenced -> dir deleted
+    assert not os.path.isdir(table._data_dir(0))
+    cdf = table.changes(1, 1)
+    assert cdf.count() == 0
+    assert "change_type" in cdf.columns
+
+
 def test_vacuum_is_bucket_granular_physical_delete(spark, tmp_path):
     """After a delete-merge + vacuum(keep_last=1), NO parquet file under
     the table root may still hold a deleted row -- the old version
