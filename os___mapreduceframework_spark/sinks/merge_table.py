@@ -30,6 +30,7 @@ import os
 import shutil
 from collections.abc import Callable, Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_N_BUCKETS = 64
@@ -55,16 +56,24 @@ class MergeTable:
         self.n_buckets = n_buckets
 
     def _bucket(self, df: DataFrame) -> DataFrame:
+        # repartition on the bucket column so each bucket is one task's
+        # contiguous write (without it: tasks x buckets small files) --
+        # shared by every write path, same as the SnapshotMergeTable
+        # sibling
         return df.withColumn(
             "__bucket",
             F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int"),
-        )
+        ).repartition(self.n_buckets, F.col("__bucket"))
 
     def exists(self) -> bool:
+        # ONLY path-absent (AnalysisException) means "no table": a
+        # transient read failure must propagate, or merge() would
+        # misread it as first-write and overwrite() the whole table
+        # with one update batch
         try:
             self.spark.read.parquet(self.path)
             return True
-        except Exception:
+        except AnalysisException:
             return False
 
     def read(self) -> DataFrame:
@@ -73,13 +82,9 @@ class MergeTable:
 
     def overwrite(self, df: DataFrame) -> None:
         """(Re)create the table from scratch."""
-        # repartition on __bucket so each bucket is one task's contiguous
-        # write (without it: tasks x buckets small files)
-        self._bucket(df).repartition(self.n_buckets, F.col("__bucket")).write.mode(
-            "overwrite"
-        ).partitionBy("__bucket").parquet(
-            self.path
-        )
+        self._bucket(df).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(self.path)
 
     def merge(
         self,
@@ -115,16 +120,22 @@ class MergeTable:
             return
         if merge_fn is None:
             merge_fn = self._upsert
+        # materialize the bucketed updates ONCE: the affected-bucket
+        # collect and the rewrite must see the SAME rows, or a
+        # non-deterministic updates frame (rand keys, a directory that
+        # gains files between actions) lets dynamic overwrite truncate
+        # a bucket the collect never flagged
+        bucketed_updates = self._bucket(updates).localCheckpoint(eager=True)
         buckets = [
             r["__bucket"]
-            for r in self._bucket(updates).select("__bucket").distinct().collect()
+            for r in bucketed_updates.select("__bucket").distinct().collect()
         ]
         existing = (
             self.spark.read.parquet(self.path)
             .filter(F.col("__bucket").isin(buckets))  # partition-pruned
             .drop("__bucket")
         )
-        merged = merge_fn(existing, updates)
+        merged = merge_fn(existing, bucketed_updates.drop("__bucket"))
         self._rewrite_buckets(merged, buckets)
 
     def _upsert(self, existing: DataFrame, updates: DataFrame) -> DataFrame:
@@ -142,8 +153,13 @@ class MergeTable:
         ]
         if not buckets:
             return
-        kept = full.filter(F.col("__bucket").isin(buckets)).filter(~predicate).drop(
-            "__bucket"
+        # SQL DELETE semantics: remove rows where predicate IS TRUE;
+        # rows where it evaluates NULL are KEPT (plain ~predicate is
+        # NULL for them, which filter drops -- silent data loss)
+        kept = (
+            full.filter(F.col("__bucket").isin(buckets))
+            .filter(~F.coalesce(predicate, F.lit(False)))
+            .drop("__bucket")
         )
         self._rewrite_buckets(kept, buckets)
 
@@ -157,11 +173,7 @@ class MergeTable:
         written data, so an affected bucket the merge emptied must have
         its directory removed explicitly (the delete-commit a format
         encodes in its log)."""
-        bucketed = (
-            self._bucket(new_slice)
-            .repartition(self.n_buckets, F.col("__bucket"))
-            .localCheckpoint(eager=True)
-        )
+        bucketed = self._bucket(new_slice).localCheckpoint(eager=True)
         (
             bucketed.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

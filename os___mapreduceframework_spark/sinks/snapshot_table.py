@@ -230,14 +230,18 @@ class SnapshotMergeTable:
                 "it with overwrite() before staging a merge"
             )
         manifest = self._load_manifest(cur)
+        # materialize the bucketed updates once (same reasoning as
+        # MergeTable.merge): affected-set and written rows must agree
+        # even for non-deterministic update frames
+        bucketed_updates = self._bucket(updates).localCheckpoint(eager=True)
         affected = [
             r["__bucket"]
-            for r in self._bucket(updates).select("__bucket").distinct().collect()
+            for r in bucketed_updates.select("__bucket").distinct().collect()
         ]
         existing = self._read_buckets(manifest, affected)
         if merge_fn is None:
             merge_fn = self._upsert
-        merged = merge_fn(existing, updates)
+        merged = merge_fn(existing, bucketed_updates.drop("__bucket"))
         version = cur + 1
         bucketed = self._bucket(merged).localCheckpoint(eager=True)
         (

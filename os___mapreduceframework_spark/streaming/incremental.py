@@ -84,13 +84,15 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
         else:
             canonical = None
         out = []
-        for pdf in pdfs:
-            # deterministic within a batch: process ids ascending so the
-            # batch-local canonical is min(doc_id), not arrival order
-            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-                if canonical is None:
-                    canonical = doc_id
-                out.append((doc_id, canonical, int(doc_id != canonical)))
+        # materialize the whole group before sorting: a group larger
+        # than the Arrow batch size arrives as SEVERAL chunks, and a
+        # per-chunk sort would let a later chunk's smaller doc_id be
+        # marked duplicate of an earlier chunk's larger one
+        ids = sorted(int(d) for pdf in pdfs for d in pdf["doc_id"])
+        for doc_id in ids:
+            if canonical is None:
+                canonical = doc_id
+            out.append((doc_id, canonical, int(doc_id != canonical)))
         state.update((canonical,))
         yield pd.DataFrame(out, columns=["doc_id", "cluster_id", "is_duplicate"])
 
@@ -257,11 +259,17 @@ def incremental_minhash_dedup(
             )
         )
         full.write.mode("append").parquet(out_dir)
-        # register this batch's keys under the cluster minimum per key
+        # register EVERY distinct cluster canonical this batch put on a
+        # key (not just the minimum): min-collapsing would lose the
+        # second canonical when one batch bridges two clusters through
+        # a shared band, and compact_state's registry-collision edges
+        # could then never merge them. Reads still take min-per-key, so
+        # online assignment is unchanged; rows grow only by distinct
+        # clusters per key per batch.
         new_keys = (
             sigs.join(full.select("doc_id", "cluster_id"), "doc_id")
-            .groupBy("band", "sig")
-            .agg(F.min("cluster_id").alias("canonical"))
+            .select("band", "sig", F.col("cluster_id").alias("canonical"))
+            .distinct()
         )
         new_keys.write.mode("append").parquet(registry_dir)
         sigs.unpersist()

@@ -111,7 +111,15 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stream_left_outer",
     oracle="""
-    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    WITH mx AS (
+      -- Spark's global watermark is the MIN over both inputs of
+      -- (that side's own max event time - 2h); each side only sees its
+      -- filtered stream, so the overall corpus max (which may be a
+      -- click/error event) is NOT the anchor
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS m
+    ),
     v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
           FROM events WHERE event_type = 'view'),
     p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts

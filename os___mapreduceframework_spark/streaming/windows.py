@@ -218,8 +218,11 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     doc="Streaming stateful deduplication: dropDuplicates on "
-    "(user_id, event_type) with a watermark bounding dedup state, then "
-    "a complete-mode count.",
+    "(user_id, event_type), then a complete-mode count. NOTE the state "
+    "caveat: because the dedup keys do not embed event time, per-key "
+    "state is NEVER evicted by the watermark -- fine for bounded key "
+    "domains (users x types), unbounded otherwise; "
+    "stream_dedup_within_watermark is the watermark-evictable form.",
 )
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
@@ -269,7 +272,17 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(out, "update").orderBy("user_id")
+    sunk = run_to_completion(out, "update")
+    # the update-mode memory sink APPENDS a row per (key, micro-batch);
+    # keep each user's final state (n_events grows monotonically) so a
+    # multi-batch source can't leave stale partials in the result
+    return (
+        sunk.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_value"))
+        .orderBy("user_id")
+    )
 
 
 @query(

@@ -96,3 +96,18 @@ def test_merge_replay_idempotent(spark):
     once = _rows(t.read())
     t.merge(upd)  # replayed batch (foreachBatch at-least-once delivery)
     assert _rows(t.read()) == once
+
+
+def test_delete_keeps_null_predicate_rows(spark):
+    """DELETE removes rows where the predicate IS TRUE; rows where it
+    evaluates NULL must be kept (SQL DELETE semantics), even when they
+    share a bucket with true matches."""
+    t = _table(spark, n_buckets=1)  # one bucket: everything co-located
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "old"), (2, None), (3, "new")], "k long, status string"
+        )
+    )
+    t.delete(F.col("status") == "old")
+    got = {(r["k"], r["status"]) for r in t.read().collect()}
+    assert got == {(2, None), (3, "new")}

@@ -460,3 +460,50 @@ def test_vacuum_is_bucket_granular_physical_delete(spark, tmp_path):
         str(tmp_path / "forget" / "data")
     )
     assert {r["k"] for r in raw.select("k").collect()} == set(range(40)) - doomed
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("tx"), st.integers(0, 12), st.text("ab", min_size=1, max_size=2)),
+            st.tuples(st.just("merge_b"), st.integers(0, 12), st.text("cd", min_size=1, max_size=2)),
+            st.tuples(st.just("vacuum"), st.integers(1, 3), st.just("")),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_property_txn_vacuum_keeps_retained_tx_state_readable(
+    spark, tmp_path_factory, ops
+):
+    """Invariant: after ANY interleaving of transactions, direct merges,
+    and commit-log vacuums, every (table, version) named by a RETAINED
+    tx record is still readable -- consistent cross-table time travel
+    survives retention."""
+    root = tmp_path_factory.mktemp("txv")
+    a = SnapshotMergeTable(spark, str(root / "a"), keys=["k"], n_buckets=4)
+    b = SnapshotMergeTable(spark, str(root / "b"), keys=["k"], n_buckets=4)
+    a.overwrite(spark.createDataFrame([(0, "a0")], "k long, v string"))
+    b.overwrite(spark.createDataFrame([(0, "b0")], "k long, v string"))
+    tables = {"a": a, "b": b}
+    for kind, k, v in ops:
+        if kind == "tx":
+            tx = SnapshotTransaction(str(root), tables)
+            tx.stage_merge("a", spark.createDataFrame([(k, v)], "k long, v string"))
+            tx.stage_merge("b", spark.createDataFrame([(k, v)], "k long, v string"))
+            tx.commit()
+        elif kind == "merge_b":
+            b.merge(spark.createDataFrame([(k, v)], "k long, v string"))
+        else:
+            SnapshotTransaction(str(root), tables).vacuum(retain_last_tx=k)
+    coord = SnapshotTransaction(str(root), tables)
+    import json as _json
+
+    for tx_id in coord._tx_ids():
+        with open(os.path.join(str(root), "_tx", f"tx{tx_id}.json")) as f:
+            record = _json.load(f)
+        for name, vs in record.items():
+            # must not raise, and must hold the seed row at minimum
+            rows = {r["k"] for r in tables[name].read(version=vs["version"]).collect()}
+            assert 0 in rows, (tx_id, name, vs)
