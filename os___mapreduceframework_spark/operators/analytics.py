@@ -537,8 +537,11 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'small' is a correlated per-part average (written as its "
     "decorrelated form: the per-part aggregate joined back to the "
     "fact -- exactly what Catalyst rewrites the correlated scalar "
-    "subquery into). The threshold is computed in DECIMAL so the "
-    "comparison is exact on both engines; the brand filter prunes the "
+    "subquery into). NOTE the threshold is FP in practice: DuckDB "
+    "evaluates AVG(DECIMAL) and decimal division as DOUBLE, so the "
+    "0.2*avg comparison is exact only up to an ulp on the oracle "
+    "side -- a boundary tie is measure-zero with continuous "
+    "quantities, not impossible. The brand filter prunes the "
     "part side before the join.",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

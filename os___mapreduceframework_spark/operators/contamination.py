@@ -37,13 +37,21 @@ from os___mapreduceframework_spark.sources import load_table
 # registered query pins n.
 NGRAM = 3
 EVAL_MOD = 101  # eval set = doc_id % 101 == 0 (deterministic ~1% sample)
-K_CONTAMINATED = 2  # >= K distinct shared 5-grams -> contaminated
+K_CONTAMINATED = 2  # >= K distinct shared n-grams -> contaminated
 
-# one row per (doc, distinct 5-gram); grams deduped per doc scan-side
-_GRAMS_EXPR = (
-    "array_distinct(transform(sequence(0, size(w) - {n}), "
-    "i -> concat_ws(' ', slice(w, i + 1, {n}))))"
-).format(n=NGRAM)
+# one row per (doc, distinct n-gram); grams deduped per doc scan-side
+# total expression: greatest(..., 1) keeps the sequence ascending and
+# every slice start >= 1 even for docs shorter than n. Catalyst's
+# InferFiltersFromGenerate re-evaluates this expression inside the same
+# Filter as the size(w) >= n guard, so a partial expression (one that
+# errors on short docs) crashes the scan even though those rows are
+# being filtered out; short docs here just produce one undersized gram
+# that the guard then discards.
+_GRAMS_EXPR_TPL = (
+    "array_distinct(transform(sequence(1, greatest(size(w) - {n} + 1, 1)), "
+    "i -> concat_ws(' ', slice(w, i, {n}))))"
+)
+_GRAMS_EXPR = _GRAMS_EXPR_TPL.format(n=NGRAM)
 
 _GRAMS_SQL = f"""
     t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -59,8 +67,10 @@ _GRAMS_SQL = f"""
 def doc_ngrams(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     """(doc_id, gram, n_grams): one row per distinct word n-gram of each
     document, with the document's distinct-gram count carried along so no
-    second aggregation is needed for totals."""
-    grams = F.expr(_GRAMS_EXPR)
+    second aggregation is needed for totals. ``n`` drives BOTH the gram
+    width and the min-length filter (it previously only drove the
+    filter, silently emitting 3-grams for any n)."""
+    grams = F.expr(_GRAMS_EXPR_TPL.format(n=n))
     return (
         docs.filter(F.size(F.split("text", " ")) >= n)
         .select("doc_id", F.split("text", " ").alias("w"))

@@ -45,7 +45,6 @@ index serves queries without touching the base table at all).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -237,7 +236,22 @@ def search_count_index_segments(idx: DataFrame, word: str) -> DataFrame:
     name's total, so ``max`` recovers it while the gram count gates
     all-grams containment. With a single compacted segment this
     degenerates to exactly ``search_count_indexed``'s plan shape.
+
+    Words shorter than 3 chars have no trigram; served from the merged
+    index WITHOUT gram pruning (an unpruned posting scan -- the same
+    fallback contract as ``search_count_indexed``, which rescans the
+    corpus; here the segments ARE the corpus of record).
     """
+    if len(word) < 3:
+        return (
+            idx.groupBy("name", "gram")
+            .agg(F.sum("cnt").alias("cnt"))
+            .groupBy("name")
+            .agg(F.max("cnt").alias("cnt"))
+            .filter(F.instr(F.col("name"), F.lit(word)) > 0)
+            .select("name", "cnt")
+            .orderBy("name")
+        )
     grams = sorted({word[i : i + 3] for i in range(len(word) - 2)})
     return (
         idx.filter(F.col("gram").isin(grams))

@@ -26,7 +26,6 @@ a double-counted insert all break the hash match.
 
 from __future__ import annotations
 
-import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F

@@ -169,3 +169,29 @@ def test_index_served_query_prunes_buckets(spark):
         assert 0 < n < _N_IDX_BUCKETS, plan[:1500]
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+
+
+def test_segments_short_word_falls_back_to_unpruned_scan(spark):
+    """A 1-2 char query has no trigram; the segmented server must serve
+    it from the merged postings (unpruned), matching the scan answer --
+    not return an empty frame because gram.isin([]) dropped everything."""
+    from os___mapreduceframework_spark.operators.indexing import (
+        search_count_index_segments,
+        trigram_index,
+    )
+    from os___mapreduceframework_spark.operators.search import search_count
+    from os___mapreduceframework_spark.sources import load_table
+    from tests.conftest import TEST_SF_DIR
+
+    names = load_table(spark, TEST_SF_DIR, "part").select(
+        F.col("p_name").alias("name")
+    )
+    idx = trigram_index(names)
+    got = {
+        (r["name"], r["cnt"])
+        for r in search_count_index_segments(idx, "wi").collect()
+    }
+    want = {
+        (r["name"], r["cnt"]) for r in search_count(names, "wi").collect()
+    }
+    assert got == want and got  # non-empty and scan-identical

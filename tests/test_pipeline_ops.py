@@ -352,3 +352,17 @@ def test_decode_media_ppm_property_roundtrip():
         assert bytes(d["pixels"]) == raster
 
     check()
+
+
+def test_doc_ngrams_parameterized_width(spark):
+    """doc_ngrams(n) must emit n-word grams, not module-default 3-grams
+    with only the length filter parameterized."""
+    from os___mapreduceframework_spark.operators.contamination import doc_ngrams
+
+    df = _docs(spark, [(1, "a b c d e"), (2, "x y z")])
+    g5 = doc_ngrams(df, n=5).collect()
+    assert {r["doc_id"] for r in g5} == {1}  # doc 2 too short for 5-grams
+    assert all(len(r["gram"].split(" ")) == 5 for r in g5)
+    g3 = doc_ngrams(df, n=3).collect()
+    assert {len(r["gram"].split(" ")) for r in g3} == {3}
+    assert {r["doc_id"] for r in g3} == {1, 2}
