@@ -41,7 +41,11 @@ from os___mapreduceframework_spark.operators.text import (
     PPL_MAX,
     STOPWORDS,
     _sql_in,
+    fingerprint_expr,
+    lang_pred_expr,
     perplexity_stats,
+    quality_gate_expr,
+    stopword_hits,
 )
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
@@ -51,35 +55,20 @@ from os___mapreduceframework_spark.sources import load_table
 
 def _with_gates(docs: DataFrame) -> DataFrame:
     """Annotate documents with pred_lang / passes_quality / fingerprint
-    -- the same heuristics as text_lang_id, text_quality and
-    text_fingerprint, fused into one projection."""
+    -- built from text.py's SHARED gate expressions (lang_pred_expr,
+    quality_gate_expr, fingerprint_expr), so the standalone operators
+    and the composed pipeline cannot drift, fused into one projection."""
     docs = docs.withColumn("w", F.split("text", " "))
-
-    def _hits(words):
-        arr = F.array(*[F.lit(s) for s in words])
-        return F.size(F.filter(F.col("w"), lambda x: F.array_contains(arr, x)))
-
-    counts = {lang: _hits(words) for lang, words in STOPWORDS.items()}
-    pred = (
-        F.when(counts["en"] >= F.greatest(counts["de"], counts["fr"], counts["es"]), "en")
-        .when(counts["de"] >= F.greatest(counts["fr"], counts["es"]), "de")
-        .when(counts["fr"] >= counts["es"], "fr")
-        .otherwise("es")
-    )
-    n_stop = counts["en"]
-    quality = F.when(
-        F.size("w").between(5, 100000) & (n_stop / F.size("w")).between(0.01, 0.6), 1
-    ).otherwise(0)
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    n_stop = stopword_hits(F.col("w"), STOPWORDS["en"])
     return docs.select(
         "doc_id",
         "source",
         F.size("w").alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        pred.alias("pred_lang"),
-        quality.alias("passes_quality"),
+        lang_pred_expr(F.col("w")).alias("pred_lang"),
+        quality_gate_expr(F.col("w")).alias("passes_quality"),
         (n_stop / F.size("w")).alias("stop_ratio"),
-        fp.alias("fp"),
+        fingerprint_expr(F.col("text")).alias("fp"),
     )
 
 
@@ -202,6 +191,29 @@ def q_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tfidf): per-(doc, term) TF-IDF with raw-count tf
+    and ln(n_docs/df) idf, rounded to 6 -- THE scoring shared by the
+    corpus top-k and the per-doc keyword extractor (one edit updates
+    both)."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+
 @query(
     "text_tfidf_top",
     oracle="""
@@ -227,25 +239,8 @@ def q_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject with full tiebreaks.",
 )
 def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
     return (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
-                "tfidf"
-            ),
-        )
+        tfidf_scores(load_table(spark, sf_dir, "documents"))
         .orderBy(F.col("tfidf").desc(), "term", "doc_id")
         .limit(25)
     )
@@ -533,22 +528,7 @@ def q_curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
-                "tfidf"
-            ),
-        )
-    )
+    scored = tfidf_scores(load_table(spark, sf_dir, "documents"))
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w))

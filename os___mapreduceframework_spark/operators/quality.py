@@ -343,8 +343,9 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_quantile_sketch",
     oracle="""
-    WITH l AS (SELECT source, length(text) AS len FROM documents)
-    SELECT COALESCE(source, 'ALL') AS source,
+    WITH l AS (SELECT COALESCE(source, '(null)') AS source,
+                      length(text) AS len FROM documents)
+    SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
            CAST(ROUND(quantile_cont(len, 0.5), 1) AS DOUBLE) AS p50_exact,
            CAST(ROUND(quantile_cont(len, 0.9), 1) AS DOUBLE) AS p90_exact,
            CAST(ROUND(quantile_cont(len, 0.99), 1) AS DOUBLE) AS p99_exact,
@@ -367,7 +368,14 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    lens = docs.select("source", F.length("text").alias("len"))
+    # a NULL source is coalesced to a sentinel BEFORE the rollup and the
+    # total row is named via grouping(): coalescing AFTER the rollup
+    # would conflate the NULL-source group with the grand-total row
+    # (duplicate 'ALL' keys fanning out the broadcast joins)
+    lens = docs.select(
+        F.coalesce("source", F.lit("(null)")).alias("source"),
+        F.length("text").alias("len"),
+    )
     pcts = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
     aggs = []
     for p, tag in pcts:
@@ -375,9 +383,14 @@ def q_quality_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.expr(f"percentile_approx(len, {p}, 10000)").alias(f"{tag}_a"))
     stats = (
         lens.rollup("source")
-        .agg(*aggs)
-        .select(F.coalesce("source", F.lit("ALL")).alias("gsource"), "*")
-        .drop("source")
+        .agg(*aggs, F.grouping("source").alias("__g"))
+        .select(
+            F.when(F.col("__g") == 1, F.lit("ALL"))
+            .otherwise(F.col("source"))
+            .alias("gsource"),
+            "*",
+        )
+        .drop("source", "__g")
     )
     # rank audit: every len row participates in its own source group AND
     # the ALL group (explode doubles the scan rows, still one pass);

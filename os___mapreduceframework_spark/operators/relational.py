@@ -796,7 +796,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(p_brand) AS lbrand,
            length(p_name) AS name_len,
            substr(p_name, 1, 4) AS prefix,
-           concat(p_brand, ':', p_type) AS brand_type,
+           concat_ws(':', p_brand, p_type) AS brand_type,
            replace(p_name, ' ', '_') AS snake,
            trim(p_name) AS trimmed,
            CASE WHEN p_name LIKE '%wid%' THEN 1 ELSE 0 END AS has_wid

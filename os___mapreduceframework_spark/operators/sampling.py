@@ -196,13 +196,14 @@ _DUCK_U = (
     s AS (
       SELECT doc_id, source, n_chars,
              {_DUCK_U} AS u,
-             n_chars / (SELECT CAST(maxc AS DOUBLE) FROM m) AS p
+             n_chars / (SELECT CAST(maxc AS DOUBLE) FROM m) AS p,
+             (SELECT maxc FROM m) * 1000000 // n_chars AS inv_p_fp
       FROM documents
     )
     SELECT source,
            COUNT(*) AS n_sampled,
            CAST(SUM(doc_id) AS BIGINT) AS checksum,
-           CAST(ROUND(SUM(1.0 / p), 2) AS DOUBLE) AS est_total
+           CAST(ROUND(SUM(inv_p_fp) / 1000000.0, 2) AS DOUBLE) AS est_total
     FROM s
     WHERE u < p
     GROUP BY source
@@ -225,6 +226,11 @@ def q_sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(_SPARK_U).alias("u"),
         (F.col("n_chars") / F.col("maxc").cast("double")).alias("p"),
+        # 1/p as a FIXED-POINT integer (maxc*1e6 div n_chars): the
+        # Horvitz-Thompson sum is then an exact bigint sum -- order-
+        # independent, unlike a double sum whose rounding at the .005
+        # boundary could depend on partitioning
+        F.expr("div(maxc * 1000000, n_chars)").alias("inv_p_fp"),
     )
     return (
         s.filter(F.col("u") < F.col("p"))
@@ -232,7 +238,9 @@ def q_sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
             F.sum("doc_id").cast("bigint").alias("checksum"),
-            F.round(F.sum(1.0 / F.col("p")), 2).cast("double").alias("est_total"),
+            F.round(F.sum("inv_p_fp") / 1_000_000.0, 2)
+            .cast("double")
+            .alias("est_total"),
         )
         .orderBy("source")
     )

@@ -51,19 +51,31 @@ def asof_join(
     100 TB, and AQE-skew-splittable.
     """
     left_cols = left.columns
+    # the right row travels as ONE struct: carrying each value column
+    # independently would backfill a NULL field of the latest row from
+    # an OLDER row, mixing fields of different right rows (ASOF must
+    # return the latest row as-is, nulls included)
     r = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__kind"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rrow"),
     )
     l = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__kind"),
         *left_cols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}" for c in value_cols
+            )
+            + ">"
+        )
+        .alias("__rrow"),
     )
     w = (
         W.partitionBy("__k")
@@ -73,9 +85,12 @@ def asof_join(
     carried = r.unionByName(l).select(
         "__kind",
         *left_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
-    return carried.filter(F.col("__kind") == 1).drop("__kind")
+    return (
+        carried.filter(F.col("__kind") == 1)
+        .select(*left_cols, *[F.col(f"__rrow.{c}").alias(c) for c in value_cols])
+    )
 
 
 @query(
@@ -160,7 +175,10 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id_b") > F.col("id_a"))
             & (F.abs(F.col("us_b") - F.col("us_a")) < bucket_us)
         )
-        .dropDuplicates(["user_id", "id_a", "id_b"])
+        # no dedup needed: b carries exactly one cell and a's three
+        # exploded cells are distinct, so each (id_a, id_b) pair can
+        # match at most once -- a dropDuplicates here is a full extra
+        # shuffle of the join output for no semantic effect
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
@@ -171,7 +189,7 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_batch",
     oracle=f"""
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                        > {SESSION_GAP_MIN} * 60 * 1000000
                    OR LAG(ts) OVER w IS NULL
@@ -181,7 +199,8 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g
     )
@@ -203,7 +222,13 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
     ).otherwise(0)
-    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # tiebreak on event_id: a ROWS cumsum over ts alone is
+    # nondeterministic for duplicate (user_id, ts) pairs
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
         ev.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(wsum))

@@ -24,6 +24,49 @@ STOPWORDS = {
 
 _PUNCT = ".,!?;:"
 
+# quality-gate thresholds shared by text_quality and the composed
+# curation pipelines (a one-sided edit here updates both)
+QUALITY_TOKENS = (5, 100000)
+QUALITY_STOP_RATIO = (0.01, 0.6)
+
+
+def stopword_hits(w_col, words):
+    """Count of tokens in ``w_col`` (array<string>) that are in
+    ``words`` -- the stopword-hit primitive under lang-id and quality."""
+    arr = F.array(*[F.lit(s) for s in words])
+    return F.size(F.filter(w_col, lambda x: F.array_contains(arr, x)))
+
+
+def lang_pred_expr(w_col):
+    """Stopword-argmax language prediction with the fixed en>de>fr>es
+    tiebreak (the exact expression of text_lang_id)."""
+    counts = {lang: stopword_hits(w_col, words) for lang, words in STOPWORDS.items()}
+    return (
+        F.when(
+            counts["en"] >= F.greatest(counts["de"], counts["fr"], counts["es"]), "en"
+        )
+        .when(counts["de"] >= F.greatest(counts["fr"], counts["es"]), "de")
+        .when(counts["fr"] >= counts["es"], "fr")
+        .otherwise("es")
+    )
+
+
+def quality_gate_expr(w_col):
+    """1/0 quality verdict (the exact gate of text_quality): token count
+    and en-stopword ratio inside the configured bands."""
+    n_stop = stopword_hits(w_col, STOPWORDS["en"])
+    return F.when(
+        F.size(w_col).between(*QUALITY_TOKENS)
+        & (n_stop / F.size(w_col)).between(*QUALITY_STOP_RATIO),
+        1,
+    ).otherwise(0)
+
+
+def fingerprint_expr(text_col):
+    """Normalized-text md5 fingerprint (the exact expression of
+    text_fingerprint and the exact-dedup keeper key)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))))
+
 
 def _sql_in(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
@@ -95,12 +138,11 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape for pretraining pipelines).",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     strip_punct = F.col("text")
     for ch in _PUNCT:
         strip_punct = F.replace(strip_punct, F.lit(ch), F.lit(""))
     n_punct = (F.length("text") - F.length(strip_punct)).alias("n_punct")
-    n_stop = F.size(F.filter(F.col("w"), lambda x: F.array_contains(stop_arr, x)))
+    n_stop = stopword_hits(F.col("w"), STOPWORDS["en"])
     df = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", F.split("text", " ").alias("w"))
@@ -115,13 +157,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("punct_ratio"),
             n_stop.alias("n_stop"),
             F.round(n_stop / F.size("w"), 6).alias("stopword_ratio"),
-            F.when(
-                F.size("w").between(5, 100000)
-                & (n_stop / F.size("w")).between(0.01, 0.6),
-                1,
-            )
-            .otherwise(0)
-            .alias("passes_quality"),
+            quality_gate_expr(F.col("w")).alias("passes_quality"),
         )
         .orderBy("doc_id")
     )
@@ -157,20 +193,9 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
-    def _hits(words):
-        # single-arg lambda: pyspark treats every lambda parameter
-        # (including defaults) as a lambda variable, so close over arr
-        arr = F.array(*[F.lit(s) for s in words])
-        return F.size(F.filter(F.col("w"), lambda x: F.array_contains(arr, x)))
-
-    counts = {lang: _hits(words) for lang, words in STOPWORDS.items()}
-    pred = (
-        F.when(counts["en"] >= F.greatest(counts["de"], counts["fr"], counts["es"]), "en")
-        .when(counts["de"] >= F.greatest(counts["fr"], counts["es"]), "de")
-        .when(counts["fr"] >= counts["es"], "fr")
-        .otherwise("es")
-    )
-    return docs.select("doc_id", "lang", pred.alias("pred_lang")).orderBy("doc_id")
+    return docs.select(
+        "doc_id", "lang", lang_pred_expr(F.col("w")).alias("pred_lang")
+    ).orderBy("doc_id")
 
 
 @query(
@@ -199,7 +224,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("content_md5"),
+            fingerprint_expr(F.col("text")).alias("content_md5"),
             F.expr(
                 "aggregate(transform(split(text, ' '), "
                 "t -> cast(conv(substr(md5(t), 1, 7), 16, 10) as bigint)), 0L, (a, x) -> a + x)"
@@ -323,7 +348,10 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chars = docs.select(
+    # empty text must be absent from the output (no chars): without the
+    # filter, sequence(1, 0) auto-negates its step to [1, 0] and emits
+    # two phantom empty-string "chars" the oracle's range(1, 1) lacks
+    chars = docs.filter(F.length("text") > 0).select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")

@@ -21,3 +21,27 @@ def test_scd2_intervals_contiguous_one_current(spark):
         for prev, cur in zip(hist, hist[1:]):
             assert prev.valid_to == cur.valid_from, user
             assert prev.valid_from <= prev.valid_to, user
+
+
+def test_asof_join_returns_latest_row_as_is(spark):
+    """ASOF must return the latest qualifying right ROW intact: a NULL
+    field in that row stays NULL, never backfilled from an older row
+    (per-column carry would mix fields of different rows)."""
+    from os___mapreduceframework_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 0, 5, 7), (1, 1, 10, None)], "k long, t long, v1 long, v2 long"
+    )
+    left = spark.createDataFrame(
+        [(1, 2, "late"), (1, 0, "tie"), (2, 5, "nomatch")],
+        "k long, t long, tag string",
+    )
+    got = {
+        r["tag"]: (r["v1"], r["v2"])
+        for r in asof_join(left, right, "k", "k", "t", "t", ["v1", "v2"]).collect()
+    }
+    assert got == {
+        "late": (10, None),   # latest row as-is, v2 NOT backfilled to 7
+        "tie": (5, 7),        # inclusive at equal time
+        "nomatch": (None, None),
+    }
