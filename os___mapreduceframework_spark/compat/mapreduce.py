@@ -136,6 +136,12 @@ def _rdd_path(
         .flatMap(lambda kv: reduce_fn(kv[0], list(kv[1])))
         .sortByKey(ascending=True, numPartitions=parallelism)
     )
+    # persist before probing: isEmpty() runs a job and toDF's schema
+    # inference samples another -- without a cache each re-executes the
+    # user's map/reduce callables (possibly expensive or side-effecting)
+    # through the whole pipeline
+    out = out.persist()
     if out.isEmpty():  # toDF cannot infer a schema from an empty RDD
+        out.unpersist()
         return df.sparkSession.createDataFrame([], schema="key string, value string")
     return out.toDF(["key", "value"])

@@ -24,7 +24,6 @@ shuffle (the whole point of SURVEY.md section 7.0).
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Callable, Iterable
 from typing import Any
 
@@ -35,7 +34,6 @@ from os___mapreduceframework_spark.sources import load_table
 
 MapFn = Callable[[Any, Any], Iterable[tuple[Any, Any]]]
 
-_NAME_SEQ = itertools.count()
 
 
 def map_as_udtf(

@@ -80,10 +80,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table(spark, sf_dir, "orders").hint("merge").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem").hint("merge").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
     joined = li.join(
@@ -138,11 +138,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
     )
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table(spark, sf_dir, "orders").hint("merge").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").hint("merge")
     joined = (
         li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -226,11 +226,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table(spark, sf_dir, "orders").hint("merge").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    li = load_table(spark, sf_dir, "lineitem").hint("merge").filter(F.col("l_returnflag") == "R")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -270,10 +270,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregates fold into the same partial/final hash aggregate.",
 )
 def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders").hint("merge").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = load_table(spark, sf_dir, "lineitem").hint("merge").select("l_orderkey", "l_shipdate")
     return (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderpriority")
@@ -632,10 +632,15 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+    # distinct BEFORE the anti-join: the urgent key set is a fact-scale
+    # projection (~a fifth of orders); broadcasting it raw was the
+    # audited trap. Distinct bounds it by customer cardinality and the
+    # merge hint keeps the anti-join a shuffle join at every scale.
     urgent = (
-        load_table(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "orders").hint("merge")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("urgent_custkey"))
+        .distinct()
     )
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
@@ -643,7 +648,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.join(
-            F.broadcast(urgent), F.col("c_custkey") == F.col("urgent_custkey"), "left_anti"
+            urgent, F.col("c_custkey") == F.col("urgent_custkey"), "left_anti"
         )
         .join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal").cast(_PRICE) > F.col("avg_bal"))
@@ -682,11 +687,11 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles only for the orders join and final aggregate.",
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").hint("merge").select(
         "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders = load_table(spark, sf_dir, "orders").hint("merge").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     n1 = nation.select(
@@ -745,14 +750,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "computed in one pass, in DECIMAL.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").hint("merge").select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
         "p_partkey"
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders").hint("merge").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -812,14 +817,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders join, one for the aggregate.",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").hint("merge").select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
     )
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").contains("widget")
     ).select("p_partkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    orders = load_table(spark, sf_dir, "orders").hint("merge").select("o_orderkey", "o_orderdate")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return _rev_to_double(
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
@@ -1103,11 +1108,11 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_f = (
-        load_table(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "orders").hint("merge")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").hint("merge").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     lines = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(

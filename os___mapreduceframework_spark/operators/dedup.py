@@ -97,6 +97,39 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(load_table(spark, sf_dir, "documents")).orderBy("doc_a", "doc_b")
 
 
+def _candidate_intersections(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, na, nb, n_common): distinct-shingle sizes and
+    shared-shingle counts for LSH candidate pairs ONLY -- the shared
+    verification input of the Jaccard and containment scorers (a fix to
+    the intersection join applies to both)."""
+    cand = lsh_candidates(docs)
+    ds = _shingles(docs).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = ds.alias("x"), ds.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == cand.doc_a)
+        .join(
+            y,
+            (F.col("y.doc_id") == cand.doc_b)
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == inter.doc_a)
+        .join(sb, F.col("sb.doc_id") == inter.doc_b)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+            "n_common",
+        )
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -121,25 +154,13 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = lsh_candidates(docs)
-    ds = _shingles(docs).distinct()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = ds.alias("x"), ds.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == cand.doc_a)
-        .join(y, (F.col("y.doc_id") == cand.doc_b) & (F.col("y.shingle") == F.col("x.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        inter.join(sa, F.col("sa.doc_id") == inter.doc_a)
-        .join(sb, F.col("sb.doc_id") == inter.doc_b)
+        _candidate_intersections(docs)
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")), 6
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
             ).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
@@ -355,7 +376,9 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bands = embedding_band_buckets(emb)
+    # band rows are corpus x 32: both self-join sides merge-hinted so
+    # neither raw-derived side broadcasts at small-SF statistics
+    bands = embedding_band_buckets(emb).hint("merge")
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -407,19 +430,35 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["node"] == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # pointer jumping: relabel through the label's OWN label, so a
+        # chain's depth halves every iteration -- neighbor-min alone
+        # moves labels one hop per iteration and silently mislabels any
+        # component whose diameter exceeds max_iter
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            stepped.join(parent, stepped["lbl"] == parent["p_node"], "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
+                ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
@@ -431,7 +470,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds 2^iterations under "
+            "pointer jumping); raise max_iter -- returning partial "
+            "labels would silently split clusters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -509,35 +556,15 @@ CONTAINMENT_MIN = 0.9
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = lsh_candidates(docs)
-    ds = _shingles(docs).distinct()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = ds.alias("x"), ds.alias("y")
-    inter = (
-        cand.join(x, F.col("x.doc_id") == cand.doc_a)
-        .join(
-            y,
-            (F.col("y.doc_id") == cand.doc_b)
-            & (F.col("y.shingle") == F.col("x.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    scored = (
-        inter.join(sa, F.col("sa.doc_id") == inter.doc_a)
-        .join(sb, F.col("sb.doc_id") == inter.doc_b)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("sa.n").alias("na"),
-            F.col("sb.n").alias("nb"),
-            F.round(
-                F.col("n_common")
-                / F.least(F.col("sa.n"), F.col("sb.n")).cast("double"),
-                6,
-            ).alias("containment"),
-        )
+    scored = _candidate_intersections(docs).select(
+        "doc_a",
+        "doc_b",
+        "na",
+        "nb",
+        F.round(
+            F.col("n_common") / F.least(F.col("na"), F.col("nb")).cast("double"),
+            6,
+        ).alias("containment"),
     )
     return (
         scored.filter(F.col("containment") >= CONTAINMENT_MIN)

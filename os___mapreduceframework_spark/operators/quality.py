@@ -74,7 +74,15 @@ def q_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orphans("orders->customer", orders, "o_custkey", customer, "c_custkey")
         .unionByName(
-            orphans("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey")
+            # the parent side here is a FACT (orders): merge-hint so the
+            # anti-join never broadcasts it (customer, a dim, may)
+            orphans(
+                "lineitem->orders",
+                lineitem,
+                "l_orderkey",
+                orders.hint("merge"),
+                "o_orderkey",
+            )
         )
         .unionByName(
             orphans("events->customer(user)", events, "user_id", customer, "c_custkey")

@@ -331,8 +331,10 @@ def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strategy and splits skewed partitions at runtime).",
 )
 def q_join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # both sides are fact-scale: merge-hint so small-SF stats never
+    # promote one to a broadcast (the audited q4 trap)
+    o = load_table(spark, sf_dir, "orders").hint("merge")
+    li = load_table(spark, sf_dir, "lineitem").hint("merge")
     revenue = F.col("l_extendedprice").cast(_PRICE) * (
         F.lit(1) - F.col("l_discount").cast(_RATE)
     )

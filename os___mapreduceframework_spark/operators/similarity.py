@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from os___mapreduceframework_spark.operators.dedup import _cosine
+from os___mapreduceframework_spark.operators.minhash import _cosine
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
 

@@ -170,7 +170,8 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("us") / bucket_us).cast("long").alias("cell"),
     )
     return (
-        a.join(b, ["user_id", "cell"])
+        # both sides are the fact stream: merge-hinted self-join
+        a.hint("merge").join(b.hint("merge"), ["user_id", "cell"])
         .filter(
             (F.col("id_b") > F.col("id_a"))
             & (F.abs(F.col("us_b") - F.col("us_a")) < bucket_us)

@@ -398,7 +398,10 @@ def perplexity_stats(docs: DataFrame) -> DataFrame:
     v = c1.agg(F.count(F.lit(1)).cast("double").alias("vsz"))
     lp = F.log((F.col("c") + 1) / (F.col("c1") + F.col("vsz")))
     return (
-        bg.join(c2, ["w1", "w2"])
+        # bg is the fact-scale bigram stream: merge-hint it so the
+        # score joins shuffle hash-to-hash (the aggregated count
+        # tables may broadcast when small; the raw stream never)
+        bg.hint("merge").join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")

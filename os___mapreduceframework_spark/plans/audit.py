@@ -51,16 +51,34 @@ def raw_fact_broadcasts(df: DataFrame, facts: tuple[str, ...] = FACT_TABLES) -> 
     subtree that contains a RAW fact FileScan -- an *aggregated*
     derivative (e.g. q18's per-order quantity sums) is legitimately
     small and not flagged."""
-    plan = executed_plan(df)
+    return _broadcast_offenders(executed_plan(df), facts)
+
+
+def _tree_depth(line: str) -> int:
+    """Depth of a plan-tree line = length of its tree-art prefix.
+
+    Plain leading-space counting is WRONG for Spark tree strings: every
+    line inside a non-last child branch is prefixed with ':' at the
+    same column (':- BroadcastExchange' / ':  +- FileScan' both have
+    zero leading spaces), so an indent-based subtree slice terminates
+    immediately and silently misses the broadcast's children. The
+    tree-art prefix is any run of ':', ' ', '+', '-' before the node
+    text (node names never start with those characters)."""
+    import re
+
+    return re.match(r"^[:\s+\-]*", line).end()
+
+
+def _broadcast_offenders(plan: str, facts: tuple[str, ...]) -> list[str]:
     lines = plan.splitlines()
     offenders = []
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
             continue
-        indent = len(line) - len(line.lstrip())
+        depth = _tree_depth(line)
         sub = []
         for l2 in lines[i + 1 :]:
-            if l2.strip() and len(l2) - len(l2.lstrip()) <= indent:
+            if l2.strip() and _tree_depth(l2) <= depth:
                 break
             sub.append(l2)
         subtxt = "\n".join(sub)

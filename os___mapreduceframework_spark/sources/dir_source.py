@@ -50,13 +50,15 @@ class DirEntriesReader(DataSourceReader):
         d = partition.directory
         # readdir parity (Search.cpp:102): '.' and '..' first, then
         # entries; sorted for run-to-run determinism (readdir order is
-        # filesystem-dependent and the engine's output sort hides it)
-        yield (d, ".")
-        yield (d, "..")
+        # filesystem-dependent and the engine's output sort hides it).
+        # A directory whose opendir fails contributes NO rows -- the
+        # parity rows come from a successful readdir, not thin air.
         try:
             entries = sorted(os.listdir(d))
         except OSError:
-            entries = []
+            return
+        yield (d, ".")
+        yield (d, "..")
         for e in entries:
             yield (d, e)
 
@@ -66,8 +68,14 @@ class DirEntriesStreamReader(SimpleDataSourceStreamReader):
     mtime advanced past the last offset (the pattern of Spark's own file
     source, expressed through the Python Data Source API).
 
-    Offsets are a single ``{"mtime_ns": N}`` watermark -- O(1) state no
-    matter how many entries exist, checkpointable, replayable. Unlike
+    Offsets are ``{"mtime_ns": N, "at": [[dir, name], ...]}`` -- the
+    mtime watermark plus the names already emitted AT that exact tick
+    (state bounded by one tick's arrivals, so still O(1) for any
+    realistic stream), checkpointable, replayable. Carrying the
+    at-tick names is what makes the watermark safe under coarse
+    filesystem mtime granularity: a strictly-greater comparison alone
+    would permanently drop a file created in the same tick as the
+    committed watermark. Unlike
     the batch reader there is no ``.``/``..`` parity row (arrival
     semantics are meaningless for them) and listing runs driver-side:
     ``SimpleDataSourceStreamReader`` is the right tool for
@@ -80,30 +88,53 @@ class DirEntriesStreamReader(SimpleDataSourceStreamReader):
         self.dirs = [p for p in raw.split(",") if p]
 
     def initialOffset(self):
-        return {"mtime_ns": 0}
+        return {"mtime_ns": 0, "at": []}
 
-    def _scan(self, min_exclusive_ns: int):
-        rows, max_ns = [], min_exclusive_ns
+    def _entries(self):
         for d in self.dirs:
             try:
                 with os.scandir(d) as it:
                     for e in it:
-                        ns = e.stat().st_mtime_ns
-                        if ns > min_exclusive_ns:
-                            rows.append((d, e.name))
-                            max_ns = max(max_ns, ns)
+                        yield d, e.name, e.stat().st_mtime_ns
             except OSError:
                 continue
-        return rows, max_ns
+
+    @staticmethod
+    def _is_after(d, name, ns, offset: dict) -> bool:
+        """True iff the entry is strictly beyond ``offset``: a later
+        tick, or the SAME tick but not yet emitted."""
+        w = offset["mtime_ns"]
+        if ns != w:
+            return ns > w
+        return [d, name] not in offset.get("at", [])
 
     def read(self, start: dict):
-        rows, max_ns = self._scan(start["mtime_ns"])
-        return iter(rows), {"mtime_ns": max_ns}
+        new_rows = []  # (d, name, ns) strictly after `start`
+        max_ns = start["mtime_ns"]
+        for d, name, ns in self._entries():
+            if self._is_after(d, name, ns, start):
+                new_rows.append((d, name, ns))
+                max_ns = max(max_ns, ns)
+        at = [[d, name] for d, name, ns in new_rows if ns == max_ns]
+        if max_ns == start["mtime_ns"]:
+            # watermark did not advance: keep remembering what was
+            # already emitted at this tick
+            at = list(start.get("at", [])) + at
+        return (
+            iter([(d, name) for d, name, _ns in new_rows]),
+            {"mtime_ns": max_ns, "at": at},
+        )
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # replay after failure: everything that advanced past `start`
-        # (mtimes are stable, so this reproduces the original batch)
-        rows, _ = self._scan(start["mtime_ns"])
+        # replay after failure: exactly the rows in (start, end] --
+        # ignoring `end` would leak rows committed to LATER batches
+        # into the replayed one and duplicate them
+        rows = [
+            (d, name)
+            for d, name, ns in self._entries()
+            if self._is_after(d, name, ns, start)
+            and not self._is_after(d, name, ns, end)
+        ]
         return iter(rows)
 
 

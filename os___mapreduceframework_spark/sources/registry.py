@@ -108,11 +108,15 @@ def dir_entries(spark: SparkSession, dirs: list[str]) -> DataFrame:
     """
     rows = []
     for d in dirs:
-        rows.append((d, "."))
-        rows.append((d, ".."))
+        # '.'/'..' come FROM a successful readdir: a directory whose
+        # opendir fails contributes no rows at all (Search.cpp:98-111
+        # never enters the read loop), so the parity rows are emitted
+        # only after the listing succeeds
         try:
             entries = sorted(os.listdir(d))
         except OSError:
-            entries = []
+            continue
+        rows.append((d, "."))
+        rows.append((d, ".."))
         rows.extend((d, e) for e in entries)
     return spark.createDataFrame(rows, schema=DIR_ENTRIES_SCHEMA)

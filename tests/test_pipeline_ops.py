@@ -366,3 +366,20 @@ def test_doc_ngrams_parameterized_width(spark):
     g3 = doc_ngrams(df, n=3).collect()
     assert {len(r["gram"].split(" ")) for r in g3} == {3}
     assert {r["doc_id"] for r in g3} == {1, 2}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping must collapse a chain far deeper than the
+    iteration count (depth halves per round; plain one-hop min-label
+    propagation would need diameter iterations and silently mislabel)."""
+    from os___mapreduceframework_spark.operators.dedup import connected_components
+
+    n = 40  # chain 0-1-2-...-40: diameter >> 8 iterations
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], schema="doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}

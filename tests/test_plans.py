@@ -248,9 +248,9 @@ EXPECTED_MAX_SHUFFLES = {
     "q16_supplier_variety": 3,  # joins broadcast; 2-phase distinct + sort
     "q17_small_quantity_revenue": 2,  # per-part agg + join repartition
     "q19_disjunctive_predicates": 1,  # broadcast join, single global agg
-    "q22_dormant_customers": 3,  # joins broadcast; avg + final agg/sort
+    "q22_dormant_customers": 6,  # urgent-key distinct + merge anti-join (no raw fact broadcast) + avg + agg/sort
     "q14_promo_revenue": 1,   # broadcast dim, single global agg
-    "q10_returned_items": 1,  # dims broadcast; one fact shuffle
+    "q10_returned_items": 4,  # merge-hinted fact-fact joins (no raw fact broadcast) + agg
     "quality_value_histogram": 4,  # bin agg + sort (AQE reads counted)
     "quality_fk_orphans": 7,  # 3 lazy anti-join single-row aggs + union + sort
     "quality_profile_orders": 4,  # one scan; distinct expansion + final
@@ -274,7 +274,7 @@ EXPECTED_MAX_SHUFFLES = {
     "embedding_label_centroids": 2,  # one (label,dim) agg + sort
     "embedding_label_cohesion": 5,   # centroid agg chain + per-label agg
     "graph_pagerank_suppliers": 2,   # final plan post-checkpoint: join + sort
-    "graph_degree_stats": 9,       # 2x (edge-distinct + deg agg + hist agg) + union sort
+    "graph_degree_stats": 11,      # merge-hinted edge join + 2x (edge-distinct + deg agg + hist agg) + union sort
     "sketch_cms_heavy_hitters": 5, # cells agg + exact top-k + probe join
     "layout_zorder_stats": 2,      # bucket agg + sort
     "merge_txn_two_tables": 6,     # two table reads + readback join + sort
@@ -382,3 +382,35 @@ def test_stratified_budget_window_is_partitioned(spark):
     plan = executed_plan(df)
     assert "hashpartitioning(source" in plan, plan[:2000]
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_broadcast_offender_parser_sees_nonlast_branches():
+    """The tree-art parser must slice subtrees correctly for ':'-
+    prefixed (non-last-child) branches -- plain leading-space indent
+    sliced an empty subtree and silently missed the broadcast."""
+    from os___mapreduceframework_spark.plans.audit import _broadcast_offenders
+
+    plan = (
+        "*(5) SortMergeJoin [k], [k], Inner\n"
+        ":- *(2) BroadcastExchange HashedRelation\n"
+        ":  +- *(1) Filter isnotnull(k)\n"
+        ":     +- FileScan parquet lineitem[...]\n"
+        "+- *(4) Sort [k ASC]\n"
+        "   +- Exchange hashpartitioning(k)\n"
+        "      +- FileScan parquet nation[...]\n"
+    )
+    assert _broadcast_offenders(plan, ("lineitem", "nation")) == ["lineitem"]
+    # aggregated subtrees stay exempt
+    agg_plan = plan.replace(
+        ":  +- *(1) Filter isnotnull(k)\n",
+        ":  +- *(1) HashAggregate(keys=[k])\n",
+    )
+    assert _broadcast_offenders(agg_plan, ("lineitem", "nation")) == []
+    # last-child broadcasts (plain-space indent) still parse
+    plan2 = (
+        "*(5) BroadcastHashJoin [k], [k]\n"
+        ":- FileScan parquet nation[...]\n"
+        "+- BroadcastExchange HashedRelation\n"
+        "   +- FileScan parquet orders.parquet[...]\n"
+    )
+    assert _broadcast_offenders(plan2, ("orders.parquet",)) == ["orders.parquet"]

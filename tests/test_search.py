@@ -99,3 +99,61 @@ def test_pluggable_dir_source_search_end_to_end(spark, tmp_path):
     out = search_count(read_dir_entries(spark, [str(d)]), "widget", name_col="name")
     rows = [(r["name"], r["cnt"]) for r in out.collect()]
     assert rows == [("widget_a.txt", 1), ("widget_b.txt", 1)]
+
+
+def test_dir_stream_offsets_same_tick_and_replay(tmp_path):
+    """Offset logic unit test: a file landing in the SAME mtime tick as
+    the committed watermark must still be emitted exactly once, and
+    replay(start, end) must reproduce exactly (start, end] -- no rows
+    from later batches."""
+    import os
+
+    from os___mapreduceframework_spark.sources.dir_source import (
+        DirEntriesStreamReader,
+    )
+
+    d = str(tmp_path)
+    r = DirEntriesStreamReader({"paths": d})
+    t0 = 1_000_000_000_000_000_000
+
+    def mk(name, ns):
+        p = os.path.join(d, name)
+        open(p, "w").write("x")
+        os.utime(p, ns=(ns, ns))
+
+    mk("a.txt", t0)
+    rows1, off1 = r.read(r.initialOffset())
+    assert sorted(n for _d, n in rows1) == ["a.txt"]
+    assert off1["mtime_ns"] == t0 and [d, "a.txt"] in off1["at"]
+    # second file lands at the SAME tick after the commit
+    mk("b.txt", t0)
+    rows2, off2 = r.read(off1)
+    assert sorted(n for _d, n in rows2) == ["b.txt"]  # not dropped, not dup
+    # third batch: later tick
+    mk("c.txt", t0 + 5)
+    rows3, off3 = r.read(off2)
+    assert sorted(n for _d, n in rows3) == ["c.txt"]
+    # replay of batch 2 yields exactly b.txt -- c.txt (committed to a
+    # later batch) must NOT leak into the replay
+    replay = sorted(n for _d, n in r.readBetweenOffsets(off1, off2))
+    assert replay == ["b.txt"]
+    # idempotent: nothing new at off3
+    rows4, off4 = r.read(off3)
+    assert list(rows4) == [] and off4["mtime_ns"] == off3["mtime_ns"]
+
+
+def test_dir_entries_unlistable_dir_contributes_no_rows(spark, tmp_path):
+    """A directory whose listing fails must contribute ZERO rows --
+    '.'/'..' parity rows come from a successful readdir (the reference
+    never enters the loop when opendir fails)."""
+    from os___mapreduceframework_spark.sources.registry import dir_entries
+
+    good = tmp_path / "good"
+    good.mkdir()
+    (good / "f.txt").write_text("x")
+    rows = dir_entries(
+        spark, [str(good), str(tmp_path / "no_such_dir")]
+    ).collect()
+    dirs = {r["dir"] for r in rows}
+    assert dirs == {str(good)}
+    assert sorted(r["name"] for r in rows) == [".", "..", "f.txt"]
