@@ -775,33 +775,37 @@ _MI_BINS = 16
       FROM events
     ),
     j AS (SELECT x, y, COUNT(*)::DOUBLE AS n FROM b GROUP BY x, y),
-    t AS (SELECT SUM(n) AS nt FROM j),
-    mx AS (SELECT x, SUM(n) AS nx FROM j GROUP BY x),
-    my AS (SELECT y, SUM(n) AS ny FROM j GROUP BY y)
+    -- marginals as window sums over the joint, NOT a USING join: an
+    -- equi-join drops NULL-category cells (NULL <> NULL), silently
+    -- excluding rows with a missing label/value from the statistic,
+    -- while window partitioning groups NULLs together in both engines
+    cells AS (
+      SELECT n,
+             SUM(n) OVER (PARTITION BY x) AS nx,
+             SUM(n) OVER (PARTITION BY y) AS ny,
+             SUM(n) OVER () AS nt
+      FROM j
+    )
     SELECT
-      CAST(ROUND(SUM(n / t.nt * LN(n * t.nt / (mx.nx * my.ny))), 4) AS DOUBLE)
+      CAST(ROUND(SUM(n / nt * LN(n * nt / (nx * ny))), 4) AS DOUBLE)
         AS mi_nats,
-      CAST(ROUND(SUM(n / t.nt * LN(n * t.nt / (mx.nx * my.ny))) /
-                 SQRT((SELECT SUM(nx / nt * LN(nt / nx)) FROM mx, t)
-                      * (SELECT SUM(ny / nt * LN(nt / ny)) FROM my, t)),
-                 4) AS DOUBLE) AS nmi,
-      CAST(ROUND((SELECT SUM(nx / nt * LN(nt / nx)) FROM mx, t), 4) AS DOUBLE)
-        AS h_event_type,
-      CAST(ROUND((SELECT SUM(ny / nt * LN(nt / ny)) FROM my, t), 4) AS DOUBLE)
-        AS h_value_bin
-    FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+      CAST(ROUND(SUM(n / nt * LN(n * nt / (nx * ny))) /
+                 SQRT(SUM(n / nt * LN(nt / nx))
+                      * SUM(n / nt * LN(nt / ny))), 4) AS DOUBLE) AS nmi,
+      CAST(ROUND(SUM(n / nt * LN(nt / nx)), 4) AS DOUBLE) AS h_event_type,
+      CAST(ROUND(SUM(n / nt * LN(nt / ny)), 4) AS DOUBLE) AS h_value_bin
+    FROM cells
     """,
     doc="Mutual information I(event_type; value-bin) plus the two "
     "marginal entropies -- the feature-relevance statistic a training "
     "pipeline computes before keeping a label column. Joint counts are "
     "one hash aggregate whose state is #types x #bins cells (constant); "
     "marginals and totals come from window sums OVER THE JOINT (cell-"
-    "count data), and both entropies fold into the same final aggregate "
-    "via sum_y n(x,y) = nx -- so the corpus is scanned exactly once, "
-    "and every later operator touches only the cell table, no matter "
-    "the volume. nmi is the sqrt-normalized MI in [0,1] (label-"
-    "association strength independent of cardinality). Natural-log "
-    "nats, rounded to 4 on both engines.",
+    "count data) -- on BOTH engines, since a USING join would drop "
+    "NULL-category cells -- and both entropies fold into the same "
+    "final aggregate via sum_y n(x,y) = nx, so the corpus is scanned "
+    "exactly once no matter the volume. nmi is the sqrt-normalized MI "
+    "in [0,1]. Natural-log nats, rounded to 4 on both engines.",
 )
 def q_quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

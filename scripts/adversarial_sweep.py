@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Adversarial-data parity sweep: every query, on data with the edges
+the synthetic fixtures never produce.
+
+The driver's correctness gate runs on clean generated data; three
+review passes found latent Spark/DuckDB divergences that only trigger
+on edge rows (empty text, NULL source, duplicate (user_id, ts), ...).
+This script makes that hunt mechanical: copy sf0.001 into a scratch
+dir, INJECT the edge rows, and run the full registry through the exact
+preflight compare. A divergence here is a real portability bug on
+plausible data, even though the clean-fixture gate stays green.
+
+Injected edges (schemas preserved; ts kept non-null for watermarks):
+
+- documents: empty text, single-word text, an exact duplicate of
+  doc 0's text, NULL source, NULL lang.
+- events: duplicate (user_id, ts) pair with distinct event_ids, NULL
+  value, NULL event_type, NULL props, an FK-orphan user_id.
+
+Usage: python scripts/adversarial_sweep.py [names_substring]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+BASE = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_adversarial_dir() -> str:
+    out = tempfile.mkdtemp(prefix="sf_adversarial_")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if t == "documents":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  SELECT * FROM (VALUES
+                    (90001::BIGINT, '', 'en', 'src0', 0::BIGINT),
+                    (90002::BIGINT, 'word', 'en', NULL, 4::BIGINT),
+                    (90003::BIGINT,
+                     (SELECT text FROM read_parquet('{src}') WHERE doc_id = 0),
+                     'en', 'src1',
+                     (SELECT n_chars FROM read_parquet('{src}') WHERE doc_id = 0)),
+                    (90004::BIGINT, 'a b', NULL, 'src2', 3::BIGINT)
+                  ) v(doc_id, text, lang, source, n_chars)
+                ) TO '{dst}' (FORMAT parquet)
+                """
+            )
+        elif t == "events":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  SELECT * FROM (
+                    SELECT 90001::BIGINT AS event_id, ts, user_id,
+                           event_type, value, props
+                    FROM read_parquet('{src}') WHERE event_id = 0
+                  )
+                  UNION ALL
+                  SELECT 90002::BIGINT, ts, user_id, NULL, NULL, NULL
+                  FROM read_parquet('{src}') WHERE event_id = 1
+                  UNION ALL
+                  SELECT 90003::BIGINT, ts, 999999::BIGINT, 'view',
+                         value, props
+                  FROM read_parquet('{src}') WHERE event_id = 2
+                ) TO '{dst}' (FORMAT parquet)
+                """
+            )
+        else:
+            shutil.copyfile(src, dst)
+    return out
+
+
+def norm(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = str(r[i])
+            # NaN spellings differ (Spark 'nan' via python float; DuckDB
+            # 'nan'); normalize case so only REAL divergences surface
+            vals.append("nan" if v.lower() == "nan" else v)
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main() -> int:
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
+    sf_dir = build_adversarial_dir()
+    print("adversarial dir:", sf_dir)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = 0
+    t0 = time.time()
+    for i, (name, fn) in enumerate(qs.items(), 1):
+        if only and only not in name:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            a = norm(df.columns, [tuple(r) for r in df.collect()])
+        except Exception as e:
+            print(f"{i} SPARK-ERR {name}: {str(e)[:160]}")
+            bad += 1
+            continue
+        try:
+            o = con.execute(oracles[name])
+            b = norm([d[0] for d in o.description], o.fetchall())
+        except Exception as e:
+            print(f"{i} ORACLE-ERR {name}: {str(e)[:160]}")
+            bad += 1
+            continue
+        if a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y]
+            print(
+                f"{i} DIVERGE {name}: spark={len(a)} oracle={len(b)} "
+                f"first_diff={diffs[0] if diffs else ('row-count',)}"
+            )
+            bad += 1
+        else:
+            print(f"{i} OK  {name} rows={len(a)}")
+    print(f"DONE bad={bad} total_sec={time.time() - t0:.0f}")
+    shutil.rmtree(sf_dir, ignore_errors=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
