@@ -355,11 +355,11 @@ def embedding_near_exact(emb: DataFrame, threshold: float) -> DataFrame:
     oracle=f"""
     WITH {_EMB_BANDS_SQL}
     SELECT c.vec_a, c.vec_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+           CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN NULL ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) END AS cos_sim
     FROM ecand c
     JOIN embeddings a ON a.vec_id = c.vec_a
     JOIN embeddings b ON b.vec_id = c.vec_b
-    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+    WHERE CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN NULL ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) END
           >= {COSINE_NEAR_THRESHOLD}
     ORDER BY vec_a, vec_b
     """,
@@ -747,8 +747,7 @@ def q_dedup_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ecand c
       JOIN embeddings a ON a.vec_id = c.vec_a
       JOIN embeddings b ON b.vec_id = c.vec_b
-      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]), 4)
+      WHERE CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN NULL ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) END
             >= {COSINE_NEAR_THRESHOLD}
     ),
     edges AS (SELECT vec_a AS a, vec_b AS b FROM near

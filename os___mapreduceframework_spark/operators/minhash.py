@@ -194,8 +194,14 @@ def lsh_candidates(docs: DataFrame) -> DataFrame:
 
 def _cosine(a, b):
     """Cosine similarity between two array<double> columns, JVM-side
-    (zip_with product + aggregate fold -- no Python UDF in the hot path)."""
+    (zip_with product + aggregate fold -- no Python UDF in the hot
+    path). A zero vector has no direction: the result is NULL, not the
+    0/0 NaN (which would poison comparisons and sort differently across
+    engines -- DuckDB's list_cosine_similarity returns -1.0 for it!).
+    NULL drops out of >= threshold filters and ranks last in DESC
+    orderings on both engines, so downstream semantics agree."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom != 0, dot / denom)

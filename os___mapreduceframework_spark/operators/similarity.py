@@ -28,7 +28,8 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors in fixture terms
 TOP_K = 10
 N_PLANES = 8
 
-_SQL_COS = "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+# zero-vector guard mirrors _cosine: NULL, not DuckDB's -1.0 or NaN
+_SQL_COS = "CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN NULL ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) END"
 
 
 @query(
@@ -494,7 +495,11 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
     cos AS (
       SELECT e.vec_id, e.label,
-             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cv.cv), 6) AS cs
+             CASE WHEN list_inner_product(e.embedding::DOUBLE[],
+                         e.embedding::DOUBLE[]) = 0
+                   OR list_inner_product(cv.cv, cv.cv) = 0 THEN NULL
+                  ELSE ROUND(list_cosine_similarity(
+                         e.embedding::DOUBLE[], cv.cv), 6) END AS cs
       FROM embeddings e JOIN cvec cv USING (label)
     )
     SELECT label,

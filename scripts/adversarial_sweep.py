@@ -16,6 +16,9 @@ Injected edges (schemas preserved; ts kept non-null for watermarks):
   doc 0's text, NULL source, NULL lang.
 - events: duplicate (user_id, ts) pair with distinct event_ids, NULL
   value, NULL event_type, NULL props, an FK-orphan user_id.
+- embeddings: a ZERO vector (cosine is undefined -- both engines must
+  agree it is NULL, not NaN vs DuckDB's -1.0) and an exact duplicate
+  of vec 0's vector (cos == 1.0 ties).
 
 Usage: python scripts/adversarial_sweep.py [names_substring]
 """
@@ -81,6 +84,23 @@ def build_adversarial_dir() -> str:
                   SELECT 90003::BIGINT, ts, 999999::BIGINT, 'view',
                          value, props
                   FROM read_parquet('{src}') WHERE event_id = 2
+                ) TO '{dst}' (FORMAT parquet)
+                """
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  SELECT 90001::BIGINT AS vec_id,
+                         list_transform(embedding, x -> 0.0::FLOAT)
+                           AS embedding,
+                         label
+                  FROM read_parquet('{src}') WHERE vec_id = 0
+                  UNION ALL
+                  SELECT 90002::BIGINT, embedding, label
+                  FROM read_parquet('{src}') WHERE vec_id = 0
                 ) TO '{dst}' (FORMAT parquet)
                 """
             )
