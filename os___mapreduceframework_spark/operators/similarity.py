@@ -20,7 +20,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from os___mapreduceframework_spark.operators.minhash import _cosine
+from os___mapreduceframework_spark.operators.minhash import (
+    _EMB_BANDS_SQL,
+    _cosine,
+    embedding_band_buckets,
+)
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
 
@@ -771,4 +775,98 @@ def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n), int(dim), int(PCA_TOP_K), mean_zero_ok, whitened_cov_ok)],
         _WHITEN_SCHEMA,
+    )
+
+
+_SQL_COS4_PAIR = (
+    "CASE WHEN list_inner_product(a.embedding::DOUBLE[],"
+    " a.embedding::DOUBLE[]) = 0"
+    " OR list_inner_product(b.embedding::DOUBLE[],"
+    " b.embedding::DOUBLE[]) = 0 THEN NULL"
+    " ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],"
+    " b.embedding::DOUBLE[]), 4) END"
+)
+
+
+@query(
+    "ann_knn_join_all",
+    oracle="""
+    WITH {bands},
+    pairs AS (SELECT vec_a AS v, vec_b AS n FROM ecand
+              UNION SELECT vec_b, vec_a FROM ecand),
+    scored AS (
+      SELECT p.v, p.n, {cos4} AS cs
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.v
+      JOIN embeddings b ON b.vec_id = p.n
+    ),
+    ranked AS (
+      SELECT v, n, cs,
+             ROW_NUMBER() OVER (PARTITION BY v
+                                ORDER BY cs DESC NULLS LAST, n) AS rn
+      FROM scored
+    )
+    SELECT e.vec_id, r.n AS nbr_id, r.cs AS cos_sim
+    FROM embeddings e
+    LEFT JOIN ranked r ON r.v = e.vec_id AND r.rn = 1
+    ORDER BY vec_id
+    """.format(bands=_EMB_BANDS_SQL, cos4=_SQL_COS4_PAIR),
+    doc="ALL-corpus kNN join (k=1): every vector's nearest neighbor, "
+    "not just a fixed query set's -- the self-join shape behind "
+    "semantic-dedup audits and embedding-quality evaluation. "
+    "Candidates come from the banded hyperplane LSH (bucketed "
+    "equi-join, both directions of each collision), exact cosine runs "
+    "on candidates only, and the per-vector argmax is ONE max_by "
+    "aggregate over a (cos, -nbr) struct -- no per-vector sort, one "
+    "row of state per vector however hot its bucket. Vectors with no "
+    "candidate (or only zero-vector NULL cosines) surface with a NULL "
+    "neighbor/score instead of vanishing. At 100 TB this is the "
+    "standard LSH kNN-join dataflow; recall follows the banding "
+    "parameters like dedup_embedding_near.",
+)
+def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bands = embedding_band_buckets(emb).hint("merge")
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("v"), F.col("y.vec_id").alias("n"))
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("v"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("n"), F.col("e").alias("eb"))
+    scored = (
+        pairs.join(a.hint("merge"), "v")
+        .join(b.hint("merge"), "n")
+        .select(
+            "v",
+            "n",
+            F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("cs"),
+        )
+    )
+    # argmax per vector: lexicographic (cs, -n) struct -- max cosine,
+    # ties to the smallest neighbor id; NULL cs sorts below any value
+    # in struct comparison, matching the oracle's NULLS LAST
+    best = scored.groupBy("v").agg(
+        F.max_by(
+            F.struct(F.col("n"), F.col("cs")),
+            F.struct(F.col("cs"), (-F.col("n")).alias("neg_n")),
+        ).alias("best")
+    )
+    return (
+        emb.select("vec_id")
+        .join(best, emb["vec_id"] == best["v"], "left")
+        .select(
+            "vec_id",
+            F.col("best.n").alias("nbr_id"),
+            F.col("best.cs").alias("cos_sim"),
+        )
+        .orderBy("vec_id")
     )

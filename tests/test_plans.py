@@ -305,6 +305,7 @@ EXPECTED_MAX_SHUFFLES = {
     "feature_quantile_bucketize": 3,  # boundary agg (1-row broadcast) + cell agg + sort
     "dedup_embedding_clusters": 2,    # post-checkpoint: label join + sort (CC iterations checkpointed)
     "window_moving_zscore": 2,        # per-series window + class agg
+    "ann_knn_join_all": 11,           # merge-hinted band self-join + pair distinct + cos joins + argmax
 }
 
 
