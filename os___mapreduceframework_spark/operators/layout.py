@@ -47,8 +47,13 @@ def morton_expr(x: str, y: str, bits: int = ZBITS) -> str:
 # production layout uses the raw 16-32-bit domains; the interleave
 # expression is bits-parameterized and identical either way)
 _X = "o_custkey % 256"
-_SPARK_Y = "datediff(o_orderdate, date'1995-01-01') % 256"
-_DUCK_Y = "date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 256"
+# pmod, not %: orders dated before the epoch would otherwise fold
+# to a NEGATIVE y whose two's-complement low bits silently bucket
+# as y+256 while the min/max span audit reports the raw negative --
+# wrong spans on standard TPC-H data (orders from 1992)
+_SPARK_Y = "pmod(datediff(o_orderdate, date'1995-01-01'), 256)"
+_DUCK_Y = ("((date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)"
+           " % 256) + 256) % 256")
 
 
 @query(

@@ -89,6 +89,13 @@ def decode_media(payload: bytes, media_type: str):
         import wave
 
         with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 1:
+                # list(frames) below is one-byte-per-sample: a wider PCM
+                # would silently misdecode into meaningless half-words
+                raise ValueError(
+                    f"only 8-bit PCM supported; got sample width "
+                    f"{w.getsampwidth()}"
+                )
             frames = w.readframes(w.getnframes())
             return {
                 "n_channels": w.getnchannels(),
@@ -147,6 +154,24 @@ def fake_features(payload: bytes, dim: int = FAKE_FEATURE_DIM) -> list[float]:
     return [h[i] / 255.0 for i in range(dim)]
 
 
+def encoded_media(docs, make_fn, label: str = "payload"):
+    """(doc_id, payload binary): synthesize a deterministic media
+    payload per doc via ``make_fn(doc_id)`` inside ONE Arrow-batched
+    mapInPandas stage -- the encode step shared by the audio/image
+    decode queries (one definition, not three copies)."""
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: make_fn(int(d))),
+                }
+            )
+
+    return docs.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
 def with_media_columns(docs: DataFrame) -> DataFrame:
     """(doc_id, payload binary, meta struct): the multimodal schema.
 
@@ -164,30 +189,35 @@ def with_media_columns(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, with_embedding: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched; each batch stays columnar until the per-payload
     Python call (the decode itself -- the one genuinely Python step).
-    Output schema: doc_id, n_bytes, n_space_bytes, feat array<double>.
+    Output schema: doc_id, n_bytes, n_space_bytes[, feat array<double>].
+
+    ``with_embedding=False`` skips the per-payload feature hash: Spark
+    cannot column-prune THROUGH a mapInPandas black box, so a caller
+    that only wants the byte statistics would otherwise still pay the
+    md5 + Arrow serialization of a vector it immediately drops.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len),
-                    "n_space_bytes": payloads.map(lambda b: b.count(b" ")),
-                    "feat": payloads.map(fake_features),
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len),
+                "n_space_bytes": payloads.map(lambda b: b.count(b" ")),
+            }
+            if with_embedding:
+                cols["feat"] = payloads.map(fake_features)
+            yield pd.DataFrame(cols)
 
-    return media.mapInPandas(
-        batches,
-        schema="doc_id long, n_bytes long, n_space_bytes long, feat array<double>",
-    )
+    schema = "doc_id long, n_bytes long, n_space_bytes long"
+    if with_embedding:
+        schema += ", feat array<double>"
+    return media.mapInPandas(batches, schema=schema)
 
 
 @query(
@@ -231,7 +261,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = with_media_columns(load_table(spark, sf_dir, "documents"))
-    return extract_features(m).select("doc_id", "n_bytes", "n_space_bytes").orderBy("doc_id")
+    return (
+        extract_features(m, with_embedding=False)
+        .select("doc_id", "n_bytes", "n_space_bytes")
+        .orderBy("doc_id")
+    )
 
 
 RESIZE_TARGET = 224  # aspect-preserving fit box (pixels)
@@ -373,15 +407,6 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
-    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["doc_id"].map(lambda d: make_wav(int(d))),
-                }
-            )
-
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             decoded = [decode_media(p, "audio/wav") for p in pdf["payload"]]
@@ -395,7 +420,7 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    media = encoded_media(docs, make_wav)
     return media.mapInPandas(
         decode,
         schema="doc_id long, sample_rate int, n_samples bigint, "
@@ -464,15 +489,6 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
-    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["doc_id"].map(lambda d: make_wav(int(d))),
-                }
-            )
-
     def spectrum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -493,11 +509,13 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out[f"mag_b{b}"].append(round(mag, 2))
             yield pd.DataFrame(out)
 
-    media = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    media = encoded_media(docs, make_wav)
+    # schema derived from _DFT_BINS so the constant actually
+    # parameterizes the operator (the oracle is generated from it too)
+    mag_cols = ", ".join(f"mag_b{b} double" for b in _DFT_BINS)
     return media.mapInPandas(
         spectrum,
-        schema="doc_id long, n_samples bigint, mag_b1 double, "
-        "mag_b8 double, mag_b32 double",
+        schema=f"doc_id long, n_samples bigint, {mag_cols}",
     ).orderBy("doc_id")
 
 
@@ -554,15 +572,6 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
-    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["doc_id"].map(lambda d: make_ppm(int(d))),
-                }
-            )
-
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -592,7 +601,7 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    media = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    media = encoded_media(docs, make_ppm)
     return media.mapInPandas(
         decode,
         schema="doc_id long, width int, height int, sum_r bigint, "

@@ -197,13 +197,14 @@ _DUCK_U = (
       SELECT doc_id, source, n_chars,
              {_DUCK_U} AS u,
              n_chars / (SELECT CAST(maxc AS DOUBLE) FROM m) AS p,
-             (SELECT maxc FROM m) * 1000000 // n_chars AS inv_p_fp
+             (SELECT maxc FROM m) * 1000000 // GREATEST(n_chars, 1) AS inv_p_fp
       FROM documents
     )
     SELECT source,
            COUNT(*) AS n_sampled,
            CAST(SUM(doc_id) AS BIGINT) AS checksum,
-           CAST(ROUND(SUM(inv_p_fp) / 1000000.0, 2) AS DOUBLE) AS est_total
+           CAST(((SUM(inv_p_fp) + 5000) // 10000) / 100.0 AS DOUBLE)
+             AS est_total
     FROM s
     WHERE u < p
     GROUP BY source
@@ -229,8 +230,15 @@ def q_sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1/p as a FIXED-POINT integer (maxc*1e6 div n_chars): the
         # Horvitz-Thompson sum is then an exact bigint sum -- order-
         # independent, unlike a double sum whose rounding at the .005
-        # boundary could depend on partitioning
-        F.expr("div(maxc * 1000000, n_chars)").alias("inv_p_fp"),
+        # boundary could depend on partitioning. greatest(n_chars, 1)
+        # keeps the expression total under ANSI mode for an empty doc
+        # (the u < p filter already excludes it, but relying on the
+        # optimizer pushing that filter below this projection is
+        # fragile); the final rounding is integer arithmetic too, since
+        # Spark's round (BigDecimal HALF_UP on the decimal repr) and
+        # DuckDB's ROUND (std::round on the binary double) disagree on
+        # decimal-tie values like 1.005
+        F.expr("div(maxc * 1000000, greatest(n_chars, 1))").alias("inv_p_fp"),
     )
     return (
         s.filter(F.col("u") < F.col("p"))
@@ -238,7 +246,7 @@ def q_sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
             F.sum("doc_id").cast("bigint").alias("checksum"),
-            F.round(F.sum("inv_p_fp") / 1_000_000.0, 2)
+            (F.floor((F.sum("inv_p_fp") + 5000) / 10000) / 100.0)
             .cast("double")
             .alias("est_total"),
         )

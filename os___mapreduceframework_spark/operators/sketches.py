@@ -228,16 +228,16 @@ def _bloom_pos_spark(j: int) -> str:
     oracle=f"""
     WITH members AS (SELECT DISTINCT c_custkey AS key FROM customer),
     mpos AS (
-      SELECT DISTINCT {_bloom_pos_duck(0)} AS pos FROM members, (SELECT 0 AS j)
-      UNION SELECT DISTINCT {_bloom_pos_duck(1)} FROM members, (SELECT 1 AS j)
-      UNION SELECT DISTINCT {_bloom_pos_duck(2)} FROM members, (SELECT 2 AS j)
+      SELECT DISTINCT {_bloom_pos_duck(0)} AS pos FROM members
+      UNION SELECT DISTINCT {_bloom_pos_duck(1)} FROM members
+      UNION SELECT DISTINCT {_bloom_pos_duck(2)} FROM members
     ),
     probes AS (SELECT DISTINCT p_partkey AS key FROM part),
     pp AS (
       SELECT DISTINCT key, pos FROM (
-        SELECT key, {_bloom_pos_duck(0)} AS pos FROM probes, (SELECT 0 AS j)
-        UNION ALL SELECT key, {_bloom_pos_duck(1)} FROM probes, (SELECT 1 AS j)
-        UNION ALL SELECT key, {_bloom_pos_duck(2)} FROM probes, (SELECT 2 AS j)
+        SELECT key, {_bloom_pos_duck(0)} AS pos FROM probes
+        UNION ALL SELECT key, {_bloom_pos_duck(1)} FROM probes
+        UNION ALL SELECT key, {_bloom_pos_duck(2)} FROM probes
       )
     ),
     chk AS (

@@ -383,3 +383,34 @@ def test_connected_components_long_chain_converges(spark):
         for r in connected_components(edges, max_iter=8).collect()
     }
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_decode_media_rejects_wide_pcm():
+    """A 16-bit WAV must raise, not silently split each sample into two
+    meaningless bytes."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 4)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_media(buf.getvalue(), "audio/wav")
+
+
+def test_zorder_fold_nonnegative_before_epoch(spark):
+    """Orders dated before the 1995 epoch must fold to the same
+    non-negative coordinate the Morton bits actually use -- a raw %
+    yields a negative y whose span audit lies."""
+    from pyspark.sql import functions as F
+
+    from os___mapreduceframework_spark.operators.layout import _SPARK_Y
+
+    df = spark.createDataFrame(
+        [("1994-12-31",), ("1995-01-02",)], "d string"
+    ).select(F.expr(_SPARK_Y.replace("o_orderdate", "cast(d as date)")).alias("y"))
+    ys = [r["y"] for r in df.collect()]
+    assert ys == [255, 1]
