@@ -83,14 +83,104 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def _driver_checked() -> set[str]:
+    """Query names that already have a driver CORRECTNESS row (any round).
+
+    The driver's correctness harness sweeps ~50 queries per round in the
+    order ``queries()`` yields them, then writes ``CORRECTNESS_r{N}.json``
+    to the repo root. Reading those files back lets the registry rotate
+    never-checked queries to the front of the sweep automatically each
+    round -- no hand-maintained reorder of ``_load_all()`` imports.
+    """
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+            if isinstance(rows, dict):
+                seen |= set(rows)
+        except Exception:
+            pass  # unreadable round file -> treat its queries as unchecked
+    return seen
+
+
+# Risk ranking for never-checked queries: families whose failure modes the
+# repo's local oracle mirror is least able to vouch for go first (iterative
+# graph, driver-side eigensolve, real byte-level decoders, multi-stage
+# pipelines, stateful streaming), per VERDICT.md round-3 item 1.
+_SWEEP_RISK_PREFIXES = (
+    "graph_",
+    "embedding_pca",
+    "embedding_whitening",
+    "multimodal_",
+    "ivm_",
+    "layout_",
+    "fuzzy_",
+    "curation_",
+    "dedup_",
+    "ann_",
+    "embedding_",
+    "sketch_",
+    "text_bpe",
+    "text_perplexity",
+    "stream_",
+)
+
+# Proven shapes (driver-green r01 analogues exist) that can wait a round
+# when the never-checked set exceeds the driver's ~50-query budget.
+_SWEEP_LOW_RISK = frozenset(
+    {
+        "dedup_containment",
+        "split_train_val_test",
+        "sample_stratified",
+        "class_balance_downsample",
+        "sample_weighted_by_length",
+        "text_char_entropy",
+        "text_repetition_filter",
+        "text_keywords_per_doc",
+        "basket_pair_support",
+        "customer_rfm_segments",
+        "pandas_udf_scalar_score",
+        "pandas_udaf_weighted_mean",
+    }
+)
+
+
+def _sweep_order() -> list[str]:
+    """Registry names, never-driver-checked first (risk-ranked)."""
+    names = list(REGISTRY)
+    checked = _driver_checked()
+    never = [n for n in names if n not in checked]
+    if not never:
+        return names
+    reg_idx = {n: i for i, n in enumerate(names)}
+
+    def risk(n: str) -> int:
+        for i, pfx in enumerate(_SWEEP_RISK_PREFIXES):
+            if n.startswith(pfx):
+                return i
+        return len(_SWEEP_RISK_PREFIXES)
+
+    never.sort(key=lambda n: (n in _SWEEP_LOW_RISK, risk(n), reg_idx[n]))
+    return never + [n for n in names if n in checked]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _sweep_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _sweep_order()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 _LOADED = False
@@ -99,14 +189,11 @@ _LOADED = False
 def _load_all() -> None:
     """Import every module that registers queries (idempotent).
 
-    Import order IS sweep order: the driver's correctness harness
-    checks ~50 queries per round in registration order, so coverage
-    rotates round to round. Rounds 1-2 drove the flagship/compat,
-    dedup/ANN, relational (TPC-H), text, curation, analytics, and
-    advanced families to green driver rows; round 3 rotates the
-    never-driver-checked families to the front (quality, temporal,
-    indexing, training/MERGE, sources/formats, skew/IVF, streaming,
-    multimodal) while the already-proven families register after.
+    Import order here no longer decides the driver sweep: since round 4,
+    ``_sweep_order()`` reads the repo's ``CORRECTNESS_r*.json`` rows and
+    puts never-driver-checked queries first (risk-ranked), so coverage
+    rotates automatically each round. Import order only breaks ties
+    within a risk bucket.
     """
     global _LOADED
     if _LOADED:
