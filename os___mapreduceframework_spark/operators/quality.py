@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from os___mapreduceframework_spark.queries import query
-from os___mapreduceframework_spark.sources import load_table
+from os___mapreduceframework_spark.sources import load_table, ts_bounds_us
 
 
 @query(
@@ -311,12 +311,10 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # aggregate unix_micros directly: driver-side datetime.timestamp() would
     # reinterpret the wall-clock in the OS-local timezone, shifting the
-    # midpoint vs the oracle's epoch_us on non-UTC hosts
-    bounds = events.agg(
-        F.min(F.unix_micros("ts")).alias("lo"),
-        F.max(F.unix_micros("ts")).alias("hi"),
-    ).head()
-    mid = (bounds["lo"] + bounds["hi"]) // 2
+    # midpoint vs the oracle's epoch_us on non-UTC hosts; memoized so the
+    # bounds scan runs once per session, shared with retention/gap queries
+    lo, hi = ts_bounds_us(spark, sf_dir, "events", "ts")
+    mid = (lo + hi) // 2
     step = (_HIST_HI - _HIST_LO) / _HIST_BINS
     binned = events.select(
         F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("half"),
@@ -525,7 +523,7 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only accepts literal duration-string offsets, and integer epoch math is
     # exact (no double rounding) and timezone-free (unix_micros is UTC on
     # both engines, unlike driver-side datetime.timestamp())
-    origin_us = ev.agg(F.min(F.unix_micros("ts"))).head()[0]
+    origin_us = ts_bounds_us(spark, sf_dir, "events", "ts")[0]
     week_us = 7 * 86400 * 1_000_000
     delta = F.unix_micros("ts") - F.lit(origin_us)
     week = F.timestamp_micros(F.lit(origin_us) + delta - delta % F.lit(week_us))

@@ -26,7 +26,7 @@ from os___mapreduceframework_spark.operators.minhash import (
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.queries import query
-from os___mapreduceframework_spark.sources import load_table
+from os___mapreduceframework_spark.sources import embedding_dim, load_table
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors in fixture terms
 TOP_K = 10
@@ -359,8 +359,7 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    head = emb.head()
-    dim = len(head["e"]) if head and head["e"] is not None else 0
+    dim = embedding_dim(spark, sf_dir)
 
     def partial_gram(batches):
         import pandas as pd
@@ -602,16 +601,17 @@ def _collect_moments(df: DataFrame, col: str, dim: int):
 
 
 
-def _pca_decomposition(emb):
+def _pca_decomposition(spark, sf_dir, emb):
     """Shared PCA prologue for the pca/whitening queries: one-scan
     moments + driver-side eigensolve of the dim x dim covariance.
     Returns (dim, n, mu, C, evals_desc, evecs_desc), or None when the
     corpus is empty (0 rows or all-null embeddings) -- callers return
-    an empty result frame instead of dividing by zero."""
+    an empty result frame instead of dividing by zero. The dim probe is
+    the memoized per-session one (sources.embedding_dim), so pca +
+    whitening + gram share ONE limit-1 job instead of three."""
     import numpy as np
 
-    head = emb.head()
-    dim = len(head["e"]) if head and head["e"] is not None else 0
+    dim = embedding_dim(spark, sf_dir)
     if dim == 0:
         return None
     G, s, n = _collect_moments(emb, "e", dim)
@@ -665,7 +665,7 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    dec = _pca_decomposition(emb)
+    dec = _pca_decomposition(spark, sf_dir, emb)
     if dec is None:
         return spark.createDataFrame([], _PCA_SCHEMA)
     _dim, _n, _mu, C, evals, evecs = dec
@@ -716,7 +716,7 @@ def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    dec = _pca_decomposition(emb)
+    dec = _pca_decomposition(spark, sf_dir, emb)
     if dec is None:
         return spark.createDataFrame([], _WHITEN_SCHEMA)
     dim, n, mu, _C, evals, evecs = dec

@@ -89,6 +89,59 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _stats_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, "_graft_stats_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_stats_cache = cache
+    return cache
+
+
+def ts_bounds_us(
+    spark: SparkSession, sf_dir: str, table: str = "events", col: str = "ts"
+) -> tuple[int | None, int | None]:
+    """Memoized (min, max) ``unix_micros`` of a timestamp column.
+
+    Retention/drift/gap queries anchor their buckets at corpus bounds;
+    each used to run its own construction-time ``agg(min/max).head()``
+    -- at 100 TB that is a full-column scan per query BEFORE the real
+    plan. Memoizing per (session, sf_dir, table, col) makes it ONE
+    bounded-aggregate job per session, shared by every consumer
+    (pinned by tests/test_plans.py::test_ts_bounds_memoized_one_job).
+    Returns ``(None, None)`` on an empty table.
+    """
+    from pyspark.sql import functions as F
+
+    cache = _stats_cache(spark)
+    key = ("ts_bounds_us", os.path.abspath(sf_dir), table, col)
+    if key not in cache:
+        row = (
+            load_table(spark, sf_dir, table)
+            .agg(
+                F.min(F.unix_micros(col)).alias("lo"),
+                F.max(F.unix_micros(col)).alias("hi"),
+            )
+            .head()
+        )
+        cache[key] = (row["lo"], row["hi"])
+    return cache[key]
+
+
+def embedding_dim(
+    spark: SparkSession, sf_dir: str, table: str = "embeddings",
+    col: str = "embedding",
+) -> int:
+    """Memoized embedding dimensionality probe (first-row semantics:
+    a leading NULL vector reads as dim 0, matching the previous inline
+    ``head()`` probes). One limit-1 job per (session, sf_dir, table)."""
+    cache = _stats_cache(spark)
+    key = ("embedding_dim", os.path.abspath(sf_dir), table, col)
+    if key not in cache:
+        head = load_table(spark, sf_dir, table).select(col).head()
+        cache[key] = len(head[0]) if head and head[0] is not None else 0
+    return cache[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each fixture table as a temp view for the SQL surface."""
     for t in tables:

@@ -415,3 +415,44 @@ def test_broadcast_offender_parser_sees_nonlast_branches():
         "   +- FileScan parquet orders.parquet[...]\n"
     )
     assert _broadcast_offenders(plan2, ("orders.parquet",)) == ["orders.parquet"]
+
+
+def test_ts_bounds_memoized_zero_jobs_after_first(spark):
+    """Corpus ts-bounds fetches (retention origin, drift midpoint) must
+    share ONE bounded-aggregate fetch per (session, sf_dir): at 100 TB
+    each construction-time agg(min/max).head() is a full-column scan
+    before the real query (VERDICT r03 item 3). AQE splits the first
+    fetch into several Spark jobs, so the pin is: every fetch AFTER the
+    first -- including the drift/retention query constructors -- runs
+    ZERO jobs."""
+    from os___mapreduceframework_spark.sources import ts_bounds_us
+
+    spark._graft_stats_cache = {}  # isolate from earlier tests
+    first = ts_bounds_us(spark, TEST_SF_DIR, "events", "ts")
+    spark.sparkContext.setJobGroup("ts-bounds-memo", "bounds memo audit")
+    try:
+        # both consumers constructing again must be pure cache hits
+        ALL["quality_drift_l1"](spark, TEST_SF_DIR)
+        ALL["events_retention_cohorts"](spark, TEST_SF_DIR)
+        again = ts_bounds_us(spark, TEST_SF_DIR, "events", "ts")
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("ts-bounds-memo")
+    assert jobs == [], f"memoized bounds fetch re-ran jobs: {jobs}"
+    assert first == again and first[0] is not None and first[0] <= first[1]
+
+
+def test_embedding_dim_memoized_zero_jobs_after_first(spark):
+    """PCA/whitening/gram share one memoized limit-1 dim probe."""
+    from os___mapreduceframework_spark.sources import embedding_dim
+
+    spark._graft_stats_cache = {}
+    d1 = embedding_dim(spark, TEST_SF_DIR)
+    spark.sparkContext.setJobGroup("emb-dim-memo", "dim memo audit")
+    try:
+        d2 = embedding_dim(spark, TEST_SF_DIR)
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("emb-dim-memo")
+    assert jobs == [], f"memoized dim probe re-ran jobs: {jobs}"
+    assert d1 == d2 and d1 > 0
