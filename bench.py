@@ -24,7 +24,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from os___mapreduceframework_spark import queries as registry
 from os___mapreduceframework_spark.session import get_session
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _default_sf_dir() -> str:
+    """Largest sf* fixture dir present (capability probe pre-wiring:
+    if the driver ever provisions sf1.0, the bench picks it up with no
+    code change). Explicit $SPARK_GRAFT_SF_DIR always wins; fallback
+    stays the round contract's sf0.1."""
+    import glob
+
+    dirs = {}
+    for d in glob.glob("/root/testdata/sf*"):
+        tag = os.path.basename(d)[2:]
+        try:
+            dirs[float(tag)] = d
+        except ValueError:
+            continue
+    return dirs[max(dirs)] if dirs else "/root/testdata/sf0.1"
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR") or _default_sf_dir()
 
 # one representative per operator family (SURVEY.md section 2 coverage)
 HEADLINE = [
@@ -59,6 +76,14 @@ HEADLINE = [
     "join_dpp_pruned",       # dynamic partition pruning via dim join
     "training_shard_export", # sharded parquet write + readback manifest
     "search_count_index_served",  # flagship from MATERIALIZED bucketed index
+    # round-4 additions: the registry's heaviest plans, previously
+    # unbenched -- a 10x regression here would have passed the gate
+    "graph_pagerank_suppliers",   # iterative PageRank, checkpointed lineage
+    "dedup_embedding_clusters",   # hyperplane LSH + connected components
+    "curation_pipeline_v3",       # gates + decontamination + dedup, fused
+    "text_perplexity_bigram",     # in-plan bigram LM train + score
+    "embedding_pca_variance",     # one-scan moments + driver eigensolve
+    "ann_knn_join_all",           # all-corpus kNN join via banded candidates
 ]
 
 

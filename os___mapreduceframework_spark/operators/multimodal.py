@@ -3,11 +3,13 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct riding alongside. The Spark-side plumbing -- schema, partitioning,
 Arrow batch shape, Pandas-UDF signatures -- is real and tested. Decode
-is REAL for two container formats that need no codec library: RIFF/WAVE
-PCM (stdlib ``wave``) and Netpbm P6 RGB (hand parser); JPEG/PNG/video
-decode is STUBBED (``decode_media`` raises ``NotImplementedError``: no
-PIL/ffmpeg in this container) with a clearly-marked deterministic fake
-used to exercise the pipeline.
+is REAL for one container per modality, none needing a codec library:
+RIFF/WAVE PCM audio (stdlib ``wave``), Netpbm P6 RGB images (hand
+parser), and YUV4MPEG2 (Y4M) raw-frame video (hand parser). Compressed
+codecs (JPEG/PNG/H.26x) are NOT decodable here -- they need PIL/ffmpeg,
+absent from this container -- so ``decode_media`` rejects those types
+with a plain ``ValueError`` (an unsupported-input error, not a stub);
+a clearly-marked deterministic fake exercises the pipeline for them.
 
 The fixture corpus has no binary media, so payloads are manufactured
 from ``documents.text`` (utf-8 bytes). That choice is irrelevant to the
@@ -72,17 +74,41 @@ def make_ppm(doc_id: int) -> bytes:
     return header + body
 
 
-def decode_media(payload: bytes, media_type: str):
-    """Decode an opaque media payload into pixels/samples.
+VIDEO_FPS = "25:1"
 
-    ``audio/wav`` decodes FOR REAL via the stdlib ``wave`` module
-    (RIFF header parse + PCM frame extraction), and ``image/ppm``
-    decodes FOR REAL via a Netpbm P6 parser (maxval<=255, comment- and
-    whitespace-tolerant header) -- no external library needed for
-    either. JPEG/PNG/video decode needs PIL/ffmpeg, which this
-    container lacks, so those types remain stubbed; the Spark plumbing
-    around them (binary column in, typed features out via mapInPandas)
-    is real either way.
+
+def make_y4m(doc_id: int) -> bytes:
+    """Deterministic YUV4MPEG2 (C444) video payload for ``doc_id``:
+    width = doc_id % 6 + 4, height = doc_id % 4 + 3, n_frames =
+    doc_id % 5 + 2; pixel (x, y) of frame t has Y = (3x + 7y + 5t +
+    doc_id) % 256, U = (Y + 85) % 256, V = (Y + 170) % 256. A real
+    video container (stream header + FRAME markers + raw planar
+    rasters) that needs no codec library to write or read."""
+    w = doc_id % 6 + 4
+    h = doc_id % 4 + 3
+    n_frames = doc_id % 5 + 2
+    out = [f"YUV4MPEG2 W{w} H{h} F{VIDEO_FPS} Ip A1:1 C444\n".encode()]
+    for t in range(n_frames):
+        out.append(b"FRAME\n")
+        base = [3 * x + 7 * y + 5 * t + doc_id for y in range(h) for x in range(w)]
+        out.append(bytes(b % 256 for b in base))  # Y
+        out.append(bytes((b + 85) % 256 for b in base))  # U
+        out.append(bytes((b + 170) % 256 for b in base))  # V
+    return b"".join(out)
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Decode an opaque media payload into pixels/samples/frames.
+
+    One REAL decoder per modality, stdlib-only: ``audio/wav`` via the
+    stdlib ``wave`` module (RIFF header parse + PCM frame extraction),
+    ``image/ppm`` via a Netpbm P6 parser (maxval<=255, comment- and
+    whitespace-tolerant header), and ``video/y4m`` via a YUV4MPEG2
+    parser (stream header + per-FRAME markers + raw planar rasters).
+    Compressed codecs (JPEG/PNG/H.26x) need PIL/ffmpeg, which this
+    container lacks; those media types raise ``ValueError`` like any
+    other unsupported input. The Spark plumbing around them (binary
+    column in, typed features out via mapInPandas) is real either way.
     """
     if media_type == "audio/wav":
         import io
@@ -140,10 +166,56 @@ def decode_media(payload: bytes, media_type: str):
             "height": height,
             "pixels": list(raster),  # RGB interleaved, row-major
         }
-    raise NotImplementedError(
-        f"media decode for {media_type!r} requires image/audio libraries "
-        "not present in this container; use fake_features() to exercise "
-        "the pipeline"
+    if media_type == "video/y4m":
+        # YUV4MPEG2: one ASCII stream-header line, then per-frame
+        # "FRAME[ params]\n" markers each followed by a raw planar
+        # raster. Only C444 (full-res chroma: 3 * w * h bytes/frame)
+        # is accepted -- subsampled layouts have different plane sizes.
+        nl = payload.find(b"\n")
+        if nl < 0:
+            raise ValueError("truncated y4m stream header")
+        parts = payload[:nl].split(b" ")
+        if parts[0] != b"YUV4MPEG2":
+            raise ValueError(f"not a y4m stream: magic {parts[0]!r}")
+        width = height = 0
+        colorspace = b"C420"  # the spec default when no C tag present
+        frame_rate = ""
+        for p in parts[1:]:
+            if p.startswith(b"W"):
+                width = int(p[1:])
+            elif p.startswith(b"H"):
+                height = int(p[1:])
+            elif p.startswith(b"C"):
+                colorspace = p
+            elif p.startswith(b"F"):
+                frame_rate = p[1:].decode("ascii")
+        if width <= 0 or height <= 0:
+            raise ValueError("y4m header missing W/H")
+        if colorspace != b"C444":
+            raise ValueError(f"only C444 y4m supported; got {colorspace!r}")
+        frame_bytes = 3 * width * height
+        pos, frames = nl + 1, []
+        while pos < len(payload):
+            marker_end = payload.find(b"\n", pos)
+            if marker_end < 0 or not payload[pos:marker_end].startswith(b"FRAME"):
+                raise ValueError("bad or truncated y4m FRAME marker")
+            start = marker_end + 1
+            raster = payload[start : start + frame_bytes]
+            if len(raster) != frame_bytes:
+                raise ValueError("truncated y4m frame raster")
+            frames.append(raster)  # Y plane, U plane, V plane (w*h each)
+            pos = start + frame_bytes
+        return {
+            "width": width,
+            "height": height,
+            "frame_rate": frame_rate,
+            "n_frames": len(frames),
+            "frames": frames,
+        }
+    raise ValueError(
+        f"unsupported media type {media_type!r}: compressed codecs "
+        "(JPEG/PNG/H.26x) require image/video libraries not present in "
+        "this container; supported: audio/wav, image/ppm, video/y4m"
     )
 
 
@@ -607,4 +679,87 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, sum_r bigint, "
         "sum_g bigint, sum_b bigint, pool_r00 double, pool_r01 double, "
         "pool_r10 double, pool_r11 double",
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_video_decode",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h,
+             doc_id % 5 + 2 AS nf
+      FROM documents
+    ),
+    px AS (
+      SELECT v.doc_id, v.w, v.h, v.nf, tt.t, xx.x, yy.y,
+             (3 * xx.x + 7 * yy.y + 5 * tt.t + v.doc_id) % 256 AS yv
+      FROM v,
+           unnest(range(0, v.nf)) AS tt(t),
+           unnest(range(0, v.w)) AS xx(x),
+           unnest(range(0, v.h)) AS yy(y)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(SUM(yv) AS BIGINT) AS sum_y,
+           CAST(SUM((yv + 85) % 256 + (yv + 170) % 256) AS BIGINT) AS sum_uv,
+           CAST(SUM(CASE WHEN t > 0 THEN
+                 ABS(yv - (3 * x + 7 * y + 5 * (t - 1) + doc_id) % 256)
+               ELSE 0 END) AS BIGINT) AS motion_abs,
+           CAST(SUM(CASE WHEN t = nf - 1 THEN yv ELSE 0 END) AS BIGINT)
+             AS sum_y_last
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="REAL video decode end-to-end, stdlib-only (closing the "
+    "modality triple with multimodal_audio_decode and "
+    "multimodal_image_decode): a deterministic YUV4MPEG2 C444 stream "
+    "is encoded per document, flows through the binary payload column "
+    "as Arrow batches, and is decoded back by a genuine Y4M stream "
+    "parse (header tags, per-FRAME markers, planar rasters) inside "
+    "mapInPandas -- then per-video features a curation pipeline runs: "
+    "plane sums across frames, frame-to-frame MOTION (sum |Y_t - "
+    "Y_{t-1}|, the temporal feature only video has), and the last "
+    "frame's luma mass. All integer outputs, matched exactly by a "
+    "closed-form DuckDB oracle over the same pixel formula. Compressed "
+    "codecs (H.26x) stay unsupported: they need ffmpeg, absent here.",
+)
+def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_media(bytes(payload), "video/y4m")
+                w, h, n = d["width"], d["height"], d["n_frames"]
+                planes = (
+                    np.frombuffer(b"".join(d["frames"]), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(n, 3, h * w)
+                )
+                luma = planes[:, 0, :]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_frames": n,
+                        "sum_y": int(luma.sum()),
+                        "sum_uv": int(planes[:, 1:, :].sum()),
+                        "motion_abs": int(np.abs(np.diff(luma, axis=0)).sum()),
+                        "sum_y_last": int(luma[-1].sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = encoded_media(docs, make_y4m)
+    return media.mapInPandas(
+        decode,
+        schema="doc_id long, width int, height int, n_frames bigint, "
+        "sum_y bigint, sum_uv bigint, motion_abs bigint, sum_y_last bigint",
     ).orderBy("doc_id")

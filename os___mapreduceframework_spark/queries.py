@@ -135,6 +135,7 @@ _SWEEP_RISK_PREFIXES = (
 _SWEEP_LOW_RISK = frozenset(
     {
         "dedup_containment",
+        "embedding_label_centroids",
         "split_train_val_test",
         "sample_stratified",
         "class_balance_downsample",

@@ -57,9 +57,49 @@ def test_fake_features_deterministic_and_bounded():
     assert fake_features(b"other") != f1
 
 
-def test_decode_media_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_media_rejects_compressed_codecs():
+    """Compressed codecs need PIL/ffmpeg (absent here): a plain
+    unsupported-input ValueError, not a stub exception."""
+    with pytest.raises(ValueError, match="unsupported media type"):
         decode_media(b"\x89PNG", "image/png")
+    with pytest.raises(ValueError, match="unsupported media type"):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+def test_decode_media_y4m_roundtrip_and_edges():
+    """The Y4M parser is a real YUV4MPEG2 reader: round-trips make_y4m,
+    honors header tags in any order, and rejects wrong magic, missing
+    dims, subsampled chroma, and truncated frames."""
+    from os___mapreduceframework_spark.operators.multimodal import make_y4m
+
+    d = decode_media(make_y4m(23), "video/y4m")
+    assert (d["width"], d["height"]) == (23 % 6 + 4, 23 % 4 + 3)
+    assert d["n_frames"] == 23 % 5 + 2
+    assert d["frame_rate"] == "25:1"
+    # frame t=1, pixel (x=0, y=0): Y = (5 + 23) % 256
+    assert d["frames"][1][0] == (5 * 1 + 23) % 256
+    for f in d["frames"]:
+        assert len(f) == 3 * d["width"] * d["height"]
+    # hand-built minimal stream: 1x1, one frame, tags reordered
+    one = b"YUV4MPEG2 C444 H1 W1\nFRAME\n\x07\x08\x09"
+    d2 = decode_media(one, "video/y4m")
+    assert (d2["width"], d2["height"], d2["n_frames"]) == (1, 1, 1)
+    assert list(d2["frames"][0]) == [7, 8, 9]
+    with pytest.raises(ValueError, match="magic"):
+        decode_media(b"MPEG\n", "video/y4m")
+    with pytest.raises(ValueError, match="truncated y4m stream"):
+        decode_media(b"YUV4MPEG2 W1 H1 C444", "video/y4m")
+    with pytest.raises(ValueError, match="missing W/H"):
+        decode_media(b"YUV4MPEG2 C444\nFRAME\n\x00\x00\x00", "video/y4m")
+    with pytest.raises(ValueError, match="C444"):
+        decode_media(b"YUV4MPEG2 W2 H2 C420\n", "video/y4m")
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_media(b"YUV4MPEG2 W1 H1 C444\nBOGUS\n\x00\x00\x00", "video/y4m")
+    with pytest.raises(ValueError, match="truncated y4m frame"):
+        decode_media(b"YUV4MPEG2 W1 H1 C444\nFRAME\n\x00\x00", "video/y4m")
+    # FRAME marker with no terminating newline must error, not hang
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_media(b"YUV4MPEG2 W1 H1 C444\nFRAME", "video/y4m")
 
 
 def test_decode_media_ppm_roundtrip_and_edges():
@@ -383,6 +423,32 @@ def test_connected_components_long_chain_converges(spark):
         for r in connected_components(edges, max_iter=8).collect()
     }
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_distributed_path_matches_driver(spark):
+    """Both sides of the size gate must label identically: force the
+    distributed pointer-jumping loop (driver_max_edges=0) on the same
+    graphs the driver union-find handles, including a chain deeper
+    than the iteration count."""
+    from os___mapreduceframework_spark.operators.dedup import connected_components
+
+    graphs = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(i, i + 1) for i in range(40)],  # diameter >> 8 iterations
+    ]
+    for pairs in graphs:
+        edges = spark.createDataFrame(pairs, schema="doc_a long, doc_b long")
+        driver = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(edges).collect()
+        }
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                edges, max_iter=8, driver_max_edges=0
+            ).collect()
+        }
+        assert dist == driver
 
 
 def test_decode_media_rejects_wide_pcm():

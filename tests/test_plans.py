@@ -297,6 +297,7 @@ EXPECTED_MAX_SHUFFLES = {
     "dedup_boilerplate_blocks": 4,    # block-hash agg + hash join back + doc agg + sort
     "embedding_pca_variance": 2,      # moment-partial merge; eigensolve is driver-side
     "multimodal_image_decode": 1,     # fused encode/decode mapInPandas; sort only
+    "multimodal_video_decode": 1,     # fused encode/decode mapInPandas; sort only
     "events_ohlc_hourly": 2,          # one min_by/max_by bucket agg + sort
     "sketch_bloom_probe": 10,         # dim-side distincts counted twice (dim-sized); probe side scans once
     "embedding_whitening_check": 0,   # moment jobs run at construction; result is a local row
