@@ -36,16 +36,21 @@ def _protobuf_available() -> bool:
 PROTOBUF_AVAILABLE = _protobuf_available()
 
 
-def build_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user (count, integer-scaled sum) via a StatefulProcessor with
-    typed ValueState; must agree with the batch aggregate (the same
-    contract stream_stateful_user_stats pins on the older API)."""
+def make_user_stats_processor():
+    """The StatefulProcessor class behind ``stream_transform_with_state``,
+    exposed at module level so its SEMANTICS stay testable in containers
+    where the operator cannot RUN (protobuf missing): the class itself
+    imports fine -- only the runtime state-server protocol needs
+    protobuf -- so tests drive ``init``/``handleInputRows`` directly
+    against a fake handle and pin them equal to the
+    ``applyInPandasWithState`` twin (``stream_stateful_user_stats``,
+    streaming/windows.py) and the batch aggregate."""
     import pandas as pd
+    from pyspark.sql import types as T
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-    from pyspark.sql import types as T
 
     class UserStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -60,6 +65,9 @@ def build_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # state: (n_events, total_value scaled e4) -- the identical
+            # integer-scaled accumulation the applyInPandasWithState
+            # twin uses, so both APIs produce bit-equal output
             n, tot = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
@@ -75,6 +83,15 @@ def build_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def close(self) -> None:
             pass
+
+    return UserStats
+
+
+def build_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (count, integer-scaled sum) via a StatefulProcessor with
+    typed ValueState; must agree with the batch aggregate (the same
+    contract stream_stateful_user_stats pins on the older API)."""
+    UserStats = make_user_stats_processor()
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
