@@ -31,7 +31,9 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     _MINHASH_SQL,
     _SHINGLES_SQL,
     _cosine,
+    _cosine_prenorm,
     _minhash_wide,
+    _norm,
     _shingles,
     band_signatures,
     lsh_candidates,
@@ -301,9 +303,18 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
+    # norms once per corpus vector, joined through: the candidate set is
+    # ~800x the corpus on the fixtures, so norms-per-pair was 3x
+    # redundant fold work (bit-identical arithmetic via _cosine_prenorm)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), _norm("e").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), _norm("e").alias("nb")
+    )
+    cos = F.round(
+        _cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
+    )
     return (
         cand.join(a.hint("merge"), "vec_a")
         .join(b.hint("merge"), "vec_b")

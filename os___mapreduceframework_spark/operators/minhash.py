@@ -201,8 +201,28 @@ def _cosine(a, b):
     NULL drops out of >= threshold filters and ranks last in DESC
     orderings on both engines, so downstream semantics agree."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0, dot / denom)
+
+
+def _norm(a):
+    """sqrt(sum x^2) over an array<double> column -- the exact norm
+    factor ``_cosine`` uses, exposed so candidate-verify joins can
+    precompute it ONCE per corpus vector instead of once per pair."""
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def _cosine_prenorm(a, b, na, nb):
+    """``_cosine`` with the per-vector norms precomputed and joined
+    through: bit-identical arithmetic (same dot fold, same ``na * nb``
+    denominator, same NULL-on-zero guard), but per-pair work drops from
+    three interpreted higher-order folds to one. Use wherever the
+    candidate set is much larger than the corpus (LSH verify joins:
+    ~800 candidates/vector on the fixtures, so norms-per-pair was 3x
+    redundant fold work on the hottest expression in the repo)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     denom = na * nb
     return F.when(denom != 0, dot / denom)
 

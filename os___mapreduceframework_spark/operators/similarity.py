@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from os___mapreduceframework_spark.operators.minhash import (
     _EMB_BANDS_SQL,
     _cosine,
+    _cosine_prenorm,
+    _norm,
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.queries import query
@@ -840,15 +842,28 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.vec_id").alias("v"), F.col("y.vec_id").alias("n"))
         .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("v"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("n"), F.col("e").alias("eb"))
+    # norms once per corpus vector (one fold each), joined through the
+    # candidate pairs: per-pair verify is then a single dot fold --
+    # bit-identical to _cosine, 3x less interpreted-lambda work on the
+    # ~800-candidates-per-vector verify join
+    a = emb.select(
+        F.col("vec_id").alias("v"), F.col("e").alias("ea"), _norm("e").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("n"), F.col("e").alias("eb"), _norm("e").alias("nb")
+    )
     scored = (
         pairs.join(a.hint("merge"), "v")
         .join(b.hint("merge"), "n")
         .select(
             "v",
             "n",
-            F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("cs"),
+            F.round(
+                _cosine_prenorm(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                4,
+            ).alias("cs"),
         )
     )
     # argmax per vector: lexicographic (cs, -n) struct -- max cosine,
