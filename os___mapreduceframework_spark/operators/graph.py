@@ -64,50 +64,56 @@ def pagerank_suppliers(
 ) -> DataFrame:
     """PageRank over the bipartite purchase graph; returns one row per
     supplier node with its rank normalized by |nodes| (so values are
-    O(1) and stable under corpus growth)."""
-    # Materialize the per-iteration inputs once (localCheckpoint): the
-    # naive fully-lazy unroll re-derives the edge join inside every
-    # iteration's contribution aggregate and the plan grows ~100x
-    # Exchanges by k=3. Caching the edge relation is what every
-    # production PageRank does; rank vectors are checkpointed per
-    # iteration to keep each job's plan one-iteration deep.
+    O(1) and stable under corpus growth).
+
+    The bipartite structure makes two algebraic collapses exact, and
+    both matter at 100 TB:
+
+    - customers have NO in-edges, so their rank is the same scalar for
+      every customer at every iteration -- carried as a 1-row frame,
+      never a |customers| vector;
+    - the per-supplier contribution sum therefore factors as
+      pr_c * W(s) with W(s) = sum over in-edges of 1/deg(c) --
+      ITERATION-INVARIANT, so the edge-sized shuffle runs ONCE (the
+      ``W`` build) instead of once per iteration. Each iteration is
+      then a 1-row dangling-mass aggregate over the supplier vector
+      plus a projection over the checkpointed ``W`` -- no edge traffic.
+
+    Edges and ``W`` are materialized once (localCheckpoint -- the
+    edge-cache every production PageRank uses); the general
+    non-bipartite iteration dataflow (per-iteration shuffled partial
+    sums) is exercised by ``connected_components``' distributed path.
+    """
     e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     outdeg = e.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
-    nc = e.select("c").distinct()
-    ns = e.select("s").distinct()
     n_nodes = (
-        nc.agg(F.count(F.lit(1)).alias("ncust"))
-        .crossJoin(ns.agg(F.count(F.lit(1)).alias("nsupp")))
+        e.select("c").distinct().agg(F.count(F.lit(1)).alias("ncust"))
+        .crossJoin(e.select("s").distinct().agg(F.count(F.lit(1)).alias("nsupp")))
         .select((F.col("ncust") + F.col("nsupp")).alias("n"))
         .localCheckpoint(eager=True)  # 1 row
     )
-    prc = nc.crossJoin(n_nodes).select("c", (F.lit(1.0) / F.col("n")).alias("pr"))
-    prs = ns.crossJoin(n_nodes).select("s", (F.lit(1.0) / F.col("n")).alias("pr"))
-    ew = e.join(outdeg, "c").localCheckpoint(eager=True)  # (c, s, deg)
+    # iteration-invariant weighted in-degree: one edge-sized shuffle, ever
+    w = (
+        e.join(outdeg, "c")
+        .groupBy("s")
+        .agg(F.sum(F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    prc = n_nodes.select((F.lit(1.0) / F.col("n")).alias("prc"))  # 1 row
+    prs = w.crossJoin(n_nodes).select("s", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(n_iter):
-        contrib = (
-            ew.join(prc, "c")
-            .groupBy("s")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
-        )
-        dang = prs.agg(F.sum("pr").alias("dm"))
+        dang = prs.agg(F.sum("pr").alias("dm"))  # suppliers are dangling
         base = F.lit(1.0 - d) / F.col("n") + F.lit(d) * F.col("dm") / F.col("n")
-        prc = (
-            prc.select("c")
-            .crossJoin(n_nodes)
-            .crossJoin(dang)
-            .select("c", base.alias("pr"))
-            .localCheckpoint(eager=True)
+        scalars = (
+            n_nodes.crossJoin(dang)
+            .crossJoin(prc)
+            .select(base.alias("base"), F.col("prc"))
+            .localCheckpoint(eager=True)  # 1 row: keeps lineage flat
         )
-        prs = (
-            prs.select("s")
-            .join(contrib, "s", "left")
-            .crossJoin(n_nodes)
-            .crossJoin(dang)
-            .select(
-                "s", (base + F.lit(d) * F.coalesce("m", F.lit(0.0))).alias("pr")
-            )
-            .localCheckpoint(eager=True)
+        prc = scalars.select(F.col("base").alias("prc"))
+        prs = w.crossJoin(scalars).select(
+            "s",
+            (F.col("base") + F.lit(d) * F.col("prc") * F.col("w")).alias("pr"),
         )
     return prs.crossJoin(n_nodes).select(
         "s", F.round(F.col("pr") * F.col("n"), 6).alias("pr_norm")
@@ -115,37 +121,38 @@ def pagerank_suppliers(
 
 
 def _oracle_pagerank(n_iter: int = N_ITER, d: float = DAMPING) -> str:
-    """The same recurrence unrolled as DuckDB CTEs (exact oracle)."""
+    """The same recurrence unrolled as DuckDB CTEs (exact oracle), in
+    the same bipartite-factored form the Spark side computes: customer
+    rank is a scalar, supplier updates go through the
+    iteration-invariant weighted in-degree w(s)."""
     cte = [
         """
     e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     od AS (SELECT c, COUNT(*) AS deg FROM e GROUP BY c),
-    nc AS (SELECT DISTINCT c FROM e),
-    ns AS (SELECT DISTINCT s FROM e),
-    nn AS (SELECT (SELECT COUNT(*) FROM nc) + (SELECT COUNT(*) FROM ns) AS n),
-    p0c AS (SELECT c, 1.0 / (SELECT n FROM nn) AS pr FROM nc),
-    p0s AS (SELECT s, 1.0 / (SELECT n FROM nn) AS pr FROM ns)"""
+    nn AS (SELECT (SELECT COUNT(DISTINCT c) FROM e)
+              + (SELECT COUNT(DISTINCT s) FROM e) AS n),
+    w AS (SELECT e.s, SUM(1.0 / od.deg) AS w
+          FROM e JOIN od USING (c) GROUP BY e.s),
+    pc0 AS (SELECT 1.0 / (SELECT n FROM nn) AS prc),
+    ps0 AS (SELECT s, 1.0 / (SELECT n FROM nn) AS pr FROM w)"""
     ]
     for k in range(n_iter):
         i, j = k, k + 1
         cte.append(f"""
-    ct{j} AS (SELECT e.s, SUM(p.pr / od.deg) AS m
-              FROM e JOIN p{i}c p USING (c) JOIN od USING (c) GROUP BY e.s),
-    dg{j} AS (SELECT SUM(pr) AS dm FROM p{i}s),
-    p{j}c AS (SELECT c, (1 - {d}) / (SELECT n FROM nn)
-                 + {d} * (SELECT dm FROM dg{j}) / (SELECT n FROM nn) AS pr
-              FROM p{i}c),
-    p{j}s AS (SELECT p.s, (1 - {d}) / (SELECT n FROM nn)
-                 + {d} * ((SELECT dm FROM dg{j}) / (SELECT n FROM nn)
-                          + COALESCE(ct.m, 0)) AS pr
-              FROM p{i}s p LEFT JOIN ct{j} ct USING (s))""")
+    dg{j} AS (SELECT SUM(pr) AS dm FROM ps{i}),
+    sc{j} AS (SELECT (1 - {d}) / (SELECT n FROM nn)
+                 + {d} * (SELECT dm FROM dg{j}) / (SELECT n FROM nn) AS base),
+    pc{j} AS (SELECT base AS prc FROM sc{j}),
+    ps{j} AS (SELECT w.s, (SELECT base FROM sc{j})
+                 + {d} * (SELECT prc FROM pc{i}) * w.w AS pr
+              FROM w)""")
     return (
         "WITH "
         + ",".join(cte)
         + f"""
     SELECT s, ROUND(pr * (SELECT n FROM nn), 6) AS pr_norm
-    FROM p{n_iter}s
+    FROM ps{n_iter}
     ORDER BY pr_norm DESC, s
     """
     )
