@@ -33,6 +33,8 @@ def _default_sf_dir() -> str:
 
     dirs = {}
     for d in glob.glob("/root/testdata/sf*"):
+        if not os.path.isdir(d):  # glob also matches stray files
+            continue
         tag = os.path.basename(d)[2:]
         try:
             dirs[float(tag)] = d
@@ -145,6 +147,10 @@ def _main_isolated() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # which fixture actually ran: auto-detect picks the largest
+                # sf* dir present, so cross-round comparability needs the
+                # choice recorded in the output (ADVICE r4)
+                "sf_dir": SF_DIR,
             }
         )
     )
@@ -205,6 +211,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # which fixture actually ran: auto-detect picks the largest
+                # sf* dir present, so cross-round comparability needs the
+                # choice recorded in the output (ADVICE r4)
+                "sf_dir": SF_DIR,
             }
         )
     )

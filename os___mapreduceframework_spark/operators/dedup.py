@@ -36,6 +36,7 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     _norm,
     _shingles,
     band_signatures,
+    bucket_pairs,
     lsh_candidates,
     minhash_signatures,
 )
@@ -287,22 +288,13 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # band rows are corpus x 32: both self-join sides merge-hinted so
-    # neither raw-derived side broadcasts at small-SF statistics
-    bands = embedding_band_buckets(emb).hint("merge")
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
+    # band rows are corpus x 32; bucket_pairs merge-hints both self-join
+    # sides (no fact broadcast) and caps per-bucket pair fan-out so a
+    # near-constant embedding corpus cannot go quadratic (hot-bucket
+    # guard, VERDICT r4 item 4)
+    cand = bucket_pairs(
+        embedding_band_buckets(emb), "vec_id", ("band", "bucket")
+    ).select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
     # norms once per corpus vector, joined through: the candidate set is
     # ~800x the corpus on the fixtures, so norms-per-pair was 3x
     # redundant fold work (bit-identical arithmetic via _cosine_prenorm)

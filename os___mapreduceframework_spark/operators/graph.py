@@ -121,38 +121,51 @@ def pagerank_suppliers(
 
 
 def _oracle_pagerank(n_iter: int = N_ITER, d: float = DAMPING) -> str:
-    """The same recurrence unrolled as DuckDB CTEs (exact oracle), in
-    the same bipartite-factored form the Spark side computes: customer
-    rank is a scalar, supplier updates go through the
-    iteration-invariant weighted in-degree w(s)."""
+    """The recurrence unrolled as DuckDB CTEs (exact oracle) in the
+    GENERAL, unfactored form: a per-node rank vector over customers AND
+    suppliers, a per-iteration edge-join contribution sum, and a
+    dangling-mass term derived structurally (nodes with no out-edges,
+    not assumed to be 'the suppliers'). The Spark side computes the
+    bipartite-FACTORED collapse (customer rank carried as a scalar,
+    supplier updates through the iteration-invariant weighted in-degree
+    w(s)); keeping the oracle unfactored means it independently
+    validates that algebraic collapse instead of sharing its
+    assumptions (ADVICE r4 item 2). Cheap at fixture scale; exact."""
     cte = [
-        """
+        f"""
     e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT 'c' AS side, c AS id FROM (SELECT DISTINCT c FROM e)
+              UNION ALL
+              SELECT 's' AS side, s AS id FROM (SELECT DISTINCT s FROM e)),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
     od AS (SELECT c, COUNT(*) AS deg FROM e GROUP BY c),
-    nn AS (SELECT (SELECT COUNT(DISTINCT c) FROM e)
-              + (SELECT COUNT(DISTINCT s) FROM e) AS n),
-    w AS (SELECT e.s, SUM(1.0 / od.deg) AS w
-          FROM e JOIN od USING (c) GROUP BY e.s),
-    pc0 AS (SELECT 1.0 / (SELECT n FROM nn) AS prc),
-    ps0 AS (SELECT s, 1.0 / (SELECT n FROM nn) AS pr FROM w)"""
+    pr0 AS (SELECT side, id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
     ]
     for k in range(n_iter):
         i, j = k, k + 1
         cte.append(f"""
-    dg{j} AS (SELECT SUM(pr) AS dm FROM ps{i}),
-    sc{j} AS (SELECT (1 - {d}) / (SELECT n FROM nn)
-                 + {d} * (SELECT dm FROM dg{j}) / (SELECT n FROM nn) AS base),
-    pc{j} AS (SELECT base AS prc FROM sc{j}),
-    ps{j} AS (SELECT w.s, (SELECT base FROM sc{j})
-                 + {d} * (SELECT prc FROM pc{i}) * w.w AS pr
-              FROM w)""")
+    dg{j} AS (SELECT SUM(p.pr) AS dm
+              FROM pr{i} p LEFT JOIN od ON p.side = 'c' AND p.id = od.c
+              WHERE od.deg IS NULL),
+    ct{j} AS (SELECT e.s AS id, SUM(p.pr / od.deg) AS contrib
+              FROM e
+              JOIN pr{i} p ON p.side = 'c' AND p.id = e.c
+              JOIN od ON od.c = e.c
+              GROUP BY e.s),
+    pr{j} AS (SELECT nodes.side, nodes.id,
+                     (1 - {d}) / (SELECT n FROM nn)
+                   + {d} * (SELECT dm FROM dg{j}) / (SELECT n FROM nn)
+                   + {d} * COALESCE(ct.contrib, 0) AS pr
+              FROM nodes
+              LEFT JOIN ct{j} ct ON nodes.side = 's' AND nodes.id = ct.id)""")
     return (
         "WITH "
         + ",".join(cte)
         + f"""
-    SELECT s, ROUND(pr * (SELECT n FROM nn), 6) AS pr_norm
-    FROM ps{n_iter}
+    SELECT id AS s, ROUND(pr * (SELECT n FROM nn), 6) AS pr_norm
+    FROM pr{n_iter}
+    WHERE side = 's'
     ORDER BY pr_norm DESC, s
     """
     )
@@ -165,9 +178,10 @@ def _oracle_pagerank(n_iter: int = N_ITER, d: float = DAMPING) -> str:
     "purchase graph; per-iteration dataflow is one shuffled partial-sum "
     "on the destination key plus two 1-row broadcast aggregates "
     "(|nodes|, dangling mass); edges and rank vectors localCheckpoint "
-    "per iteration (lineage truncation). The "
-    "oracle unrolls the identical recurrence as chained CTEs, making an "
-    "iterative algorithm exactly SQL-checkable.",
+    "per iteration (lineage truncation). The oracle unrolls the GENERAL "
+    "unfactored recurrence (per-node vector, per-iteration edge join) "
+    "as chained CTEs, independently validating the Spark side's "
+    "bipartite factoring rather than sharing its assumptions.",
 )
 def q_graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_suppliers(spark, sf_dir).orderBy(

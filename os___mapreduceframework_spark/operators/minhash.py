@@ -15,10 +15,119 @@ DuckDB oracles compute bit-identical values: Spark
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 N_HASHES = 16
 BAND_SIZE = 4  # 16 hashes -> 4 bands of 4 rows
+
+# Hot-bucket guard (VERDICT r4 item 4): an LSH bucket with n members
+# generates C(n, 2) candidate pairs in the self-join, so ONE degenerate
+# bucket (boilerplate docs sharing a band signature, near-constant
+# embeddings) makes the join quadratic at real-data scale. Buckets
+# larger than the cap are split into contiguous (by id) sub-buckets of
+# <= cap joined all-pairs, plus one bridge pair linking consecutive
+# sub-buckets' first members -- per-bucket work drops O(n^2) ->
+# O(n * cap) while the bucket stays CONNECTED (clustering via connected
+# components is unchanged: sub-cliques + bridges span the same
+# component the full clique did). Groups <= cap are bit-identical to
+# the unguarded join (salt 0, no bridge rows), so the guard is free on
+# well-distributed data. Candidate sets were always approximate-by-
+# design (banding recall); the oracles mirror the identical capped
+# derivation, so parity is exact on any data.
+LSH_BUCKET_CAP = 256
+
+
+def _capped_pairs_sql(
+    rows: str, id_col: str, key_cols: tuple[str, str], out: tuple[str, str],
+    cte_name: str, cap: int = LSH_BUCKET_CAP,
+) -> str:
+    """DuckDB CTE chain mirroring ``bucket_pairs`` exactly: row_number
+    within each bucket (ordered by id), contiguous sub-buckets of
+    ``cap``, all-pairs within a sub-bucket plus rep->rep bridges."""
+    k1, k2 = key_cols
+    a, b = out
+    return f"""
+    _bsalt AS (SELECT {id_col}, {k1}, {k2},
+                      ROW_NUMBER() OVER (PARTITION BY {k1}, {k2}
+                                         ORDER BY {id_col}) - 1 AS rn
+               FROM {rows}),
+    _bsub AS (SELECT {id_col}, {k1}, {k2}, rn // {cap} AS salt, rn % {cap} AS pos
+              FROM _bsalt),
+    {cte_name} AS (
+      SELECT DISTINCT {a}, {b} FROM (
+        SELECT x.{id_col} AS {a}, y.{id_col} AS {b}
+        FROM _bsub x
+        JOIN _bsub y ON x.{k1} = y.{k1} AND x.{k2} = y.{k2}
+                     AND x.salt = y.salt AND x.{id_col} < y.{id_col}
+        UNION ALL
+        SELECT LAG({id_col}) OVER (PARTITION BY {k1}, {k2} ORDER BY salt) AS {a},
+               {id_col} AS {b}
+        FROM _bsub WHERE pos = 0
+      ) u
+      WHERE {a} IS NOT NULL)
+    """
+
+
+def bucket_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    key_cols: tuple[str, str],
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """(id_a, id_b) undirected candidate pairs from bucket co-membership,
+    hot-bucket-guarded (see ``LSH_BUCKET_CAP``).
+
+    ``sigs`` holds one row per (id, bucket-key); the classic derivation
+    is a self-join on the bucket key with ``id_a < id_b``. This version
+    bounds per-bucket join work: a row_number window (same shuffle key
+    as the join) assigns each member a contiguous sub-bucket of at most
+    ``cap``; all-pairs run within sub-buckets only, and consecutive
+    sub-buckets' first members are bridged so the bucket's connected
+    component is preserved. Deterministic (ordered by id on both
+    engines); DuckDB mirror in ``_capped_pairs_sql``.
+    """
+    k1, k2 = key_cols
+    w = Window.partitionBy(k1, k2).orderBy(id_col)
+    s = (
+        sigs.select(id_col, k1, k2)
+        .withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("_salt", F.floor(F.col("_rn") / cap))
+        # three consumers below (both self-join sides + the bridge
+        # window) would each recompute the signature lineage AND the
+        # row_number sort; a lazy localCheckpoint materializes the
+        # salted rows ONCE at first action (no job at construction) --
+        # measured 2x on ann_knn_join_all at sf0.1, and at 100 TB this
+        # is the standard signature-materialization step anyway
+        .localCheckpoint(eager=False)
+    )
+    x, y = s.alias("x"), s.alias("y")
+    # shuffle_hash, not merge: the checkpointed rows arrive unsorted, so
+    # SMJ would pay two per-side sorts the hash join skips (measured
+    # 1.28 vs 1.67 s at sf0.1); the salt bounds any single key group at
+    # cap rows and shuffle-partition sizing bounds the per-partition
+    # build, so the hash build is memory-safe at scale. Never broadcast:
+    # signature rows are corpus-sized.
+    within = (
+        x.hint("shuffle_hash")
+        .join(
+            y.hint("shuffle_hash"),
+            (F.col(f"x.{k1}") == F.col(f"y.{k1}"))
+            & (F.col(f"x.{k2}") == F.col(f"y.{k2}"))
+            & (F.col("x._salt") == F.col("y._salt"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+    )
+    wl = Window.partitionBy(k1, k2).orderBy("_salt")
+    bridges = (
+        s.filter(F.col("_rn") % cap == 0)
+        .withColumn("_prev", F.lag(id_col).over(wl))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return within.unionByName(bridges).distinct()
 
 # word 3-shingles, one row per (doc, shingle)
 _SHINGLES_SQL = """
@@ -77,11 +186,10 @@ _BANDS_ONLY_SQL = (
 
 _BANDS_SQL = (
     _BANDS_ONLY_SQL
-    + """,
-    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-             FROM bands x
-             JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
-"""
+    + ",\n"
+    + _capped_pairs_sql(
+        "bands", "doc_id", ("band", "sig"), ("doc_a", "doc_b"), "cand"
+    )
 )
 
 
@@ -170,26 +278,20 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def lsh_candidates(docs: DataFrame) -> DataFrame:
+def lsh_candidates(docs: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs via LSH banding.
 
     Band signature = md5 of the band's minhashes in hash order; pairs
-    are an equi-join on (band, sig) -- never O(n^2). Skewed signatures
-    (e.g. boilerplate docs) are the classic hazard; AQE skew-join covers
-    moderate skew, and a salt-by-prefix split is the escape hatch.
+    are an equi-join on (band, sig) -- never O(n^2) across the corpus.
+    Skewed signatures (boilerplate docs collapsing into one bucket) are
+    the classic hazard: ``bucket_pairs`` caps per-bucket join work at
+    O(n * cap) via contiguous sub-buckets + connectivity bridges, so a
+    degenerate bucket cannot go quadratic either (AQE skew-join only
+    rebalances partitions; it cannot shrink a quadratic pair count).
     """
-    sigs = band_signatures(docs)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return bucket_pairs(
+        band_signatures(docs), "doc_id", ("band", "sig"), cap=cap
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
 
 def _cosine(a, b):
@@ -263,13 +365,9 @@ _EMB_BANDS_SQL = f"""
                       ELSE 0 END) AS bucket
       FROM psums GROUP BY vec_id, p // {EMB_PLANES_PER_BAND}
     ),
-    ecand AS (
-      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-      FROM ebands x
-      JOIN ebands y ON x.band = y.band AND x.bucket = y.bucket
-                    AND x.vec_id < y.vec_id
-    )
-"""
+""" + _capped_pairs_sql(
+    "ebands", "vec_id", ("band", "bucket"), ("vec_a", "vec_b"), "ecand"
+)
 
 
 def _plane_weights(p: int, dim: int) -> list[int]:

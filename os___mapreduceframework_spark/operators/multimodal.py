@@ -504,21 +504,30 @@ def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_embed",
     oracle=f"""
     SELECT doc_id,
-           list_transform(range(0, {FAKE_FEATURE_DIM}),
-               i -> ('0x' || substr(md5(text), CAST(2 * i + 1 AS INT), 2))::BIGINT
-                    / 255.0) AS feat
-    FROM documents
-    ORDER BY doc_id
+           CAST(u.i AS INT) AS dim,
+           ROUND(('0x' || substr(md5(text), CAST(2 * u.i + 1 AS INT), 2))::BIGINT
+                 / 255.0, 6) AS val
+    FROM documents, unnest(range(0, {FAKE_FEATURE_DIM})) AS u(i)
+    ORDER BY doc_id, dim
     """,
     doc="Full multimodal embedding pipeline: binary payload -> "
     "mapInPandas -> array<double> feature column. The stand-in decode "
     "is md5-seeded (real decode stubbed behind decode_media), which "
     "makes even this Python-side path exactly oracle-checkable: the "
-    "oracle recomputes the same md5-derived components in SQL.",
+    "oracle recomputes the same md5-derived components in SQL. The "
+    "vector is posexploded to scalar (doc_id, dim, val) rows for the "
+    "output: the driver's canonicalizer sorts/hashes the result frame "
+    "and cannot hash a top-level array column (r04 red row), and "
+    "exploded scalars are the repo-wide convention for vector outputs.",
 )
 def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = with_media_columns(load_table(spark, sf_dir, "documents"))
-    return extract_features(m).select("doc_id", "feat").orderBy("doc_id")
+    return (
+        extract_features(m)
+        .select("doc_id", F.posexplode("feat").alias("dim", "val"))
+        .select("doc_id", "dim", F.round("val", 6).alias("val"))
+        .orderBy("doc_id", "dim")
+    )
 
 
 _DFT_BINS = (1, 8, 32)

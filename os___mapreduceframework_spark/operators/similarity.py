@@ -25,6 +25,7 @@ from os___mapreduceframework_spark.operators.minhash import (
     _cosine,
     _cosine_prenorm,
     _norm,
+    bucket_pairs,
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.queries import query
@@ -830,17 +831,16 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bands = embedding_band_buckets(emb).hint("merge")
-    x, y = bands.alias("x"), bands.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") != F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("v"), F.col("y.vec_id").alias("n"))
-        .distinct()
+    # undirected capped candidates (hot-bucket guard: a degenerate
+    # bucket yields O(n * cap) pairs, not O(n^2)), expanded to both
+    # directions -- same shape as the oracle's UNION over ecand
+    cand = bucket_pairs(
+        embedding_band_buckets(emb), "vec_id", ("band", "bucket")
+    )
+    pairs = cand.select(
+        F.col("id_a").alias("v"), F.col("id_b").alias("n")
+    ).unionByName(
+        cand.select(F.col("id_b").alias("v"), F.col("id_a").alias("n"))
     )
     # norms once per corpus vector (one fold each), joined through the
     # candidate pairs: per-pair verify is then a single dot fold --

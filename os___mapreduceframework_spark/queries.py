@@ -83,29 +83,56 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def _row_passed(row: object) -> bool:
+    """True iff a driver CORRECTNESS row records an actual pass.
+
+    A pass is err-free AND value-verified (``hash_match``); for queries
+    the driver ran without an oracle (rows-only check) it is err-free
+    with rows produced. Rows with ``err`` set (canonicalization crashes,
+    ``no_oracle``) or mismatched hashes are failures: counting them as
+    "checked" would rotate a known-broken query behind fresh coverage
+    and it might never re-sweep to green (ADVICE r4 item 1).
+    """
+    if not isinstance(row, dict) or row.get("err") is not None:
+        return False
+    if row.get("hash_match"):
+        return True
+    # rows-only check (no oracle registered): no hash/schema fields set
+    return row.get("hash_match") is None and row.get("spark_rows") is not None
+
+
 def _driver_checked() -> set[str]:
-    """Query names that already have a driver CORRECTNESS row (any round).
+    """Query names whose LATEST driver CORRECTNESS row passed.
 
     The driver's correctness harness sweeps ~50 queries per round in the
     order ``queries()`` yields them, then writes ``CORRECTNESS_r{N}.json``
     to the repo root. Reading those files back lets the registry rotate
-    never-checked queries to the front of the sweep automatically each
-    round -- no hand-maintained reorder of ``_load_all()`` imports.
+    never-checked-or-last-failed queries to the front of the sweep
+    automatically each round -- no hand-maintained reorder of
+    ``_load_all()`` imports. Latest-round status wins: a query that
+    failed in r02 but passed in r03 is checked; one whose most recent
+    row errored is NOT, so it re-sweeps first until green.
     """
     import glob
     import json
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
-            if isinstance(rows, dict):
-                seen |= set(rows)
         except Exception:
-            pass  # unreadable round file -> treat its queries as unchecked
-    return seen
+            continue  # unreadable round file -> treat its queries as unchecked
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, _row_passed(row))
+    return {name for name, (_, ok) in latest.items() if ok}
 
 
 # Risk ranking for never-checked queries: families whose failure modes the

@@ -99,7 +99,7 @@ def _stats_cache(spark: SparkSession) -> dict:
 
 def ts_bounds_us(
     spark: SparkSession, sf_dir: str, table: str = "events", col: str = "ts"
-) -> tuple[int | None, int | None]:
+) -> tuple[int, int]:
     """Memoized (min, max) ``unix_micros`` of a timestamp column.
 
     Retention/drift/gap queries anchor their buckets at corpus bounds;
@@ -108,7 +108,13 @@ def ts_bounds_us(
     plan. Memoizing per (session, sf_dir, table, col) makes it ONE
     bounded-aggregate job per session, shared by every consumer
     (pinned by tests/test_plans.py::test_ts_bounds_memoized_one_job).
-    Returns ``(None, None)`` on an empty table.
+
+    Raises ``ValueError`` on an empty (or all-NULL) column: every
+    consumer immediately does integer arithmetic on the bounds
+    ((lo + hi) // 2 midpoints, bucket origins), so a (None, None)
+    return surfaced only as an opaque downstream TypeError -- and got
+    memoized for the session (ADVICE r4 item 4). The empty result is
+    NOT cached, so a table populated later in the session re-probes.
     """
     from pyspark.sql import functions as F
 
@@ -123,6 +129,12 @@ def ts_bounds_us(
             )
             .head()
         )
+        if row["lo"] is None or row["hi"] is None:
+            raise ValueError(
+                f"{table}.{col} in {sf_dir} is empty or all-NULL; "
+                "timestamp bounds are undefined (retention/drift/gap "
+                "queries cannot anchor their buckets)"
+            )
         cache[key] = (row["lo"], row["hi"])
     return cache[key]
 

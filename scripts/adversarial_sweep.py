@@ -35,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-BASE = "/root/testdata/sf0.001"
+# override with SPARK_GRAFT_ADV_BASE=/root/testdata/sf0.1 for the
+# large-fixture pass (VERDICT r4 item 7); default stays the fast gate
+BASE = os.environ.get("SPARK_GRAFT_ADV_BASE", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -55,13 +57,13 @@ def build_adversarial_dir() -> str:
                   SELECT * FROM read_parquet('{src}')
                   UNION ALL
                   SELECT * FROM (VALUES
-                    (90001::BIGINT, '', 'en', 'src0', 0::BIGINT),
-                    (90002::BIGINT, 'word', 'en', NULL, 4::BIGINT),
-                    (90003::BIGINT,
+                    ((SELECT max(doc_id) + 1 FROM read_parquet('{src}')), '', 'en', 'src0', 0::BIGINT),
+                    ((SELECT max(doc_id) + 2 FROM read_parquet('{src}')), 'word', 'en', NULL, 4::BIGINT),
+                    ((SELECT max(doc_id) + 3 FROM read_parquet('{src}')),
                      (SELECT text FROM read_parquet('{src}') WHERE doc_id = 0),
                      'en', 'src1',
                      (SELECT n_chars FROM read_parquet('{src}') WHERE doc_id = 0)),
-                    (90004::BIGINT, 'a b', NULL, 'src2', 3::BIGINT)
+                    ((SELECT max(doc_id) + 4 FROM read_parquet('{src}')), 'a b', NULL, 'src2', 3::BIGINT)
                   ) v(doc_id, text, lang, source, n_chars)
                 ) TO '{dst}' (FORMAT parquet)
                 """
@@ -73,15 +75,15 @@ def build_adversarial_dir() -> str:
                   SELECT * FROM read_parquet('{src}')
                   UNION ALL
                   SELECT * FROM (
-                    SELECT 90001::BIGINT AS event_id, ts, user_id,
+                    SELECT (SELECT max(event_id) + 1 FROM read_parquet('{src}')) AS event_id, ts, user_id,
                            event_type, value, props
                     FROM read_parquet('{src}') WHERE event_id = 0
                   )
                   UNION ALL
-                  SELECT 90002::BIGINT, ts, user_id, NULL, NULL, NULL
+                  SELECT (SELECT max(event_id) + 2 FROM read_parquet('{src}')), ts, user_id, NULL, NULL, NULL
                   FROM read_parquet('{src}') WHERE event_id = 1
                   UNION ALL
-                  SELECT 90003::BIGINT, ts, 999999::BIGINT, 'view',
+                  SELECT (SELECT max(event_id) + 3 FROM read_parquet('{src}')), ts, 999999999::BIGINT, 'view',
                          value, props
                   FROM read_parquet('{src}') WHERE event_id = 2
                 ) TO '{dst}' (FORMAT parquet)
@@ -93,13 +95,13 @@ def build_adversarial_dir() -> str:
                 COPY (
                   SELECT * FROM read_parquet('{src}')
                   UNION ALL
-                  SELECT 90001::BIGINT AS vec_id,
+                  SELECT (SELECT max(vec_id) + 1 FROM read_parquet('{src}')) AS vec_id,
                          list_transform(embedding, x -> 0.0::FLOAT)
                            AS embedding,
                          label
                   FROM read_parquet('{src}') WHERE vec_id = 0
                   UNION ALL
-                  SELECT 90002::BIGINT, embedding, label
+                  SELECT (SELECT max(vec_id) + 2 FROM read_parquet('{src}')), embedding, label
                   FROM read_parquet('{src}') WHERE vec_id = 0
                 ) TO '{dst}' (FORMAT parquet)
                 """

@@ -56,6 +56,10 @@ GOLDEN_QUERIES = [n for n in HEADLINE if not n.startswith("stream_")] + [
     "layout_zorder_stats",
     "text_char_entropy",
     "curation_pipeline_v2",
+    # round-5: the two most expensive non-headline families (VERDICT r4
+    # item 6) -- IVF probe-join ANN and blocked fuzzy matching
+    "ann_ivf_topk",
+    "fuzzy_match_part_names",
 ]
 
 

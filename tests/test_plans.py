@@ -306,7 +306,7 @@ EXPECTED_MAX_SHUFFLES = {
     "feature_quantile_bucketize": 3,  # boundary agg (1-row broadcast) + cell agg + sort
     "dedup_embedding_clusters": 2,    # post-checkpoint: label join + sort (CC iterations checkpointed)
     "window_moving_zscore": 2,        # per-series window + class agg
-    "ann_knn_join_all": 11,           # merge-hinted band self-join + pair distinct + cos joins + argmax
+    "ann_knn_join_all": 13,           # hot-bucket-guarded band self-join (salt window + salted SHJ + bridges) + pair distinct + cos joins + argmax
 }
 
 
@@ -441,6 +441,26 @@ def test_ts_bounds_memoized_zero_jobs_after_first(spark):
     jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("ts-bounds-memo")
     assert jobs == [], f"memoized bounds fetch re-ran jobs: {jobs}"
     assert first == again and first[0] is not None and first[0] <= first[1]
+
+
+def test_ts_bounds_empty_table_raises_and_skips_cache(spark, tmp_path):
+    """ADVICE r4: an empty events table used to memoize (None, None)
+    and every consumer then crashed with an opaque TypeError doing
+    integer arithmetic on None -- permanently, because the None result
+    was cached for the session. Now: a clear ValueError, and the empty
+    result is NOT cached so a later-populated table re-probes."""
+    import pytest
+
+    from os___mapreduceframework_spark.sources import load_table, ts_bounds_us
+
+    events = load_table(spark, TEST_SF_DIR, "events")
+    events.limit(0).write.parquet(str(tmp_path / "events.parquet"))
+    spark._graft_stats_cache = {}
+    with pytest.raises(ValueError, match="empty or all-NULL"):
+        ts_bounds_us(spark, str(tmp_path), "events", "ts")
+    assert not any(
+        k[0] == "ts_bounds_us" for k in spark._graft_stats_cache
+    ), "empty-table bounds result must not be memoized"
 
 
 def test_embedding_dim_memoized_zero_jobs_after_first(spark):
