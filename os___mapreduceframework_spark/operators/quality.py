@@ -347,6 +347,81 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_drift_psi",
+    oracle=f"""
+    WITH m AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+    ),
+    b AS (
+      SELECT CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS half,
+             LEAST(GREATEST(CAST(FLOOR((value - {_HIST_LO})
+               / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT), 0),
+               {_HIST_BINS - 1}) AS bin
+      FROM events, m
+    ),
+    h AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1
+      FROM b GROUP BY bin
+    ),
+    t AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1, COUNT(*) AS nb FROM h),
+    p AS (
+      SELECT (n0 + 0.5) / (t.t0 + 0.5 * t.nb) AS p0,
+             (n1 + 0.5) / (t.t1 + 0.5 * t.nb) AS p1
+      FROM h, t
+    )
+    SELECT CAST(ROUND(SUM((p1 - p0) * LN(p1 / p0)), 4) AS DOUBLE) AS psi
+    FROM p
+    """,
+    doc="Population Stability Index between the value distributions of "
+    "the first and second time halves of the event stream -- the "
+    "industry-standard drift score (sibling of quality_drift_l1; PSI "
+    "weights tail shifts by the log-ratio, which L1 underreports). "
+    "Identical plumbing: memoized corpus midpoint, one conditional-sum "
+    "bin pass with both halves pivoted into the same aggregate, 1-row "
+    "totals broadcast back. Laplace (+0.5) smoothing keeps empty bins "
+    "finite and is applied identically in the oracle. Fixed-size state "
+    "(bin count) regardless of corpus size -- the daily-monitoring "
+    "shape at 100 TB.",
+)
+def q_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = ts_bounds_us(spark, sf_dir, "events", "ts")
+    mid = (lo + hi) // 2
+    step = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    binned = events.select(
+        F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("half"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - _HIST_LO) / step).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+    )
+    h = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+    )
+    t = h.agg(
+        F.sum("n0").alias("t0"),
+        F.sum("n1").alias("t1"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p0 = (F.col("n0") + 0.5) / (F.col("t0") + 0.5 * F.col("nb"))
+    p1 = (F.col("n1") + 0.5) / (F.col("t1") + 0.5 * F.col("nb"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .agg(
+            F.round(F.sum((p1 - p0) * F.log(p1 / p0)), 4)
+            .cast("double")
+            .alias("psi")
+        )
+    )
+
+
+@query(
     "quality_quantile_sketch",
     oracle="""
     WITH l AS (SELECT COALESCE(source, '(null)') AS source,

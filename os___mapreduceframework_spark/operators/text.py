@@ -457,3 +457,176 @@ def q_text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ppl_raw", 4).cast("double").alias("ppl"),
         (F.col("ppl_raw") <= PPL_MAX).alias("passes_ppl"),
     ).orderBy("doc_id")
+
+
+BPE_TRAIN_MERGES = 3
+
+
+def _bpe_merge_expr(syms, a, b):
+    """Greedy left-to-right non-overlapping merge of adjacent pair
+    (a, b) in a symbol array -- the BPE apply step -- as ONE JVM-side
+    ``aggregate`` fold (scan-local, zero shuffle): the accumulator
+    carries (emitted symbols, pending symbol); a (pend==a, x==b) hit
+    emits the merged token and clears pending, anything else flushes
+    pending. Greedy-left equals the oracle's every-other-match-in-a-run
+    window rule: overlapping matches only occur for a==b runs, where
+    both select the 1st, 3rd, ... occurrence."""
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        hit = acc["pend"].isNotNull() & (acc["pend"] == a) & (x == b)
+        flushed = F.when(
+            acc["pend"].isNotNull(), F.concat(acc["out"], F.array(acc["pend"]))
+        ).otherwise(acc["out"])
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(F.concat(a, b))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(F.struct(flushed.alias("out"), x.alias("pend")))
+
+    def fin(acc):
+        return F.when(
+            acc["pend"].isNotNull(), F.concat(acc["out"], F.array(acc["pend"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(syms, acc0, step, fin)
+
+
+def _bpe_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """The identical training recurrence unrolled as DuckDB CTEs
+    (pagerank-style exact oracle for an iterative algorithm). The merge
+    step is formulated positionally: matches that overlap form runs of
+    consecutive positions (possible only when a==b), and every other
+    match in a run is applied -- provably the same selection as the
+    Spark side's greedy fold."""
+    cte = [
+        """
+    wv AS (SELECT word, COUNT(*)::BIGINT AS w
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+           WHERE word <> '' GROUP BY word),
+    s0 AS (SELECT word, w, i AS pos, substr(word, CAST(i + 1 AS INT), 1) AS sym
+           FROM wv, unnest(range(0, length(word))) u(i))"""
+    ]
+    for j in range(1, n_merges + 1):
+        i = j - 1
+        cte.append(f"""
+    p{j} AS (SELECT word, w, pos, sym,
+                    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+             FROM s{i}),
+    c{j} AS (SELECT sym, nxt, CAST(SUM(w) AS BIGINT) AS cnt
+             FROM p{j} WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+    m{j} AS (SELECT sym AS a, nxt AS b, cnt FROM c{j}
+             ORDER BY cnt DESC, sym, nxt LIMIT 1),
+    k{j} AS (SELECT p.word, p.w, p.pos, p.sym, p.nxt,
+                    COALESCE(p.sym = m.a AND p.nxt = m.b, FALSE) AS hit
+             FROM p{j} p, m{j} m),
+    h{j} AS (SELECT word, pos,
+                    pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS run
+             FROM k{j} WHERE hit),
+    sel{j} AS (SELECT word, pos FROM (
+                 SELECT word, pos,
+                        ROW_NUMBER() OVER (PARTITION BY word, run ORDER BY pos) AS rk
+                 FROM h{j}) z
+               WHERE rk % 2 = 1),
+    s{j} AS (SELECT k.word, k.w,
+                    ROW_NUMBER() OVER (PARTITION BY k.word ORDER BY k.pos) - 1 AS pos,
+                    CASE WHEN sm.pos IS NOT NULL THEN k.sym || k.nxt ELSE k.sym END AS sym
+             FROM k{j} k
+             LEFT JOIN sel{j} sm ON sm.word = k.word AND sm.pos = k.pos
+             LEFT JOIN sel{j} sd ON sd.word = k.word AND sd.pos = k.pos - 1
+             WHERE sd.pos IS NULL)""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {j} AS step, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m{j}"
+        for j in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(cte) + f"\n    {finals}\n    ORDER BY step"
+
+
+@query(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc="FULL iterative BPE training loop (k=3 merges) over the corpus "
+    "word vocabulary -- the train half of the tokenizer pipeline "
+    "(text_bpe_tokens is the apply half). Each round: adjacent-pair "
+    "counts weighted by word frequency (one explode + hash aggregate "
+    "over the VOCABULARY, not the corpus -- Heaps'-law-sized), argmax "
+    "pair via a max-count broadcast + min-(a,b) tiebreak (1-row "
+    "frames, no collect), then the merge applied as a scan-local "
+    "aggregate-fold over each word's symbol array (zero shuffle; see "
+    "_bpe_merge_expr) with the symbol table localCheckpointed per "
+    "round (pagerank-pattern lineage truncation). Output: the learned "
+    "merge table (step, pair, weighted count). Oracle: the same "
+    "recurrence unrolled as chained CTEs -- an exact value check for "
+    "an iterative, data-dependent training algorithm.",
+)
+def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wv = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    s = wv.select(
+        "word",
+        "w",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=False)
+    step_rows = []
+    for j in range(1, BPE_TRAIN_MERGES + 1):
+        pairs = (
+            s.filter(F.size("syms") >= 2)
+            .select(
+                "w",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] as sym, syms[i + 1] as nxt))"
+                    )
+                ).alias("pr"),
+            )
+            .select("w", "pr.sym", "pr.nxt")
+        )
+        c = pairs.groupBy("sym", "nxt").agg(F.sum("w").alias("cnt"))
+        mx = c.agg(F.max("cnt").alias("mc"))
+        best = (
+            c.join(F.broadcast(mx), F.col("cnt") == F.col("mc"))
+            .agg(
+                F.min(F.struct("sym", "nxt")).alias("ab"),
+                F.first("mc").alias("cnt"),
+            )
+            .select(
+                F.col("ab.sym").alias("a"), F.col("ab.nxt").alias("b"), "cnt"
+            )
+            .localCheckpoint(eager=False)  # 1 row, read by output AND merge
+        )
+        step_rows.append(
+            best.select(
+                F.lit(j).alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        s = (
+            s.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "w",
+                _bpe_merge_expr(F.col("syms"), F.col("a"), F.col("b")).alias(
+                    "syms"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = step_rows[0]
+    for extra in step_rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("step")

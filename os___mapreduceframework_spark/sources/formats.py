@@ -340,3 +340,60 @@ def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "source_snapshot_table_scan",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 3
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(s.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM snap s JOIN customer c ON c.c_custkey = s.o_custkey
+    GROUP BY 1
+    ORDER BY segment
+    """,
+    doc="The snapshot MERGE sink doubling as a SOURCE for downstream "
+    "analytics: an orders slice lands in a SnapshotMergeTable "
+    "(append-only files + manifest commit), and the analytical query "
+    "reads the CURRENT snapshot back as an ordinary DataFrame scan -- "
+    "parquet under the hood, so Catalyst gets column pruning and the "
+    "customer dim broadcast exactly as it would against a raw table. "
+    "This is the lakehouse loop at 100 TB: pipelines MERGE into "
+    "versioned tables and every consumer query scans a snapshot, never "
+    "the raw feed. Oracle reconstructs the snapshot state relationally "
+    "and runs the same star aggregation.",
+)
+def q_source_snapshot_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from os___mapreduceframework_spark.sinks.snapshot_table import (
+        SnapshotMergeTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _scratch("source_snapshot_table_scan")
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per invocation
+    table = SnapshotMergeTable(spark, path, keys=["o_orderkey"], n_buckets=16)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 4 != 3))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        table.read()
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )

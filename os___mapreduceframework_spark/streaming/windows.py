@@ -22,7 +22,7 @@ from __future__ import annotations
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.scratch import scratch_dir
@@ -448,3 +448,89 @@ def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
     ).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_gap_fill_hourly",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
+             time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
+      FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM u
+    ),
+    hourly AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+      FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+    )
+    SELECT g.user_id,
+           strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           h.v IS NOT NULL AS observed,
+           LAST_VALUE(h.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    ORDER BY g.user_id, g.hour
+    """,
+    doc="Streaming feature-table pipeline with gap-fill: the hourly "
+    "per-user aggregate is maintained INCREMENTALLY by Structured "
+    "Streaming (watermarked tumbling windows -> memory sink driven to "
+    "completion -- in production a foreachBatch upsert into the feature "
+    "store), and the resample-plus-forward-fill runs as the downstream "
+    "batch view over the materialized hourly table (grid via "
+    "sequence+explode, last(ignorenulls) carry-forward). Same output "
+    "contract as the batch events_gap_fill -- the stream/batch "
+    "equivalence guarantee extended through a composed two-stage "
+    "pipeline. State is bounded by the watermark; the fill stage's "
+    "windows stay per-key parallel.",
+)
+def q_stream_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    # localCheckpoint breaks the memory-sink view's shared lineage: grid
+    # is derived FROM hourly and then left-joins it, and the MemoryPlan
+    # self-join otherwise fails attribute deduplication (tiny frame --
+    # one row per (user, active hour))
+    hourly = (
+        run_to_completion(agg, "complete")
+        .select("user_id", F.col("window.start").alias("hour"), "v")
+        .localCheckpoint(eager=False)
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour"
+            ),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("hour").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+        .orderBy("user_id", "hour")
+    )
