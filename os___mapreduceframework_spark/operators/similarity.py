@@ -885,3 +885,121 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+K_MEANS_K = 4
+K_MEANS_ITERS = 2
+
+
+def _kmeans_oracle(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
+    """Lloyd's k-means unrolled as DuckDB CTEs (exact oracle for an
+    iterative, data-dependent algorithm -- the pagerank/BPE pattern).
+    Distances are rounded to 6 places BEFORE the argmin and centroid
+    means to 6 places after each update, so cross-engine float-sum
+    ordering noise (~1e-13) cannot flip assignments."""
+    cte = [
+        f"""
+    dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                    unnest(embedding)::DOUBLE AS v
+             FROM embeddings),
+    seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+              FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) z),
+    c0 AS (SELECT s.cid, d.dim, d.v AS c
+           FROM seeds s JOIN dims d USING (vec_id))"""
+    ]
+    for j in range(1, n_iter + 1):
+        i = j - 1
+        cte.append(f"""
+    d{j} AS (SELECT d.vec_id, c.cid,
+                    ROUND(SUM((d.v - c.c) * (d.v - c.c)), 6) AS dist
+             FROM dims d JOIN c{i} c ON c.dim = d.dim
+             GROUP BY d.vec_id, c.cid),
+    a{j} AS (SELECT vec_id, cid, dist FROM (
+               SELECT vec_id, cid, dist,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rk
+               FROM d{j}) z WHERE rk = 1),
+    c{j} AS (SELECT a.cid, d.dim, CAST(ROUND(AVG(d.v), 6) + 0.0 AS DOUBLE) AS c
+             FROM a{j} a JOIN dims d USING (vec_id)
+             GROUP BY a.cid, d.dim)""")
+    return (
+        "WITH "
+        + ",".join(cte)
+        + f"""
+    SELECT cid, COUNT(*) AS n_members,
+           CAST(ROUND(AVG(dist), 4) + 0.0 AS DOUBLE) AS mean_sqdist
+    FROM a{n_iter}
+    GROUP BY cid
+    ORDER BY cid
+    """
+    )
+
+
+@query(
+    "embedding_kmeans_clusters",
+    oracle=_kmeans_oracle(),
+    doc="Iterative Lloyd's k-means (k=4, 2 assignment/update rounds) "
+    "over the embedding corpus -- the clustering engine under semantic "
+    "data curation (topic balancing, diversity sampling). Deterministic "
+    "seeding (k smallest vec_ids); each round: the k x dim centroid "
+    "table BROADCASTS into the exploded (vec_id, dim, v) rows (join on "
+    "dim -- no corpus shuffle for scoring), per-(vec, centroid) squared "
+    "distance is one map-side-combined aggregate, the per-vector argmin "
+    "is ONE min_by((cid, dist), (dist, cid)) aggregate (no sort), and "
+    "the centroid update is a (cid, dim) hash aggregate whose state is "
+    "k x dim regardless of corpus size. Centroids localCheckpoint per "
+    "round (lineage truncation); distances/means rounded identically "
+    "on both engines so float-sum ordering cannot flip an assignment. "
+    "Output: per-cluster membership count and mean squared distance. "
+    "Oracle: the same recurrence unrolled as chained CTEs.",
+)
+def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # the exploded input is the per-iteration scan: materialize once
+    # (MLlib caches its input the same way)
+    dims = (
+        emb.select("vec_id", F.posexplode("e").alias("dim0", "v"))
+        .select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(K_MEANS_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
+        )
+    )
+    c = seeds.join(dims, "vec_id").select("cid", "dim", F.col("v").alias("c"))
+    assign = None
+    for _ in range(K_MEANS_ITERS):
+        d = (
+            dims.join(F.broadcast(c), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.round(F.sum((F.col("v") - F.col("c")) ** 2), 6).alias("dist"))
+        )
+        assign = (
+            d.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "dist"), F.struct("dist", "cid")
+                ).alias("best")
+            )
+            .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.dist").alias("dist"))
+        )
+        c = (
+            assign.join(dims, "vec_id")
+            .groupBy("cid", "dim")
+            .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).cast("double").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.round(F.avg("dist"), 4) + F.lit(0.0)).cast("double").alias("mean_sqdist"),
+        )
+        .orderBy("cid")
+    )

@@ -293,7 +293,7 @@ def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
-    WHERE doc_id % 50 = 0
+    WHERE doc_id % 50 = 0 AND octet_length(text::BLOB) > 0
     ORDER BY doc_id
     """,
     doc="binaryFile source (the raw-media ingest path): a sample of "
@@ -305,7 +305,12 @@ def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "original table. This is how image/audio corpora actually enter "
     "the engine before the multimodal operators run; metadata "
     "(path/length/modificationTime) predicates prune files before "
-    "content bytes load.",
+    "content bytes load. Contract: NON-EMPTY payloads only -- Spark's "
+    "binaryFile source hard-drops 0-byte files (regardless of "
+    "ignoreEmptyFiles), so an empty document cannot round-trip "
+    "through a file-per-object landing zone; both engines exclude it "
+    "explicitly (surfaced by the sf0.1 adversarial sweep's injected "
+    "empty doc).",
 )
 def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
@@ -318,7 +323,7 @@ def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.rmtree(path, ignore_errors=True)
     sample = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 50 == 0)
+        .filter((F.col("doc_id") % 50 == 0) & (F.length("text") > 0))
         .select("doc_id", "text")
     )
 
