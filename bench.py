@@ -86,6 +86,10 @@ HEADLINE = [
     "text_perplexity_bigram",     # in-plan bigram LM train + score
     "embedding_pca_variance",     # one-scan moments + driver eigensolve
     "ann_knn_join_all",           # all-corpus kNN join via banded candidates
+    # round-5 additions: the heaviest new plans stay measured
+    "text_bpe_train_merges",      # iterative BPE training (3 merge rounds)
+    "embedding_kmeans_clusters",  # iterative Lloyd's k-means (2 rounds)
+    "stream_gap_fill_hourly",     # streaming feature table + fill view
 ]
 
 
