@@ -695,3 +695,46 @@ def q_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "arrow_map_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="mapInArrow path (the last Python-UDF surface in the matrix: "
+    "UDTF, scalar pandas_udf, grouped-agg UDAF, applyInPandas, "
+    "mapInPandas, and now raw-Arrow batches): per-doc token/char "
+    "counts computed with pyarrow.compute kernels directly on the "
+    "RecordBatch -- no pandas materialization at all, the cheapest "
+    "possible Python hop (zero-copy Arrow in, vectorized C++ kernels, "
+    "Arrow out). The semantics are deliberately built-in-expressible "
+    "so the oracle is exact; the point is the API path and its batch "
+    "shape, which the heavier custom kernels (multimodal decodes) "
+    "build on.",
+)
+def q_arrow_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "n_chars"],
+            )
+
+    return docs.mapInArrow(
+        stats, schema="doc_id long, n_tokens bigint, n_chars bigint"
+    ).orderBy("doc_id")
