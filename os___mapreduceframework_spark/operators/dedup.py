@@ -50,7 +50,7 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.queries import REGISTRY, query
-from os___mapreduceframework_spark.sources import load_table
+from os___mapreduceframework_spark.sources import embedding_dim, load_table
 
 SIM_BITS = 28  # simhash width: 7 md5 hex chars
 COSINE_NEAR_THRESHOLD = 0.45  # calibrated to the synthetic embedding space
@@ -293,7 +293,8 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-constant embedding corpus cannot go quadratic (hot-bucket
     # guard, VERDICT r4 item 4)
     cand = bucket_pairs(
-        embedding_band_buckets(emb), "vec_id", ("band", "bucket")
+        embedding_band_buckets(emb, dim=embedding_dim(spark, sf_dir)),
+        "vec_id", ("band", "bucket")
     ).select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
     # norms once per corpus vector, joined through: the candidate set is
     # ~800x the corpus on the fixtures, so norms-per-pair was 3x

@@ -381,7 +381,7 @@ def _plane_weights(p: int, dim: int) -> list[int]:
     ]
 
 
-def embedding_band_buckets(emb: DataFrame) -> DataFrame:
+def embedding_band_buckets(emb: DataFrame, dim: int | None = None) -> DataFrame:
     """(vec_id, band, bucket): banded hyperplane signatures in ONE
     scan-local Arrow-batched pass -- zero shuffle.
 
@@ -397,8 +397,11 @@ def embedding_band_buckets(emb: DataFrame) -> DataFrame:
     """
     import numpy as np
 
-    head = emb.select("e").head()
-    dim = len(head["e"]) if head and head["e"] is not None else _EMB_WEIGHT_DIMS
+    if dim is None or dim == 0:
+        # construction-time limit-1 probe; callers that know the fixture
+        # pass the memoized sources.embedding_dim instead (zero jobs)
+        head = emb.select("e").head()
+        dim = len(head["e"]) if head and head["e"] is not None else _EMB_WEIGHT_DIMS
     W = np.array(
         [_plane_weights(p, dim) for p in range(EMB_N_PLANES)], dtype=np.float64
     )

@@ -835,7 +835,8 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket yields O(n * cap) pairs, not O(n^2)), expanded to both
     # directions -- same shape as the oracle's UNION over ecand
     cand = bucket_pairs(
-        embedding_band_buckets(emb), "vec_id", ("band", "bucket")
+        embedding_band_buckets(emb, dim=embedding_dim(spark, sf_dir)),
+        "vec_id", ("band", "bucket")
     )
     pairs = cand.select(
         F.col("id_a").alias("v"), F.col("id_b").alias("n")
@@ -891,12 +892,14 @@ K_MEANS_K = 4
 K_MEANS_ITERS = 2
 
 
-def _kmeans_oracle(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
-    """Lloyd's k-means unrolled as DuckDB CTEs (exact oracle for an
-    iterative, data-dependent algorithm -- the pagerank/BPE pattern).
-    Distances are rounded to 6 places BEFORE the argmin and centroid
-    means to 6 places after each update, so cross-engine float-sum
-    ordering noise (~1e-13) cannot flip assignments."""
+def _kmeans_ctes(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
+    """Lloyd's k-means unrolled as DuckDB CTEs (exact-oracle body for an
+    iterative, data-dependent algorithm -- the pagerank/BPE pattern);
+    the final assignment table is ``a{n_iter}``. Distances are rounded
+    to 6 places BEFORE the argmin and centroid means to 6 places after
+    each update, so cross-engine float-sum ordering noise (~1e-13)
+    cannot flip assignments. Shared by the k-means query and the
+    cluster-balance curation query."""
     cte = [
         f"""
     dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -922,9 +925,13 @@ def _kmeans_oracle(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
     c{j} AS (SELECT a.cid, d.dim, CAST(ROUND(AVG(d.v), 6) + 0.0 AS DOUBLE) AS c
              FROM a{j} a JOIN dims d USING (vec_id)
              GROUP BY a.cid, d.dim)""")
+    return ",".join(cte)
+
+
+def _kmeans_oracle(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
     return (
         "WITH "
-        + ",".join(cte)
+        + _kmeans_ctes(k, n_iter)
         + f"""
     SELECT cid, COUNT(*) AS n_members,
            CAST(ROUND(AVG(dist), 4) + 0.0 AS DOUBLE) AS mean_sqdist
@@ -954,6 +961,21 @@ def _kmeans_oracle(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
     "Oracle: the same recurrence unrolled as chained CTEs.",
 )
 def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = kmeans_assignments(spark, sf_dir)
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.round(F.avg("dist"), 4) + F.lit(0.0)).cast("double").alias("mean_sqdist"),
+        )
+        .orderBy("cid")
+    )
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, dist): the final Lloyd's-iteration assignment --
+    shared by the k-means summary query and the cluster-balance
+    curation weights (one implementation, two contracts)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -995,11 +1017,56 @@ def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).cast("double").alias("c"))
             .localCheckpoint(eager=False)
         )
+    return assign
+
+
+CLUSTER_BALANCE_TEMP = 0.5  # sampling temperature: weight ~ n^(T-1)
+CLUSTER_BALANCE_BUDGET = 1000  # target corpus-sample size
+
+
+@query(
+    "curation_cluster_balance",
+    oracle="WITH "
+    + _kmeans_ctes()
+    + f""",
+    sizes AS (SELECT cid, COUNT(*) AS n_members FROM a{K_MEANS_ITERS} GROUP BY cid),
+    tot AS (SELECT SUM(POW(n_members, {CLUSTER_BALANCE_TEMP} - 1)) AS z FROM sizes)
+    SELECT s.cid, s.n_members,
+           CAST(ROUND(POW(s.n_members, {CLUSTER_BALANCE_TEMP} - 1) / t.z, 6)
+                AS DOUBLE) AS weight,
+           CAST(FLOOR({CLUSTER_BALANCE_BUDGET}
+                * POW(s.n_members, {CLUSTER_BALANCE_TEMP} - 1) / t.z) AS BIGINT)
+             AS quota
+    FROM sizes s, tot t
+    ORDER BY cid
+    """,
+    doc="Diversity-balanced sampling weights over the k-means clusters "
+    "(the semantic sibling of curation_mix_weights): per-cluster weight "
+    "~ n^(T-1) with temperature T=0.5 (inverse-sqrt size -- upweights "
+    "rare topics, the DoReMi/cluster-balancing move), normalized by a "
+    "1-row broadcast total, plus the floor quota against a fixed "
+    "sample budget. Composes kmeans_assignments (one shared "
+    "implementation); everything after the assignment is k-row "
+    "arithmetic. Oracle: the shared unrolled k-means CTEs + the same "
+    "weight algebra.",
+)
+def q_curation_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = (
+        kmeans_assignments(spark, sf_dir)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    tot = sizes.agg(
+        F.sum(F.pow("n_members", F.lit(CLUSTER_BALANCE_TEMP - 1))).alias("z")
+    )
+    w = F.pow("n_members", F.lit(CLUSTER_BALANCE_TEMP - 1)) / F.col("z")
     return (
-        assign.groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            (F.round(F.avg("dist"), 4) + F.lit(0.0)).cast("double").alias("mean_sqdist"),
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_members",
+            F.round(w, 6).cast("double").alias("weight"),
+            F.floor(F.lit(CLUSTER_BALANCE_BUDGET) * w).cast("bigint").alias("quota"),
         )
         .orderBy("cid")
     )
