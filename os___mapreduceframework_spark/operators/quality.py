@@ -1029,3 +1029,81 @@ def q_window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_EWMA_ALPHA = 0.8  # per-step decay
+_EWMA_K = 10  # trailing rows (finite horizon -> exact, oracle-able)
+
+
+def _ewma_terms(lag_expr):
+    """The EWMA numerator/denominator as an EXPLICIT fixed-order sum of
+    K lag terms -- an expression chain, not an aggregate, so both
+    engines evaluate bit-identical arithmetic in the same order."""
+    num = " + ".join(
+        f"POW({_EWMA_ALPHA}, {j}) * COALESCE({lag_expr.format(j=j)}, 0)"
+        for j in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"POW({_EWMA_ALPHA}, {j})"
+        f" * (CASE WHEN {lag_expr.format(j=j)} IS NULL THEN 0 ELSE 1 END)"
+        for j in range(_EWMA_K)
+    )
+    return num, den
+
+
+@query(
+    "events_ewma_value",
+    oracle=(
+        lambda num_den: f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE user_id % 20 = 0 AND value IS NOT NULL
+    ),
+    l AS (
+      SELECT user_id, ts, event_id,
+             ({num_den[0]}) AS num, ({num_den[1]}) AS den
+      FROM s
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_id, CAST(ROUND(num / den, 4) AS DOUBLE) AS ewma
+    FROM l
+    ORDER BY user_id, ts, event_id
+    """
+    )(_ewma_terms("LAG(value, {j}) OVER win")),
+    doc="Exponentially weighted moving average per user series "
+    "(alpha=0.8 over a trailing-10 horizon -- finite, so the smoothing "
+    "is exact and oracle-able, unlike the infinite-history recurrence): "
+    "the classic time-series feature under monitoring and training-"
+    "signal smoothing. One hash-partitioned window per user (series "
+    "sort in parallel); the weighted sum is an EXPLICIT chain of K lag "
+    "terms -- a fixed-order scalar expression, not an aggregate, so "
+    "both engines compute bit-identical arithmetic (no float-sum "
+    "reorder) and stay fully inside whole-stage codegen. Ties on "
+    "duplicate timestamps break by event_id on both sides.",
+)
+def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") % 20 == 0) & F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        *[F.lag("value", j).over(win).alias(f"_l{j}") for j in range(_EWMA_K)],
+    )
+    num_sql, den_sql = _ewma_terms("_l{j}")
+    return (
+        lagged.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_id",
+            F.round(F.expr(num_sql) / F.expr(den_sql), 4)
+            .cast("double")
+            .alias("ewma"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
