@@ -497,13 +497,15 @@ def _bpe_merge_expr(syms, a, b):
     return F.aggregate(syms, acc0, step, fin)
 
 
-def _bpe_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+def _bpe_ctes(n_merges: int = BPE_TRAIN_MERGES) -> str:
     """The identical training recurrence unrolled as DuckDB CTEs
-    (pagerank-style exact oracle for an iterative algorithm). The merge
-    step is formulated positionally: matches that overlap form runs of
-    consecutive positions (possible only when a==b), and every other
-    match in a run is applied -- provably the same selection as the
-    Spark side's greedy fold."""
+    (pagerank-style exact-oracle body for an iterative algorithm); the
+    per-step argmax is ``m{j}`` and the final symbol table is
+    ``s{n_merges}``. The merge step is formulated positionally: matches
+    that overlap form runs of consecutive positions (possible only when
+    a==b), and every other match in a run is applied -- provably the
+    same selection as the Spark side's greedy fold. Shared by the
+    merge-table query and the encode query."""
     cte = [
         """
     wv AS (SELECT word, COUNT(*)::BIGINT AS w
@@ -540,11 +542,15 @@ def _bpe_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
              LEFT JOIN sel{j} sm ON sm.word = k.word AND sm.pos = k.pos
              LEFT JOIN sel{j} sd ON sd.word = k.word AND sd.pos = k.pos - 1
              WHERE sd.pos IS NULL)""")
+    return ",".join(cte)
+
+
+def _bpe_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     finals = "\n    UNION ALL ".join(
         f"SELECT {j} AS step, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m{j}"
         for j in range(1, n_merges + 1)
     )
-    return "WITH " + ",".join(cte) + f"\n    {finals}\n    ORDER BY step"
+    return "WITH " + _bpe_ctes(n_merges) + f"\n    {finals}\n    ORDER BY step"
 
 
 @query(
@@ -565,6 +571,17 @@ def _bpe_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
     "an iterative, data-dependent training algorithm.",
 )
 def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    step_rows, _ = _bpe_train(spark, sf_dir)
+    out = step_rows[0]
+    for extra in step_rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("step")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the k-merge training loop; returns (per-step merge-row
+    frames, final vocabulary symbol table (word, w, syms)) -- shared by
+    the merge-table query and the encode query."""
     docs = load_table(spark, sf_dir, "documents")
     wv = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -626,7 +643,49 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = step_rows[0]
-    for extra in step_rows[1:]:
-        out = out.unionByName(extra)
-    return out.orderBy("step")
+    return step_rows, s
+
+
+@query(
+    "text_bpe_encode",
+    oracle="WITH "
+    + _bpe_ctes()
+    + f""",
+    wl AS (SELECT word, COUNT(*) AS n_sym FROM s{BPE_TRAIN_MERGES} GROUP BY word),
+    dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    dwf AS (SELECT doc_id, word FROM dw WHERE word <> '')
+    SELECT d.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM dwf d JOIN wl ON wl.word = d.word
+    GROUP BY d.doc_id
+    ORDER BY doc_id
+    """,
+    doc="The ENCODE half of the BPE loop (text_bpe_train_merges is the "
+    "train half): the learned merge table is applied and each document "
+    "is measured in learned-BPE tokens. Tokenization happens on the "
+    "VOCABULARY (each distinct word encoded once -- the final symbol "
+    "table from training is reused directly), then the corpus is a "
+    "words-explode joined to the per-word token length hash-to-hash; "
+    "the corpus never re-tokenizes per occurrence. Output: per-doc "
+    "word and learned-token counts -- the compression-ratio signal a "
+    "tokenizer-training pipeline reports. Oracle: the training CTEs "
+    "plus the same vocabulary join.",
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, vocab = _bpe_train(spark, sf_dir)
+    wl = vocab.select("word", F.size("syms").alias("n_sym"))
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
