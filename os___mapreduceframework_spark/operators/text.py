@@ -689,3 +689,74 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CURRICULUM_PCTS = "0.25, 0.5, 0.75"  # quartile stages: easy -> hard
+
+
+@query(
+    "training_curriculum_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2
+      FROM t, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c) AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT COUNT(*)::DOUBLE AS vsz FROM c1),
+    pstat AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(EXP(-AVG(LN((c2.c + 1) / (c1.c1 + v.vsz)))), 6) AS ppl_r
+      FROM bg
+      JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      JOIN c1 ON c1.w1 = bg.w1
+      CROSS JOIN v
+      GROUP BY bg.doc_id
+    ),
+    b AS (SELECT quantile_cont(ppl_r, [{_CURRICULUM_PCTS}]) AS bs FROM pstat)
+    SELECT CAST(len(list_filter(b.bs, x -> x <= p.ppl_r)) AS INT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_bigrams) AS BIGINT) AS n_bigrams_total,
+           CAST(ROUND(AVG(p.ppl_r), 4) AS DOUBLE) AS avg_ppl
+    FROM pstat p CROSS JOIN b
+    GROUP BY 1
+    ORDER BY stage
+    """,
+    doc="Curriculum-learning stage assignment: documents are staged "
+    "easy -> hard by bigram-LM perplexity quartiles (stage 0 = "
+    "easiest quarter). The LM train+score reuses perplexity_stats "
+    "(one shared implementation with the quality gate); the quartile "
+    "boundaries are ONE exact interpolated-percentile aggregate whose "
+    "3-element array broadcasts back into a scan-local higher-order "
+    "bucket expression (the feature_quantile_bucketize shape -- no "
+    "global sort, no ntile single-partition window, which is the "
+    "trap: a global NTILE serializes the corpus at 100 TB). "
+    "Perplexities are rounded to 6 places BEFORE the boundary "
+    "aggregate on both engines so the staging is deterministic. Docs "
+    "with <2 tokens have no perplexity and are excluded (the gate "
+    "family treats them the same way).",
+)
+def q_training_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = perplexity_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bigrams", F.round("ppl_raw", 6).alias("ppl_r")
+    )
+    bounds = scored.agg(
+        F.expr(f"percentile(ppl_r, array({_CURRICULUM_PCTS}))").alias("bs")
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("size(filter(bs, x -> x <= ppl_r))").cast("int").alias("stage"),
+            "n_bigrams",
+            "ppl_r",
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams_total"),
+            F.round(F.avg("ppl_r"), 4).cast("double").alias("avg_ppl"),
+        )
+        .orderBy("stage")
+    )
