@@ -1107,3 +1107,66 @@ def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+_MAD_SIGMA = 1.4826  # consistency constant: MAD -> stddev under normality
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH s AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM s GROUP BY event_type),
+    dev AS (SELECT s.event_type, s.value, ABS(s.value - m.med) AS ad, m.med
+            FROM s JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(ROUND(ANY_VALUE(d.med), 4) AS DOUBLE) AS median_v,
+           CAST(ROUND(ANY_VALUE(m.mad), 4) AS DOUBLE) AS mad_v,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (d.ad > 3 * {_MAD_SIGMA} * m.mad) AS BIGINT)
+             AS n_anomalies
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY event_type
+    """,
+    doc="ROBUST anomaly detection via median absolute deviation (the "
+    "outlier-resistant sibling of events_anomaly_zscore: a handful of "
+    "extreme rows inflate mean/stddev and mask themselves; median/MAD "
+    "do not). Two exact interpolated-percentile aggregates per series "
+    "(median, then MAD of deviations -- the medians join back "
+    "hash-to-hash, broadcast when the type dimension is small), "
+    "threshold 3 * 1.4826 * MAD (the normal-consistency scaling). "
+    "State is per-type only; both engines interpolate percentiles "
+    "identically so the counts are exact.",
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = s.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = s.join(med, "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).cast("double").alias("median_v"),
+            F.round(F.first("mad"), 4).cast("double").alias("mad_v"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col("ad") > 3 * _MAD_SIGMA * F.col("mad"), 1)
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
