@@ -680,8 +680,11 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
+    # dw is the fact-scale words stream: merge-hint so small-SF
+    # statistics never broadcast the corpus side (wl, the per-word
+    # token lengths, is vocab-sized and joins hash-to-hash)
     return (
-        dw.join(wl, "word")
+        dw.hint("merge").join(wl, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
