@@ -296,7 +296,7 @@ def extract_features(media: DataFrame, with_embedding: bool = True) -> DataFrame
     "multimodal_meta",
     oracle="""
     SELECT doc_id,
-           octet_length(text::BLOB) AS n_bytes,
+           octet_length(encode(text)) AS n_bytes,
            md5(text) AS payload_md5,
            'text/plain' AS media_type,
            CAST(doc_id % 640 + 16 AS INT) AS width
@@ -321,7 +321,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle="""
     SELECT doc_id,
-           octet_length(text::BLOB) AS n_bytes,
+           octet_length(encode(text)) AS n_bytes,
            length(text) - length(replace(text, ' ', '')) AS n_space_bytes
     FROM documents
     ORDER BY doc_id
@@ -386,7 +386,7 @@ def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     oracle=f"""
     WITH m AS (
       SELECT doc_id,
-             octet_length(text::BLOB) AS n_bytes,
+             octet_length(encode(text)) AS n_bytes,
              doc_id % 640 + 16 AS w, doc_id % 480 + 16 AS h
       FROM documents
     )

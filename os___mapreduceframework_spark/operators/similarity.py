@@ -342,52 +342,55 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
     )
     SELECT a.d AS i, b.d AS j,
-           CAST(ROUND(SUM(a.val * b.val), 4) AS DOUBLE) AS g
+           CAST(ROUND(CAST(SUM(CAST(ROUND(a.val * b.val * 1000.0)
+                                    AS DECIMAL(38,0))) AS DOUBLE)
+                      / 1000.0, 3) AS DOUBLE) AS g
     FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.d <= b.d
     GROUP BY 1, 2
     ORDER BY i, j
     """,
     doc="Distributed Gram matrix (X^T X, upper triangle) over the "
-    "embedding corpus -- the PCA/whitening primitive. Each Arrow batch "
-    "contributes a dim x dim partial (one numpy matmul), partials merge "
-    "by (i, j) sum: mergeable fixed-size state like the HLL rollup, so "
-    "the shuffle carries O(partitions x dim^2) cells regardless of "
-    "corpus size -- the cuboid-style fused matrix-op pattern (FuseME, "
-    "SIGMOD 2022) expressed on DataFrames. Oracle is the dims "
-    "self-join formulation.",
+    "embedding corpus -- the PCA/whitening primitive. Each vector "
+    "contributes its dim^2/2 upper-triangle products scan-locally "
+    "(one higher-order zip, no Python), each product is snapped to "
+    "milli-units (one IEEE multiply + round -- identical doubles in, "
+    "identical integers out on both engines; double->DECIMAL casts "
+    "are NOT bit-portable at large magnitude), and the per-(i, j) "
+    "sums run over those exact integers: ORDER-INDEPENDENT and "
+    "bit-identical across engines at ANY data magnitude (float "
+    "partial merges diverged visibly once the adversarial corpus "
+    "held a 1e6-scale vector -- absolute rounding cannot absorb "
+    "relative float noise on 1e12-scale sums). Map-side combine "
+    "keeps the exchange at O(partitions x dim^2) cells like the HLL "
+    "rollup -- the cuboid-style fused matrix-op pattern (FuseME, "
+    "SIGMOD 2022); the numpy-matmul moment variant remains the "
+    "engine for PCA/whitening, whose outputs are scale-invariant. "
+    "Oracle is the dims self-join with the identical decimal sum.",
 )
 def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    dim = embedding_dim(spark, sf_dir)
-
-    def partial_gram(batches):
-        import pandas as pd
-
-        G = np.zeros((dim, dim))
-        seen = False
-        for pdf in batches:
-            if len(pdf):
-                E = np.vstack(pdf["e"].values)
-                G += E.T @ E
-                seen = True
-        if seen:
-            iu, ju = np.triu_indices(dim)
-            yield pd.DataFrame(
-                {
-                    "i": iu.astype("int64"),
-                    "j": ju.astype("int64"),
-                    "g": G[iu, ju],
-                }
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(e, (x, i) -> "
+                "transform(slice(e, i + 1, size(e) - i), (y, j) -> "
+                "struct(i AS i, i + j AS j, x * y AS p))))"
             )
-
-    parts = emb.mapInPandas(partial_gram, schema="i long, j long, g double")
+        ).alias("t")
+    ).select(
+        F.col("t.i").cast("long").alias("i"),
+        F.col("t.j").cast("long").alias("j"),
+        F.round(F.col("t.p") * 1000.0).cast("decimal(38,0)").alias("p"),
+    )
     return (
-        parts.groupBy("i", "j")
-        .agg(F.round(F.sum("g"), 4).cast("double").alias("g"))
+        pairs.groupBy("i", "j")
+        .agg(
+            F.round(F.sum("p").cast("double") / 1000.0, 3)
+            .cast("double")
+            .alias("g")
+        )
         .orderBy("i", "j")
     )
 
@@ -773,8 +776,19 @@ def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             Gz[r["i"], r["j"]] = r["g"]
     mean_z = sz / m
     cov_z = Gz / m - np.outer(mean_z, mean_z)
-    mean_zero_ok = bool(np.abs(mean_z).max() <= 1e-8)
-    whitened_cov_ok = bool(np.abs(cov_z - np.eye(k)).max() <= 1e-6)
+    # conditioning-aware tolerances: the whitened moments are exact in
+    # real arithmetic, but their float error grows ~ eps * kappa(C)
+    # (catastrophic cancellation through 1/sqrt(lambda)). A fixed 1e-6
+    # is right for well-scaled corpora and WRONG the moment one
+    # 1e6-magnitude vector drives kappa to ~1e12 (adversarial sweep
+    # finding): the check then flags correct whitening as broken. On
+    # clean data kappa is O(10) and the tolerances reduce to the
+    # original constants.
+    kappa = float(np.abs(evals).max() / max(float(lam.min()), 1e-12))
+    tol_mean = max(1e-8, 1e-15 * kappa)
+    tol_cov = max(1e-6, 1e-13 * kappa)
+    mean_zero_ok = bool(np.abs(mean_z).max() <= tol_mean)
+    whitened_cov_ok = bool(np.abs(cov_z - np.eye(k)).max() <= tol_cov)
     return spark.createDataFrame(
         [(int(n), int(dim), int(PCA_TOP_K), mean_zero_ok, whitened_cov_ok)],
         _WHITEN_SCHEMA,
@@ -934,7 +948,9 @@ def _kmeans_oracle(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
         + _kmeans_ctes(k, n_iter)
         + f"""
     SELECT cid, COUNT(*) AS n_members,
-           CAST(ROUND(AVG(dist), 4) + 0.0 AS DOUBLE) AS mean_sqdist
+           CAST(ROUND(CAST(SUM(CAST(ROUND(dist * 1000.0) AS DECIMAL(38,0)))
+                           AS DOUBLE) / 1000.0 / COUNT(*), 4) + 0.0
+                AS DOUBLE) AS mean_sqdist
     FROM a{n_iter}
     GROUP BY cid
     ORDER BY cid
@@ -962,11 +978,20 @@ def _kmeans_oracle(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
 )
 def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_assignments(spark, sf_dir)
+    # mean distance via milli-unit integer sums (the gram-matrix trick):
+    # per-row dists are engine-identical, but a float AVG across members
+    # is order-sensitive -- visible once an adversarial 1e6-scale vector
+    # pushes dists to 1e12, where ROUND(.., 4) cannot absorb the noise
+    exact_sum = F.sum(
+        F.round(F.col("dist") * 1000.0).cast("decimal(38,0)")
+    ).cast("double")
     return (
         assign.groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            (F.round(F.avg("dist"), 4) + F.lit(0.0)).cast("double").alias("mean_sqdist"),
+            (F.round(exact_sum / 1000.0 / F.count(F.lit(1)), 4) + F.lit(0.0))
+            .cast("double")
+            .alias("mean_sqdist"),
         )
         .orderBy("cid")
     )

@@ -337,11 +337,11 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(arg_min(value, ts ORDER BY ts, event_id), 4) AS DOUBLE)
+           CAST(ROUND(arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
              AS open,
            CAST(ROUND(MAX(value), 4) AS DOUBLE) AS high,
            CAST(ROUND(MIN(value), 4) AS DOUBLE) AS low,
-           CAST(ROUND(arg_max(value, ts ORDER BY ts, event_id), 4) AS DOUBLE)
+           CAST(ROUND(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
              AS close
     FROM events
     GROUP BY event_type, date_trunc('hour', ts)
@@ -358,7 +358,16 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    tie = F.struct(F.col("ts"), F.col("event_id"))
+    # UNIQUE zero-padded string key: duplicate timestamps exist in real
+    # feeds (and in the adversarial fixtures) and the engines' native
+    # tie rules differ (Spark max_by(struct) takes the LAST max, DuckDB
+    # arg_max ORDER BY keeps the FIRST) -- a key that cannot tie makes
+    # open/close deterministic and engine-independent
+    tie = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("_"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
     return (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
         .agg(

@@ -330,7 +330,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent AS (
       SELECT f.doc_id,
              ROUND(-SUM((n / CAST(total AS DOUBLE))
-                        * log2(n / CAST(total AS DOUBLE))), 6) AS entropy
+                        * log2(n / CAST(total AS DOUBLE))), 6) + 0.0 AS entropy
       FROM freq f JOIN tot USING (doc_id)
       GROUP BY f.doc_id
     )
@@ -363,7 +363,9 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = (
         freq.join(tot, "doc_id")
         .groupBy("doc_id")
-        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+        # + 0.0 normalizes the -0.0 a single-distinct-char doc produces
+        # (p=1 -> -1*log2(1) = -0.0) identically on both engines
+        .agg((F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy"))
     )
     return ent.select(
         "doc_id", "entropy", (F.col("entropy") < 3.5).alias("low_entropy")

@@ -290,10 +290,10 @@ def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_binaryfile_ingest",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
-    WHERE doc_id % 50 = 0 AND octet_length(text::BLOB) > 0
+    WHERE doc_id % 50 = 0 AND octet_length(encode(text)) > 0
     ORDER BY doc_id
     """,
     doc="binaryFile source (the raw-media ingest path): a sample of "

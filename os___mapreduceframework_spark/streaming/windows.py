@@ -404,11 +404,11 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
              AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(arg_min(value, ts ORDER BY ts, event_id), 4) AS DOUBLE)
+           CAST(ROUND(arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
              AS open,
            CAST(ROUND(MAX(value), 4) AS DOUBLE) AS high,
            CAST(ROUND(MIN(value), 4) AS DOUBLE) AS low,
-           CAST(ROUND(arg_max(value, ts ORDER BY ts, event_id), 4) AS DOUBLE)
+           CAST(ROUND(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
              AS close
     FROM events
     GROUP BY 1, 2
@@ -424,7 +424,16 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
-    tie = F.struct(F.col("ts"), F.col("event_id"))
+    # UNIQUE zero-padded string key: duplicate timestamps exist in real
+    # feeds (and in the adversarial fixtures) and the engines' native
+    # tie rules differ (Spark max_by(struct) takes the LAST max, DuckDB
+    # arg_max ORDER BY keeps the FIRST) -- a key that cannot tie makes
+    # open/close deterministic and engine-independent
+    tie = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("_"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")

@@ -63,7 +63,9 @@ def build_adversarial_dir() -> str:
                      (SELECT text FROM read_parquet('{src}') WHERE doc_id = 0),
                      'en', 'src1',
                      (SELECT n_chars FROM read_parquet('{src}') WHERE doc_id = 0)),
-                    ((SELECT max(doc_id) + 4 FROM read_parquet('{src}')), 'a b', NULL, 'src2', 3::BIGINT)
+                    ((SELECT max(doc_id) + 4 FROM read_parquet('{src}')), 'a b', NULL, 'src2', 3::BIGINT),
+                    ((SELECT max(doc_id) + 5 FROM read_parquet('{src}')), '   ', 'en', 'src0', 3::BIGINT),
+                    ((SELECT max(doc_id) + 6 FROM read_parquet('{src}')), 'héllo wörld ünïcode tæxt みんな', 'de', 'src1', 29::BIGINT)
                   ) v(doc_id, text, lang, source, n_chars)
                 ) TO '{dst}' (FORMAT parquet)
                 """
@@ -86,6 +88,16 @@ def build_adversarial_dir() -> str:
                   SELECT (SELECT max(event_id) + 3 FROM read_parquet('{src}')), ts, 999999999::BIGINT, 'view',
                          value, props
                   FROM read_parquet('{src}') WHERE event_id = 2
+                  UNION ALL
+                  -- out-of-histogram-domain values: clamping paths on
+                  -- both engines must agree (negative and >1000)
+                  SELECT (SELECT max(event_id) + 4 FROM read_parquet('{src}')), ts, user_id, event_type,
+                         -5.5, props
+                  FROM read_parquet('{src}') WHERE event_id = 3
+                  UNION ALL
+                  SELECT (SELECT max(event_id) + 5 FROM read_parquet('{src}')), ts, user_id, event_type,
+                         123456.75, props
+                  FROM read_parquet('{src}') WHERE event_id = 4
                 ) TO '{dst}' (FORMAT parquet)
                 """
             )
@@ -103,6 +115,13 @@ def build_adversarial_dir() -> str:
                   UNION ALL
                   SELECT (SELECT max(vec_id) + 2 FROM read_parquet('{src}')), embedding, label
                   FROM read_parquet('{src}') WHERE vec_id = 0
+                  UNION ALL
+                  -- huge-magnitude vector: quantization/normalization
+                  -- paths must not silently overflow or diverge
+                  SELECT (SELECT max(vec_id) + 3 FROM read_parquet('{src}')),
+                         list_transform(embedding, x -> x * 1000000.0::FLOAT),
+                         label
+                  FROM read_parquet('{src}') WHERE vec_id = 1
                 ) TO '{dst}' (FORMAT parquet)
                 """
             )
