@@ -10,7 +10,7 @@ single map-only pass (plus a tiny agg exchange where noted).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import load_table
@@ -764,4 +764,96 @@ def q_training_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg("ppl_r"), 4).cast("double").alias("avg_ppl"),
         )
         .orderBy("stage")
+    )
+
+
+_ZIPF_TOP = 500  # head tokens fitted (rank explosion stays bounded)
+
+
+@query(
+    "vocab_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT word, COUNT(*)::BIGINT AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      WHERE word <> '' GROUP BY word
+    ),
+    top AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+      FROM tf ORDER BY freq DESC, word LIMIT {_ZIPF_TOP}
+    ),
+    pts AS (SELECT LN(rank) AS x, LN(freq) AS y FROM top),
+    s AS (
+      SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                AS DOUBLE) AS zipf_slope,
+           CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                      / n, 4) AS DOUBLE) AS intercept,
+           CAST(ROUND(POW(n * sxy - sx * sy, 2)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+                AS DOUBLE) AS r2
+    FROM s
+    """,
+    doc="Zipf-law fit over the vocabulary head (the tokenizer/corpus "
+    "health check: natural language fits ln freq ~ -1 * ln rank; a "
+    "slope far from -1 or a poor r2 signals synthetic, boilerplate, or "
+    "truncated text). Token counts are one hash aggregate; the head is "
+    "a TakeOrdered top-500 (no global sort -- the rank window runs "
+    "over 500 rows only, never the vocabulary); the least-squares "
+    "slope/intercept/r2 come from ONE fixed-size moment aggregate over "
+    "the (ln rank, ln freq) points. Frequency ties rank by token on "
+    "both engines, so the fit is deterministic.",
+)
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.col("freq").desc(), "word")
+        .limit(_ZIPF_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("freq").desc(), "word")),
+        )
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_tokens_fit"),
+        F.round(slope, 4).cast("double").alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+        .cast("double")
+        .alias("intercept"),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("r2"),
     )
