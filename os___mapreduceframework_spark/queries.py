@@ -101,8 +101,8 @@ def _row_passed(row: object) -> bool:
     return row.get("hash_match") is None and row.get("spark_rows") is not None
 
 
-def _driver_checked() -> set[str]:
-    """Query names whose LATEST driver CORRECTNESS row passed.
+def _driver_status() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a CORRECTNESS row, that row passed).
 
     The driver's correctness harness sweeps ~50 queries per round in the
     order ``queries()`` yields them, then writes ``CORRECTNESS_r{N}.json``
@@ -132,7 +132,12 @@ def _driver_checked() -> set[str]:
         for name, row in rows.items():
             if name not in latest or rnd >= latest[name][0]:
                 latest[name] = (rnd, _row_passed(row))
-    return {name for name, (_, ok) in latest.items() if ok}
+    return latest
+
+
+def _driver_checked() -> set[str]:
+    """Query names whose LATEST driver CORRECTNESS row passed."""
+    return {name for name, (_, ok) in _driver_status().items() if ok}
 
 
 # Risk ranking for never-checked queries: families whose failure modes the
@@ -179,13 +184,22 @@ _SWEEP_LOW_RISK = frozenset(
 
 
 def _sweep_order() -> list[str]:
-    """Registry names, never-driver-checked first (risk-ranked)."""
+    """Registry names: never-checked-or-last-failed first (risk-ranked),
+    then green queries STALEST-first (oldest passing round leads), so
+    the sweep budget left after fresh coverage re-verifies the greens
+    whose evidence is oldest instead of re-running the same head every
+    round."""
     names = list(REGISTRY)
-    checked = _driver_checked()
+    status = _driver_status()
+    checked = {n for n, (_, ok) in status.items() if ok}
     never = [n for n in names if n not in checked]
-    if not never:
-        return names
     reg_idx = {n: i for i, n in enumerate(names)}
+    green = sorted(
+        (n for n in names if n in checked),
+        key=lambda n: (status[n][0], reg_idx[n]),
+    )
+    if not never:
+        return green
 
     def risk(n: str) -> int:
         for i, pfx in enumerate(_SWEEP_RISK_PREFIXES):
@@ -194,7 +208,7 @@ def _sweep_order() -> list[str]:
         return len(_SWEEP_RISK_PREFIXES)
 
     never.sort(key=lambda n: (n in _SWEEP_LOW_RISK, risk(n), reg_idx[n]))
-    return never + [n for n in names if n in checked]
+    return never + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
