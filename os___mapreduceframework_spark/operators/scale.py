@@ -595,7 +595,8 @@ def hot_isolated_join(
                       ELSE l_orderkey % 10000 END AS k,
                  l_quantity
           FROM lineitem) f
-    JOIN (SELECT CASE WHEN o_orderkey % 10 < 9 THEN 0
+    JOIN (SELECT DISTINCT
+                 CASE WHEN o_orderkey % 10 < 9 THEN 0
                       ELSE o_orderkey % 10000 END AS rk,
                  o_orderkey % 7 AS grp
           FROM orders
@@ -624,12 +625,23 @@ def q_hot_isolated_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     # % 100 IN (0, 9): keeps both hot right rows (last digit 0 -> rk=0)
     # and cold right rows (last digits 09 -> rk in the long tail), so
-    # both branches of the isolation rewrite carry real data
-    right = orders.filter((F.col("o_orderkey") % 100).isin(0, 9)).select(
-        F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
-        .otherwise(F.col("o_orderkey") % 10000)
-        .alias("rk"),
-        (F.col("o_orderkey") % 7).alias("grp"),
+    # both branches of the isolation rewrite carry real data. DISTINCT
+    # bounds the right side's per-key multiplicity at the attribute
+    # cardinality: without it the hot-hot output is |left_hot| x
+    # |right_hot| -- QUADRATIC in scale factor (measured 317 s at
+    # sf0.1 from an 810M-row join result) -- which no join strategy
+    # can fix; any real pipeline reduces the probe side to the
+    # distinct attributes it joins for. The skew (90% of left rows on
+    # one key, present on the right) is untouched.
+    right = (
+        orders.filter((F.col("o_orderkey") % 100).isin(0, 9))
+        .select(
+            F.when(F.col("o_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("o_orderkey") % 10000)
+            .alias("rk"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+        )
+        .distinct()
     )
     return (
         hot_isolated_join(fact, right, "k", "rk")
