@@ -180,3 +180,73 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(joined, "append").orderBy(
         "user_id", "view_id", "purchase_id"
     )
+
+
+@query(
+    "stream_pit_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      FROM events WHERE event_type <> 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f.event_id, f.user_id,
+           strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           d.state AS state_at_purchase,
+           d.version AS state_version
+    FROM events f JOIN dim d
+      ON d.user_id = f.user_id AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    doc="STREAMING point-in-time enrichment: the purchase stream joins "
+    "the static SCD2 dimension on user equality PLUS the validity "
+    "interval (stream-static joins are stateless -- the dimension "
+    "resolves per micro-batch, so a dimension refresh between batches "
+    "is picked up automatically, which is exactly how a feature store "
+    "serves training-time-correct features online). Equi key user_id "
+    "with the interval as a residual condition; inner join, so "
+    "pre-state purchases drop (the batch scd2_point_in_time_join keeps "
+    "them as NULLs -- both contracts stated). Oracle = the batch "
+    "interval join.",
+)
+def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev_static = load_table(spark, sf_dir, "events")
+    vw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev_static.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+            F.row_number().over(vw).cast("long").alias("version"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                W.partitionBy("d_user").orderBy("valid_from", "version")
+            ),
+        )
+    )
+    facts = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = facts.join(
+        F.broadcast(dim),
+        (facts["user_id"] == dim["d_user"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+    )
+    out = run_to_completion(joined, "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("state").alias("state_at_purchase"),
+        F.col("version").alias("state_version"),
+    ).orderBy("event_id")
