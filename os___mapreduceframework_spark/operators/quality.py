@@ -1170,3 +1170,77 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour, integer epoch-micro math
+
+
+@query(
+    "events_funnel_timeboxed",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id, f.t_view,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND epoch_us(e.ts) >= f.t_view
+                       AND epoch_us(e.ts) < f.t_view + {_FUNNEL_WINDOW_US}
+                      THEN 1 ELSE 0 END) AS converted
+      FROM f JOIN events e USING (user_id)
+      WHERE f.t_view IS NOT NULL
+      GROUP BY f.user_id, f.t_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(ROUND(SUM(converted) / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE)
+             AS conv_rate
+    FROM conv
+    """,
+    doc="TIME-BOXED funnel conversion (the events_funnel sibling with "
+    "the attribution window every product-analytics funnel actually "
+    "uses): a user converts iff a purchase lands within ONE HOUR of "
+    "their first view -- unordered-lifetime funnels overcount. First-"
+    "view timestamps are one conditional-min aggregate per user; the "
+    "window test joins the per-user anchor back to that user's events "
+    "hash-to-hash (both sides partitioned by user_id -- the exchange "
+    "is reused, no second shuffle shape) with integer epoch-micro "
+    "bounds (exact, timezone-free). Counts-only output.",
+)
+def q_events_funnel_timeboxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("t_view")
+        )
+        .filter(F.col("t_view").isNotNull())
+    )
+    conv = (
+        f.join(ev, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") >= F.col("t_view"))
+                    & (
+                        F.unix_micros("ts")
+                        < F.col("t_view") + _FUNNEL_WINDOW_US
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)).cast("double"), 4)
+        .cast("double")
+        .alias("conv_rate"),
+    )
