@@ -906,38 +906,53 @@ K_MEANS_K = 4
 K_MEANS_ITERS = 2
 
 
-def _kmeans_ctes(k: int = K_MEANS_K, n_iter: int = K_MEANS_ITERS) -> str:
+def _kmeans_ctes(
+    k: int = K_MEANS_K,
+    n_iter: int = K_MEANS_ITERS,
+    prefix: str = "",
+    dim_filter: str = "",
+) -> str:
     """Lloyd's k-means unrolled as DuckDB CTEs (exact-oracle body for an
     iterative, data-dependent algorithm -- the pagerank/BPE pattern);
-    the final assignment table is ``a{n_iter}``. Distances are rounded
-    to 6 places BEFORE the argmin and centroid means to 6 places after
-    each update, so cross-engine float-sum ordering noise (~1e-13)
-    cannot flip assignments. Shared by the k-means query and the
-    cluster-balance curation query."""
+    the final assignment table is ``{prefix}a{n_iter}``. Distances are
+    rounded to 6 places BEFORE the argmin and centroid means to 6
+    places after each update, so cross-engine float-sum ordering noise
+    (~1e-13) cannot flip assignments. ``prefix`` namespaces every CTE
+    so multiple instances compose in one query (product quantization
+    runs one per subspace); ``dim_filter`` restricts the exploded dims
+    (e.g. a subspace's dimension range). Shared by the k-means query,
+    the cluster-balance curation query, and the PQ codebooks."""
+    p = prefix
+    # the filter references the unnest aliases, so it wraps the explode
+    # in a subselect (DuckDB cannot filter unnest output in-SELECT)
+    inner = """SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                    unnest(embedding)::DOUBLE AS v
+             FROM embeddings"""
+    dims_body = (
+        f"SELECT * FROM ({inner}) zz WHERE {dim_filter}" if dim_filter else inner
+    )
     cte = [
         f"""
-    dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-                    unnest(embedding)::DOUBLE AS v
-             FROM embeddings),
-    seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    {p}dims AS ({dims_body}),
+    {p}seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
               FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) z),
-    c0 AS (SELECT s.cid, d.dim, d.v AS c
-           FROM seeds s JOIN dims d USING (vec_id))"""
+    {p}c0 AS (SELECT s.cid, d.dim, d.v AS c
+           FROM {p}seeds s JOIN {p}dims d USING (vec_id))"""
     ]
     for j in range(1, n_iter + 1):
         i = j - 1
         cte.append(f"""
-    d{j} AS (SELECT d.vec_id, c.cid,
+    {p}d{j} AS (SELECT d.vec_id, c.cid,
                     ROUND(SUM((d.v - c.c) * (d.v - c.c)), 6) AS dist
-             FROM dims d JOIN c{i} c ON c.dim = d.dim
+             FROM {p}dims d JOIN {p}c{i} c ON c.dim = d.dim
              GROUP BY d.vec_id, c.cid),
-    a{j} AS (SELECT vec_id, cid, dist FROM (
+    {p}a{j} AS (SELECT vec_id, cid, dist FROM (
                SELECT vec_id, cid, dist,
                       ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY dist, cid) AS rk
-               FROM d{j}) z WHERE rk = 1),
-    c{j} AS (SELECT a.cid, d.dim, CAST(ROUND(AVG(d.v), 6) + 0.0 AS DOUBLE) AS c
-             FROM a{j} a JOIN dims d USING (vec_id)
+               FROM {p}d{j}) z WHERE rk = 1),
+    {p}c{j} AS (SELECT a.cid, d.dim, CAST(ROUND(AVG(d.v), 6) + 0.0 AS DOUBLE) AS c
+             FROM {p}a{j} a JOIN {p}dims d USING (vec_id)
              GROUP BY a.cid, d.dim)""")
     return ",".join(cte)
 
@@ -1011,9 +1026,21 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
         .localCheckpoint(eager=False)
     )
+    return _kmeans_assign_dims(emb, dims)
+
+
+def _kmeans_assign_dims(
+    emb: DataFrame,
+    dims: DataFrame,
+    k: int = K_MEANS_K,
+    n_iter: int = K_MEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's iterations over a pre-exploded (vec_id, dim, v) frame
+    (caller checkpoints it); seeds are the k smallest vec_ids. Also
+    drives the per-subspace codebooks of product quantization."""
     seeds = (
         emb.orderBy("vec_id")
-        .limit(K_MEANS_K)
+        .limit(k)
         .select(
             "vec_id",
             (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cid"),
@@ -1021,7 +1048,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = seeds.join(dims, "vec_id").select("cid", "dim", F.col("v").alias("c"))
     assign = None
-    for _ in range(K_MEANS_ITERS):
+    for _ in range(n_iter):
         d = (
             dims.join(F.broadcast(c), "dim")
             .groupBy("vec_id", "cid")
@@ -1095,3 +1122,62 @@ def q_curation_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+_PQ_HALF_SQL = "(SELECT MAX(len(embedding)) FROM embeddings) // 2"
+
+
+@query(
+    "embedding_pq_codes",
+    oracle="WITH "
+    + _kmeans_ctes(prefix="p0_", dim_filter=f"dim <= {_PQ_HALF_SQL}")
+    + ","
+    + _kmeans_ctes(prefix="p1_", dim_filter=f"dim > {_PQ_HALF_SQL}")
+    + f"""
+    SELECT vec_id, 0 AS sub, cid AS code,
+           CAST(dist AS DOUBLE) AS qdist
+    FROM p0_a{K_MEANS_ITERS}
+    UNION ALL
+    SELECT vec_id, 1 AS sub, cid AS code,
+           CAST(dist AS DOUBLE) AS qdist
+    FROM p1_a{K_MEANS_ITERS}
+    ORDER BY vec_id, sub
+    """,
+    doc="PRODUCT QUANTIZATION codebook training + encoding (the "
+    "IVF-PQ building block behind billion-vector ANN): the embedding "
+    "splits into two subspaces, each trains its own Lloyd's codebook "
+    "(the shared _kmeans_assign_dims machinery -- broadcast centroid "
+    "scoring, k x dim/2 state per subspace), and every vector is "
+    "encoded as one code per subspace plus its quantization error. "
+    "Memory per vector drops from dim floats to M log2(k) bits, and "
+    "at serving time asymmetric distances come from M tiny lookup "
+    "tables instead of full-vector math. Both subspace trainings "
+    "share ONE checkpointed dims explode (filtered per subspace). "
+    "Oracle: two prefixed instances of the unrolled k-means CTE "
+    "chain, one per subspace.",
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    half = embedding_dim(spark, sf_dir) // 2
+    dims = (
+        emb.select("vec_id", F.posexplode("e").alias("dim0", "v"))
+        .select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+        .localCheckpoint(eager=False)
+    )
+    outs = []
+    for sub, flt in (
+        (0, F.col("dim") <= half),
+        (1, F.col("dim") > half),
+    ):
+        assign = _kmeans_assign_dims(emb, dims.filter(flt))
+        outs.append(
+            assign.select(
+                "vec_id",
+                F.lit(sub).alias("sub"),
+                F.col("cid").alias("code"),
+                F.col("dist").cast("double").alias("qdist"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("vec_id", "sub")
