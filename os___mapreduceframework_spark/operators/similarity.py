@@ -1135,11 +1135,11 @@ _PQ_HALF_SQL = "(SELECT MAX(len(embedding)) FROM embeddings) // 2"
     + _kmeans_ctes(prefix="p1_", dim_filter=f"dim > {_PQ_HALF_SQL}")
     + f"""
     SELECT vec_id, 0 AS sub, cid AS code,
-           CAST(dist AS DOUBLE) AS qdist
+           CAST(ROUND(LN(1 + dist), 6) AS DOUBLE) AS ln_qdist
     FROM p0_a{K_MEANS_ITERS}
     UNION ALL
     SELECT vec_id, 1 AS sub, cid AS code,
-           CAST(dist AS DOUBLE) AS qdist
+           CAST(ROUND(LN(1 + dist), 6) AS DOUBLE) AS ln_qdist
     FROM p1_a{K_MEANS_ITERS}
     ORDER BY vec_id, sub
     """,
@@ -1177,7 +1177,12 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 F.lit(sub).alias("sub"),
                 F.col("cid").alias("code"),
-                F.col("dist").cast("double").alias("qdist"),
+                # log-scale error: a raw distance is one float ulp apart
+                # across engines at extreme magnitude (adversarial
+                # 1e6-vector -> 1e11 dists), which no fixed-decimal
+                # rounding absorbs; ln(1+d) makes the noise absolute
+                # (~1e-16) where ROUND(.., 6) is safely coarse
+                F.round(F.log1p("dist"), 6).cast("double").alias("ln_qdist"),
             )
         )
     return outs[0].unionByName(outs[1]).orderBy("vec_id", "sub")
