@@ -1034,7 +1034,8 @@ def _kmeans_assign_dims(
     dims: DataFrame,
     k: int = K_MEANS_K,
     n_iter: int = K_MEANS_ITERS,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Lloyd's iterations over a pre-exploded (vec_id, dim, v) frame
     (caller checkpoints it); seeds are the k smallest vec_ids. Also
     drives the per-subspace codebooks of product quantization."""
@@ -1069,7 +1070,7 @@ def _kmeans_assign_dims(
             .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).cast("double").alias("c"))
             .localCheckpoint(eager=False)
         )
-    return assign
+    return (assign, c) if return_centroids else assign
 
 
 CLUSTER_BALANCE_TEMP = 0.5  # sampling temperature: weight ~ n^(T-1)
@@ -1186,3 +1187,104 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1]).orderBy("vec_id", "sub")
+
+
+def _pq_lut_sql(p: str) -> str:
+    """Query-to-codebook lookup table for one subspace (prefix ``p``):
+    exact squared distance from each query sub-vector to each centroid."""
+    return f"""
+    {p}q AS (SELECT vec_id AS qid, dim, v FROM {p}dims
+             WHERE vec_id < {N_QUERIES}),
+    {p}lut AS (SELECT q.qid, c.cid,
+                      ROUND(SUM((q.v - c.c) * (q.v - c.c)), 6) AS d
+               FROM {p}q q JOIN {p}c{K_MEANS_ITERS} c ON c.dim = q.dim
+               GROUP BY q.qid, c.cid)"""
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle="WITH "
+    + _kmeans_ctes(prefix="p0_", dim_filter=f"dim <= {_PQ_HALF_SQL}")
+    + ","
+    + _kmeans_ctes(prefix="p1_", dim_filter=f"dim > {_PQ_HALF_SQL}")
+    + ","
+    + _pq_lut_sql("p0_")
+    + ","
+    + _pq_lut_sql("p1_")
+    + f""",
+    sc AS (
+      SELECT l.qid, a.vec_id, l.d
+      FROM p0_a{K_MEANS_ITERS} a JOIN p0_lut l ON l.cid = a.cid
+      UNION ALL
+      SELECT l.qid, a.vec_id, l.d
+      FROM p1_a{K_MEANS_ITERS} a JOIN p1_lut l ON l.cid = a.cid
+    ),
+    adc AS (
+      SELECT qid, vec_id, ROUND(LN(1 + SUM(d)), 6) AS ln_adc
+      FROM sc GROUP BY qid, vec_id
+    ),
+    ranked AS (
+      SELECT qid, vec_id, ln_adc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ln_adc, vec_id) AS rk
+      FROM adc WHERE vec_id <> qid
+    )
+    SELECT qid AS query_id, vec_id, ln_adc
+    FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY query_id, ln_adc, vec_id
+    """,
+    doc="PQ top-k via ASYMMETRIC DISTANCE COMPUTATION -- the serving "
+    "half of IVF-PQ (embedding_pq_codes trains the codebooks): each "
+    "query computes ONE tiny lookup table per subspace (query "
+    "sub-vector to every centroid, k x M entries), and every corpus "
+    "vector's approximate distance is then a SUM OF M TABLE LOOKUPS "
+    "on its codes -- no full-vector math against the corpus at all, "
+    "which is the entire reason billion-vector ANN serves from PQ "
+    "codes. Joins are code-to-LUT equi-joins (the LUT side is k-row "
+    "broadcast-scale); the per-(query, vector) reduce is one hash "
+    "aggregate. Distances surface log-scaled (engine-stable at any "
+    "magnitude) and rank with a vec_id tiebreak, so duplicate vectors "
+    "order deterministically. Oracle: the twin codebook CTE chains "
+    "plus the same LUT algebra.",
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    half = embedding_dim(spark, sf_dir) // 2
+    dims = (
+        emb.select("vec_id", F.posexplode("e").alias("dim0", "v"))
+        .select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+        .localCheckpoint(eager=False)
+    )
+    per_sub = []
+    for flt in (F.col("dim") <= half, F.col("dim") > half):
+        sub_dims = dims.filter(flt)
+        assign, cent = _kmeans_assign_dims(emb, sub_dims, return_centroids=True)
+        lut = (
+            sub_dims.filter(F.col("vec_id") < N_QUERIES)
+            .withColumnRenamed("vec_id", "qid")
+            .join(F.broadcast(cent), "dim")
+            .groupBy("qid", "cid")
+            .agg(F.round(F.sum((F.col("v") - F.col("c")) ** 2), 6).alias("d"))
+        )
+        per_sub.append(
+            assign.select("vec_id", "cid").join(lut, "cid").select(
+                "qid", "vec_id", "d"
+            )
+        )
+    adc = (
+        per_sub[0].unionByName(per_sub[1])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.log1p(F.sum("d")), 6).alias("ln_adc"))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w = W.partitionBy("qid").orderBy("ln_adc", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"), "vec_id", "ln_adc"
+        )
+        .orderBy("query_id", "ln_adc", "vec_id")
+    )
