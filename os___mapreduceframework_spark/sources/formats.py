@@ -402,3 +402,79 @@ def q_source_snapshot_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "merge_compaction_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    u1 AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+           FROM orders WHERE o_orderkey % 8 = 0),
+    u2 AS (SELECT o_orderkey, o_totalprice * 3 AS o_totalprice
+           FROM orders WHERE o_orderkey % 16 = 0),
+    v1 AS (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u1)
+           UNION ALL SELECT * FROM u1),
+    v2 AS (SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u2)
+           UNION ALL SELECT * FROM u2)
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price,
+           TRUE AS post_compact_match
+    FROM v2
+    """,
+    doc="Snapshot-table COMPACTION roundtrip (the Iceberg "
+    "rewrite-data-files action): two MERGE rounds scatter the live "
+    "state across version dirs, compact() materializes it as one "
+    "fresh full snapshot, and the query verifies the compacted read "
+    "equals the pre-compaction state EXACTLY (count + decimal sum "
+    "compared inside the plan -- the flag, not the assumption) while "
+    "the oracle reconstructs the same two-merge state relationally. "
+    "At 100 TB compaction bounds read amplification (one dir per "
+    "bucket pointer) and unlocks vacuum of the whole history.",
+)
+def q_merge_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from os___mapreduceframework_spark.sinks.snapshot_table import (
+        SnapshotMergeTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = _scratch("merge_compaction_roundtrip")
+    shutil.rmtree(path, ignore_errors=True)
+    table = SnapshotMergeTable(spark, path, keys=["o_orderkey"], n_buckets=16)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 4 == 0))
+    table.merge(
+        orders.filter(F.col("o_orderkey") % 8 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+    )
+    table.merge(
+        orders.filter(F.col("o_orderkey") % 16 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") * 3).alias("o_totalprice")
+        )
+    )
+
+    def summarize(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(n),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias(s),
+        )
+
+    pre = summarize(table.read(), "pre_n", "pre_sum")
+    table.compact()
+    post = summarize(table.read(), "n_rows", "sum_price")
+    return post.crossJoin(F.broadcast(pre)).select(
+        "n_rows",
+        "sum_price",
+        (
+            (F.col("n_rows") == F.col("pre_n"))
+            & (F.col("sum_price") == F.col("pre_sum"))
+        ).alias("post_compact_match"),
+    )
