@@ -60,6 +60,19 @@ GOLDEN_QUERIES = [n for n in HEADLINE if not n.startswith("stream_")] + [
     # item 6) -- IVF probe-join ANN and blocked fuzzy matching
     "ann_ivf_topk",
     "fuzzy_match_part_names",
+    # round-5 additions with stable, materialization-free plans
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+    "scd2_point_in_time_join",
+    "events_ewma_value",
+    "events_anomaly_mad",
+    "quality_drift_psi",
+    "training_curriculum_buckets",
+    "vocab_zipf_fit",
+    "curation_cluster_balance",
+    "events_funnel_timeboxed",
+    "arrow_map_doc_stats",
+    "text_bpe_encode",
 ]
 
 
