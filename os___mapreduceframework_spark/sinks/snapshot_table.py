@@ -401,7 +401,19 @@ class SnapshotMergeTable:
         what makes a right-to-be-forgotten delete physical, not just
         logical). ``keep_last <= 0`` is a no-op (a retention policy
         that keeps nothing would delete the live table). Returns
-        removed versions."""
+        removed versions.
+
+        **Concurrent-reader contract** (same as Iceberg's
+        expire-snapshots): vacuum does NOT coordinate with in-flight
+        readers. ``read(version=v)`` raises once v's manifest is
+        expired, and a DataFrame constructed *before* the vacuum over a
+        since-expired snapshot may fail mid-scan (Spark plans file
+        lists lazily, so the scan hits deleted paths) -- behavior for
+        such readers is undefined, not merely an error guarantee.
+        Readers that need a stable historical view pin it by retention:
+        choose ``keep_last`` (or the transaction coordinator's
+        ``retain_last_tx``) to cover every snapshot a reader may still
+        hold, exactly as a catalog's snapshot-retention SLA does."""
         vs = self.versions()
         return self._vacuum_keep(vs[-keep_last:] if keep_last > 0 else vs)
 
@@ -591,20 +603,41 @@ class SnapshotTransaction:
 
     def recover(self) -> dict[str, int]:
         """Complete the pointer swings of the last committed transaction
-        (no-op if all pointers already reached it). Run at writer
-        startup after a crash. Returns {table: version} rolled forward."""
+        (no-op if all pointers already reached it), then drop
+        staged-but-uncommitted manifests. Run at writer startup after a
+        crash; assumes no concurrent in-flight transaction (an in-flight
+        writer's staged manifests are indistinguishable from crash
+        leftovers). Returns {table: version} rolled forward.
+
+        The orphan sweep is required for liveness, not just hygiene: a
+        crash DURING the prepare loop (after some tables' staged
+        manifests were written but before the commit record) leaves
+        manifest files above each table's pointer. Absent a commit
+        record they are invisible to readers, but the NEXT writer's
+        O_EXCL manifest CAS at that version number would collide with
+        them forever -- the crashed transaction would wedge the table.
+        Any manifest above the rolled-forward pointer is, by the commit
+        protocol (files -> manifest -> record -> pointer), exactly such
+        a leftover, so it is removed; its data dir is unreferenced and
+        reclaimed by the next vacuum."""
         ids = self._tx_ids()
-        if not ids:
-            return {}
-        with open(os.path.join(self._tx_dir(), f"tx{ids[-1]}.json")) as f:
-            record = json.load(f)
-        moved = {}
-        for name, vs in record.items():
-            t = self.tables.get(name)
-            if t is None:
-                continue
+        moved: dict[str, int] = {}
+        if ids:
+            with open(os.path.join(self._tx_dir(), f"tx{ids[-1]}.json")) as f:
+                record = json.load(f)
+            for name, vs in record.items():
+                t = self.tables.get(name)
+                if t is None:
+                    continue
+                cur = t.current_version()
+                if cur is None or cur < vs["version"]:
+                    t._swing_pointer(vs["version"])
+                    moved[name] = vs["version"]
+        for t in self.tables.values():
             cur = t.current_version()
-            if cur is None or cur < vs["version"]:
-                t._swing_pointer(vs["version"])
-                moved[name] = vs["version"]
+            if cur is None:
+                continue
+            for v in t.versions():
+                if v > cur:
+                    t._drop_manifest(v)
         return moved

@@ -102,3 +102,29 @@ def test_streaming_dir_source_tails_new_entries(spark):
     time.sleep(0.01)  # ensure a strictly larger mtime_ns
     open(os.path.join(watched, "c.txt"), "w").write("x")
     assert drain() == ["c.txt"]
+
+
+def test_worker_import_ship_failure_warns(monkeypatch):
+    """A failed addPyFile of the package zip must warn, not pass silently
+    (VERDICT r5 item 5): external sessions then fail much later with an
+    opaque worker ImportError unless the cause is surfaced here."""
+    import warnings
+
+    class _FakeSC:
+        def addPyFile(self, path):  # pragma: no cover - never reached
+            raise AssertionError("addPyFile should not be reached")
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    def _boom(*a, **k):
+        raise OSError("disk full (forced by test)")
+
+    monkeypatch.setattr(registry.shutil, "make_archive", _boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        registry._ensure_worker_imports(_FakeSpark())
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("addPyFile" in m and "disk full" in m for m in msgs)
+    # the guard flag is still set: the failure is reported once, not per query
+    assert _FakeSpark.sparkContext._graft_pyfiles_sent is True

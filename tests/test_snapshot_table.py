@@ -507,3 +507,71 @@ def test_property_txn_vacuum_keeps_retained_tx_state_readable(
             # must not raise, and must hold the seed row at minimum
             rows = {r["k"] for r in tables[name].read(version=vs["version"]).collect()}
             assert 0 in rows, (tx_id, name, vs)
+
+
+def test_vacuum_under_reader_contract(spark, table):
+    """Pin the documented vacuum/reader semantics (VERDICT r5 item 6):
+    vacuum does not coordinate with readers. An expired version's
+    read() raises, and a DataFrame built BEFORE the vacuum over that
+    version fails once its files are gone -- readers pin history via
+    keep_last, nothing else."""
+    table.merge(spark.createDataFrame([(1, "a2")], "k long, v string"))
+    table.merge(spark.createDataFrame([(1, "a3")], "k long, v string"))
+    stale = table.read(version=0)  # plan built while v0 is alive
+    assert table.vacuum(keep_last=1) == [0, 1]
+    with pytest.raises(Exception):
+        table.read(version=0)
+    with pytest.raises(Exception):
+        stale.collect()  # undefined-behavior contract: at best an error
+    # retained snapshot unaffected
+    assert _rows(table.read()) == {(1, "a3"), (2, "b"), (3, "c")}
+
+
+@pytest.mark.parametrize(
+    "stage,crash_table",
+    [("prepare", "a"), ("prepare", "b"), ("swing", "a"), ("swing", "b")],
+)
+def test_txn_crash_anywhere_recovers_all_or_nothing(spark, two_tables, stage, crash_table):
+    """Kill the commit at EVERY per-table step (VERDICT r5 item 7):
+    during either table's manifest write (before the commit point) or
+    either table's pointer swing (after it). recover() must land the
+    transaction all-or-nothing, and -- the regression this found -- a
+    crash mid-prepare must not wedge the next writer on the orphaned
+    staged manifest's O_EXCL slot."""
+    root, tables = two_tables
+    tx = SnapshotTransaction(root, tables)
+    tx.stage_merge("a", spark.createDataFrame([(2, "A2")], "k long, v string"))
+    tx.stage_merge("b", spark.createDataFrame([(3, "B3")], "k long, v string"))
+    victim = tables[crash_table]
+    attr = "_write_manifest" if stage == "prepare" else "_swing_pointer"
+    orig = getattr(victim, attr)
+
+    def _crash(*a, **k):
+        raise OSError("kill -9 (forced by test)")
+
+    setattr(victim, attr, _crash)
+    with pytest.raises(OSError):
+        tx.commit()
+    setattr(victim, attr, orig)
+
+    committed = os.path.exists(os.path.join(root, "_tx", "tx0.json"))
+    assert committed == (stage == "swing")  # record IS the commit point
+    SnapshotTransaction(root, tables).recover()
+    versions = {n: t.current_version() for n, t in tables.items()}
+    if committed:  # all-new
+        assert versions == {"a": 1, "b": 1}
+        assert _rows(tables["a"].read()) == {(1, "a1"), (2, "A2")}
+        assert _rows(tables["b"].read()) == {(1, "b1"), (2, "b2"), (3, "B3")}
+    else:  # all-old, and no staged manifest survives to block the CAS
+        assert versions == {"a": 0, "b": 0}
+        assert _rows(tables["a"].read()) == {(1, "a1"), (2, "a2")}
+        assert _rows(tables["b"].read()) == {(1, "b1"), (2, "b2")}
+        assert tables["a"].versions() == [0]
+        assert tables["b"].versions() == [0]
+    # liveness: the next transaction commits cleanly either way
+    tx2 = SnapshotTransaction(root, tables)
+    tx2.stage_merge("a", spark.createDataFrame([(7, "next")], "k long, v string"))
+    tx2.stage_merge("b", spark.createDataFrame([(7, "next")], "k long, v string"))
+    tx2.commit()
+    assert (7, "next") in _rows(tables["a"].read())
+    assert (7, "next") in _rows(tables["b"].read())
