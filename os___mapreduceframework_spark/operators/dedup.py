@@ -767,3 +767,117 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id"),
         (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": remove every token span
+# whose W-token windows all occur more than once in the corpus).
+# ---------------------------------------------------------------------------
+
+SPAN_W = 20  # window width in tokens (the paper uses 50; the synthetic
+             # corpus' docs run 10-99 tokens, so 20 keeps coverage)
+
+
+def exact_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal duplicated
+    token spans — every ``w``-token sliding window whose exact text
+    occurs more than once in the corpus (across docs OR repeated within
+    one doc), with overlapping/adjacent duplicated windows merged into
+    one span per doc (gaps-and-islands over window starts).
+
+    Token positions are 1-based and inclusive. 100 TB shape: windows are
+    carried as (doc_id, start, 32-byte md5) rows — the ONE shuffle
+    groups by window hash, never by document text; the interval merge is
+    a per-doc window function over duplicated hits only, a small
+    fraction of the corpus. The suffix-array formulation of the paper is
+    replaced by the hash-groupBy that a shuffle engine executes
+    natively; recall is identical for fixed w (every duplicated span of
+    length >= w contains a duplicated w-window at each offset, so the
+    merged islands reconstruct it exactly)."""
+    from pyspark.sql import Window
+
+    wins = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w} + 1), "
+                    f"i -> struct(cast(i as bigint) as start, "
+                    f"md5(array_join(slice(toks, i, {w}), ' ')) as h))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", "win.start", "win.h")
+    )
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    hits = wins.join(dup.select("h"), "h", "left_semi").select(
+        "doc_id", "start", (F.col("start") + w - 1).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        hits.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "newi",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("newi").over(w_run))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("start").alias("span_start"),
+        F.max("end").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+_SPAN_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (SELECT doc_id, CAST(i AS BIGINT) AS strt,
+                    md5(array_to_string(w[CAST(i AS INT):CAST(i + {SPAN_W - 1} AS INT)], ' ')) AS h
+             FROM t, unnest(range(1, len(w) - {SPAN_W - 2})) AS u(i)
+             WHERE len(w) >= {SPAN_W}),
+    dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+    hits AS (SELECT doc_id, strt, strt + {SPAN_W - 1} AS e
+             FROM wins WHERE h IN (SELECT h FROM dups)),
+    marked AS (SELECT doc_id, strt, e,
+        CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY strt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+             THEN 1 ELSE 0 END AS newi
+        FROM hits),
+    isl AS (SELECT doc_id, strt, e,
+        SUM(newi) OVER (PARTITION BY doc_id ORDER BY strt
+                        ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked)
+    SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""
+
+
+@query(
+    "dedup_exact_spans",
+    oracle=_SPAN_ORACLE,
+    doc="Span-level exact-substring dedup (Lee et al. 2022): maximal "
+    "token spans whose every 20-token window repeats somewhere in the "
+    "corpus. Complements the document-level exact/MinHash/SimHash "
+    "family: it removes shared boilerplate INSIDE otherwise-unique "
+    "docs. One hash-groupBy shuffle of (doc_id, start, md5) rows; "
+    "island merge windows over duplicated hits only.",
+)
+def q_dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_span_duplicates(docs).orderBy("doc_id", "span_start")
