@@ -30,6 +30,14 @@ from os___mapreduceframework_spark.sources.registry import normalize_events
 
 _SINK_COUNTER = itertools.count()
 
+# Final progress of the most recent run_to_completion stream (the entry
+# with stateOperators populated). Streaming physical plans cannot be
+# golden-snapshotted (micro-batch plans embed checkpoint-specific
+# state-store paths), so tests pin the execution SHAPE from here
+# instead: state operator names/count and watermark presence
+# (tests/test_stream_plan_goldens.py, VERDICT r5 item 4).
+LAST_PROGRESS: dict | None = None
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The file source needs
@@ -81,6 +89,9 @@ def run_to_completion(
             .start()
         )
         q.awaitTermination()
+        global LAST_PROGRESS
+        progs = [p for p in (q.recentProgress or []) if p.get("stateOperators")]
+        LAST_PROGRESS = progs[-1] if progs else q.lastProgress
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
