@@ -30,6 +30,7 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     _MH_PRIME,
     _MINHASH_SQL,
     _SHINGLES_SQL,
+    _capped_pairs_sql,
     _cosine,
     _cosine_prenorm,
     _minhash_wide,
@@ -50,7 +51,11 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.queries import REGISTRY, query
-from os___mapreduceframework_spark.sources import embedding_dim, load_table
+from os___mapreduceframework_spark.sources import (
+    embedding_count,
+    embedding_dim,
+    load_table,
+)
 
 SIM_BITS = 28  # simhash width: 7 md5 hex chars
 COSINE_NEAR_THRESHOLD = 0.45  # calibrated to the synthetic embedding space
@@ -179,10 +184,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
+# CTE chain producing sim(doc_id, simhash) -- shared by the simhash
+# query's oracle and the hamming-neighbor oracle below
+_SIMHASH_SQL = (
+    f"""
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
     th AS (
@@ -197,32 +203,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     + """
       FROM th GROUP BY doc_id
-    )
-    SELECT doc_id,
-           CAST("""
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST("""
     + " + ".join(
         f"(CASE WHEN s_{b} >= 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
         for b in range(SIM_BITS)
     )
     + """ AS BIGINT) AS simhash
-    FROM sums
-    ORDER BY doc_id
-    """,
-    doc="SimHash (28-bit, md5-derived token hashes): per-bit majority "
-    "vote over token hashes; near-dups then differ in few bits. All 28 "
-    "bit sums are parallel aggregates in ONE pass over the token rows "
-    "(no 28x bit expansion, no per-doc token dedup stage): the single "
-    "exchange carries docs x 1 wide partial-agg rows -- at 100 TB the "
-    "shuffle volume is doc-count-bound, not token-count-bound.",
+      FROM sums)
+    """
 )
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    th = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .select(
-            "doc_id",
-            F.expr("cast(conv(substr(md5(tok), 1, 7), 16, 10) as bigint)").alias("hv"),
-        )
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over md5 token hashes,
+    all SIM_BITS sums as parallel aggregates in one pass."""
+    th = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(tok), 1, 7), 16, 10) as bigint)").alias("hv"),
     )
     sums = th.groupBy("doc_id").agg(
         *[
@@ -238,7 +238,98 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         simhash = term if simhash is None else simhash + term
-    return sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SQL}
+    SELECT doc_id, simhash FROM sim ORDER BY doc_id
+    """,
+    doc="SimHash (28-bit, md5-derived token hashes): per-bit majority "
+    "vote over token hashes; near-dups then differ in few bits. All 28 "
+    "bit sums are parallel aggregates in ONE pass over the token rows "
+    "(no 28x bit expansion, no per-doc token dedup stage): the single "
+    "exchange carries docs x 1 wide partial-agg rows -- at 100 TB the "
+    "shuffle volume is doc-count-bound, not token-count-bound.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# pigeonhole banding for EXACT hamming range search: any pair at
+# distance <= HAM_K differs in <= HAM_K of the HAM_BANDS bands, so with
+# HAM_BANDS = HAM_K + 1 at least one band is bit-identical -- band
+# equi-join candidates have recall 1 (up to the hot-bucket cap), unlike
+# probabilistic MinHash/hyperplane banding
+HAM_K = 3
+HAM_BANDS = HAM_K + 1
+HAM_BAND_BITS = SIM_BITS // HAM_BANDS  # 28 / 4 = 7
+_HAM_MASK = (1 << HAM_BAND_BITS) - 1
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    bands AS (
+      SELECT doc_id, b.band,
+             (simhash >> (band * {HAM_BAND_BITS})) & {_HAM_MASK} AS bval
+      FROM sim, (SELECT unnest(range({HAM_BANDS})) AS band) b
+    ),
+    {_capped_pairs_sql("bands", "doc_id", ("band", "bval"), ("doc_a", "doc_b"), "hcand")}
+    SELECT c.doc_a, c.doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM hcand c
+    JOIN sim x ON x.doc_id = c.doc_a
+    JOIN sim y ON y.doc_id = c.doc_b
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAM_K}
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"EXACT SimHash neighbor pairs within Hamming distance {HAM_K}, "
+    f"via pigeonhole banding: the {SIM_BITS}-bit simhash splits into "
+    f"{HAM_BANDS} bands of {HAM_BAND_BITS} bits; a pair at distance "
+    f"<= {HAM_K} can corrupt at most {HAM_K} bands, so at least one "
+    "band matches exactly and the band equi-join (bucketed, hot-bucket "
+    "capped, never all-pairs) is a recall-1 candidate generator -- the "
+    "guaranteed-exact complement to the probabilistic MinHash/"
+    "hyperplane banding. Verification is one bit_count(xor) per "
+    "candidate. At 100 TB: band rows are corpus x 4, candidates are "
+    "collision-bound, and the verify join is candidate-sized.",
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_df(load_table(spark, sf_dir, "documents"))
+    # one localCheckpoint: sim feeds the band explode AND both verify
+    # sides; without it the 28-aggregate pass runs three times
+    sim = sim.localCheckpoint(eager=False)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(HAM_BANDS)])).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(
+            f"shiftright(simhash, band * {HAM_BAND_BITS}) & {_HAM_MASK}"
+        ).alias("bval"),
+    )
+    cand = bucket_pairs(bands, "doc_id", ("band", "bval")).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    x = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    y = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAM_K)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def embedding_near_exact(emb: DataFrame, threshold: float) -> DataFrame:
@@ -293,7 +384,11 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-constant embedding corpus cannot go quadratic (hot-bucket
     # guard, VERDICT r4 item 4)
     cand = bucket_pairs(
-        embedding_band_buckets(emb, dim=embedding_dim(spark, sf_dir)),
+        embedding_band_buckets(
+            emb,
+            dim=embedding_dim(spark, sf_dir),
+            n_vectors=embedding_count(spark, sf_dir),
+        ),
         "vec_id", ("band", "bucket")
     ).select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
     # norms once per corpus vector, joined through: the candidate set is

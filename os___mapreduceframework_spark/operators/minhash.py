@@ -330,25 +330,62 @@ def _cosine_prenorm(a, b, na, nb):
 
 
 # Banded hyperplane LSH for embedding near-dup: EMB_BANDS bands of
-# EMB_PLANES_PER_BAND sign bits each; a pair is a candidate iff it
-# shares ANY band bucket. Plane weights are md5-derived integers (the
-# same engine-portable hash bridge as minhash), NOT an arithmetic
-# sequence -- ((p*a + d*b) % m) repeats planes with period m/gcd and
-# silently caps the effective band count. Parameters are calibrated on
-# the fixture space: at the (deliberately hard) 0.45 threshold this
-# keeps ~41% of all-pairs with >=93% recall; at production near-dup
-# thresholds (0.85+) the same banding prunes orders of magnitude more.
-EMB_PLANES_PER_BAND = 6
+# sign bits; a pair is a candidate iff it shares ANY band bucket.
+# Plane weights are md5-derived integers (the same engine-portable hash
+# bridge as minhash), NOT an arithmetic sequence -- ((p*a + d*b) % m)
+# repeats planes with period m/gcd and silently caps the effective band
+# count. Parameters are calibrated on the fixture space: at the
+# (deliberately hard) 0.45 threshold this keeps ~41% of all-pairs with
+# >=93% recall; at production near-dup thresholds (0.85+) the same
+# banding prunes orders of magnitude more.
+#
+# ADAPTIVE BUCKET WIDTH (round-6 scaling fix): with a FIXED bits-per-
+# band, bucket count is constant, so bucket occupancy grows linearly
+# with the corpus and candidate pairs grow QUADRATICALLY -- the sf1.0
+# scale bench measured ann_knn_join_all at 28x time for 10x data.
+# Bits-per-band therefore widens with corpus size: one extra bit per
+# doubling past EMB_ADAPT_REF vectors (integer threshold compares, no
+# float log -- bit-exact across engines), up to EMB_MAX_PLANES_PER_BAND.
+# Corpora <= EMB_ADAPT_REF (every driver fixture) keep the historical
+# 6-bit buckets BIT-FOR-BIT: extension planes are numbered AFTER the
+# original EMB_N_PLANES and masked off by `code & ((1 << nbits) - 1)`.
+EMB_PLANES_PER_BAND = 6         # base bits; behavior-identical floor
+EMB_MAX_PLANES_PER_BAND = 12
 EMB_BANDS = 32
-EMB_N_PLANES = EMB_PLANES_PER_BAND * EMB_BANDS
+EMB_N_PLANES = EMB_PLANES_PER_BAND * EMB_BANDS          # base planes
+EMB_N_PLANES_TOTAL = EMB_MAX_PLANES_PER_BAND * EMB_BANDS
+EMB_ADAPT_REF = 2048  # largest corpus that keeps the 6-bit floor
 _EMB_WEIGHT_DIMS = 256  # weight-table d range; covers any fixture dim
+
+
+def emb_adaptive_bits(n_vectors: int) -> int:
+    """Bits per band for an ``n_vectors`` corpus: 6 + one per doubling
+    past EMB_ADAPT_REF, capped at EMB_MAX_PLANES_PER_BAND. Integer
+    comparisons only, mirrored verbatim by the SQL ``nb`` CTE."""
+    extra = sum(
+        1
+        for k in range(EMB_MAX_PLANES_PER_BAND - EMB_PLANES_PER_BAND)
+        if n_vectors > (EMB_ADAPT_REF << k)
+    )
+    return EMB_PLANES_PER_BAND + extra
+
+
+def _emb_plane_index(band: int, j: int) -> int:
+    """Global plane index for bit ``j`` of ``band``: base bits keep
+    their historical indices (6*band + j); extension bits (j >= 6) use
+    planes numbered after EMB_N_PLANES, so small corpora hash exactly
+    as before the adaptive widening existed."""
+    if j < EMB_PLANES_PER_BAND:
+        return EMB_PLANES_PER_BAND * band + j
+    return EMB_N_PLANES + EMB_PLANES_PER_BAND * band + (j - EMB_PLANES_PER_BAND)
+
 
 _EMB_BANDS_SQL = f"""
     w AS (
       SELECT p, d,
              (('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
               % 2001) - 1000 AS wt
-      FROM range(0, {EMB_N_PLANES}) r1(p), range(0, {_EMB_WEIGHT_DIMS}) r2(d)
+      FROM range(0, {EMB_N_PLANES_TOTAL}) r1(p), range(0, {_EMB_WEIGHT_DIMS}) r2(d)
     ),
     dims AS (
       SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
@@ -358,12 +395,29 @@ _EMB_BANDS_SQL = f"""
       SELECT vec_id, p, SUM(wt * val) AS s
       FROM dims JOIN w USING (d) GROUP BY vec_id, p
     ),
-    ebands AS (
-      SELECT vec_id, p // {EMB_PLANES_PER_BAND} AS band,
+    -- band(p) and bit j(p) invert _emb_plane_index: base planes are
+    -- p < {EMB_N_PLANES} (j = p %% 6), extension planes follow with the
+    -- same per-band layout (j = 6 + (p - {EMB_N_PLANES}) %% 6)
+    ecodes AS (
+      SELECT vec_id, (p % {EMB_N_PLANES}) // {EMB_PLANES_PER_BAND} AS band,
              SUM(CASE WHEN s >= 0
-                      THEN (1::BIGINT << (p % {EMB_PLANES_PER_BAND}))
-                      ELSE 0 END) AS bucket
-      FROM psums GROUP BY vec_id, p // {EMB_PLANES_PER_BAND}
+                      THEN (1::BIGINT << ((p % {EMB_PLANES_PER_BAND})
+                            + {EMB_PLANES_PER_BAND} * (p // {EMB_N_PLANES})))
+                      ELSE 0 END) AS code
+      FROM psums GROUP BY vec_id, (p % {EMB_N_PLANES}) // {EMB_PLANES_PER_BAND}
+    ),
+    nb AS (
+      SELECT {EMB_PLANES_PER_BAND}
+    """ + "".join(
+    f" + (CASE WHEN n > {EMB_ADAPT_REF << k} THEN 1 ELSE 0 END)"
+    for k in range(EMB_MAX_PLANES_PER_BAND - EMB_PLANES_PER_BAND)
+) + """ AS nbits
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    ebands AS (
+      SELECT vec_id, band,
+             code & ((1::BIGINT << nbits) - 1) AS bucket
+      FROM ecodes, nb
     ),
 """ + _capped_pairs_sql(
     "ebands", "vec_id", ("band", "bucket"), ("vec_a", "vec_b"), "ecand"
@@ -381,19 +435,27 @@ def _plane_weights(p: int, dim: int) -> list[int]:
     ]
 
 
-def embedding_band_buckets(emb: DataFrame, dim: int | None = None) -> DataFrame:
+def embedding_band_buckets(
+    emb: DataFrame, dim: int | None = None, n_vectors: int | None = None
+) -> DataFrame:
     """(vec_id, band, bucket): banded hyperplane signatures in ONE
     scan-local Arrow-batched pass -- zero shuffle.
 
-    All 192 dot products per vector are a single numpy matmul
+    All band-bit dot products per vector are a single numpy matmul
     (``E @ W.T``) inside ``mapInPandas``; sign bits roll into per-band
     buckets in the same batch. This is the sanctioned vectorized-UDF
     case: a dense matrix product that built-in Column expressions can
-    only express as 192 interpreted ``aggregate(zip_with(...))`` folds
-    (measured 60x slower) or an exploded dims x planes join (a shuffle
-    signatures never needed). Weights are md5-derived driver-side with
-    exactly the SQL bridge formula, so the DuckDB oracle (SQL md5
-    weight table) agrees bit-for-bit -- pinned by the parity sweep.
+    only express as hundreds of interpreted ``aggregate(zip_with(...))``
+    folds (measured 60x slower) or an exploded dims x planes join (a
+    shuffle signatures never needed). Weights are md5-derived
+    driver-side with exactly the SQL bridge formula, so the DuckDB
+    oracle (SQL md5 weight table) agrees bit-for-bit -- pinned by the
+    parity sweep.
+
+    Bucket width adapts to corpus size (``emb_adaptive_bits``): pass
+    ``n_vectors`` when a memoized count is available (registered
+    queries use ``sources.embedding_count``); None falls back to one
+    ``emb.count()`` job at construction.
     """
     import numpy as np
 
@@ -402,20 +464,30 @@ def embedding_band_buckets(emb: DataFrame, dim: int | None = None) -> DataFrame:
         # pass the memoized sources.embedding_dim instead (zero jobs)
         head = emb.select("e").head()
         dim = len(head["e"]) if head and head["e"] is not None else _EMB_WEIGHT_DIMS
+    if n_vectors is None:
+        n_vectors = emb.count()
+    nbits = emb_adaptive_bits(n_vectors)
+    n_bands = EMB_BANDS
+    # weight rows ordered (band, j): base planes keep historical
+    # indices, so nbits == 6 reproduces the pre-adaptive buckets exactly
     W = np.array(
-        [_plane_weights(p, dim) for p in range(EMB_N_PLANES)], dtype=np.float64
+        [
+            _plane_weights(_emb_plane_index(b, j), dim)
+            for b in range(n_bands)
+            for j in range(nbits)
+        ],
+        dtype=np.float64,
     )
-    n_bands, planes_per_band = EMB_BANDS, EMB_PLANES_PER_BAND
 
     def compute(batches):
         import pandas as pd
 
-        pows = (1 << np.arange(planes_per_band)).astype("int64")
+        pows = (1 << np.arange(nbits)).astype("int64")
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.vstack(pdf["e"].values)
-            bits = (E @ W.T >= 0).reshape(len(E), n_bands, planes_per_band)
+            bits = (E @ W.T >= 0).reshape(len(E), n_bands, nbits)
             buckets = (bits * pows).sum(axis=2)
             yield pd.DataFrame(
                 {

@@ -29,7 +29,11 @@ from os___mapreduceframework_spark.operators.minhash import (
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.queries import query
-from os___mapreduceframework_spark.sources import embedding_dim, load_table
+from os___mapreduceframework_spark.sources import (
+    embedding_count,
+    embedding_dim,
+    load_table,
+)
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors in fixture terms
 TOP_K = 10
@@ -849,7 +853,11 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket yields O(n * cap) pairs, not O(n^2)), expanded to both
     # directions -- same shape as the oracle's UNION over ecand
     cand = bucket_pairs(
-        embedding_band_buckets(emb, dim=embedding_dim(spark, sf_dir)),
+        embedding_band_buckets(
+            emb,
+            dim=embedding_dim(spark, sf_dir),
+            n_vectors=embedding_count(spark, sf_dir),
+        ),
         "vec_id", ("band", "bucket")
     )
     pairs = cand.select(

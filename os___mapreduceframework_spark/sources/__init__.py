@@ -1,6 +1,7 @@
 from os___mapreduceframework_spark.sources.registry import (
     TABLES,
     dir_entries,
+    embedding_count,
     embedding_dim,
     load_table,
     register_views,
@@ -10,6 +11,7 @@ from os___mapreduceframework_spark.sources.registry import (
 __all__ = [
     "TABLES",
     "dir_entries",
+    "embedding_count",
     "embedding_dim",
     "load_table",
     "register_views",

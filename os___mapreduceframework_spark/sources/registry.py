@@ -154,6 +154,20 @@ def embedding_dim(
     return cache[key]
 
 
+def embedding_count(
+    spark: SparkSession, sf_dir: str, table: str = "embeddings"
+) -> int:
+    """Memoized row count of the embeddings table: drives the adaptive
+    LSH bucket width (operators/minhash.py emb_adaptive_bits). One
+    count job per (session, sf_dir, table) -- a parquet metadata-only
+    scan, but memoized so every banded query doesn't re-run it."""
+    cache = _stats_cache(spark)
+    key = ("embedding_count", os.path.abspath(sf_dir), table)
+    if key not in cache:
+        cache[key] = load_table(spark, sf_dir, table).count()
+    return cache[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each fixture table as a temp view for the SQL surface."""
     for t in tables:
