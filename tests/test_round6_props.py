@@ -72,3 +72,80 @@ def test_property_planted_span_offsets(spark, run_len, off_a, off_b):
         (1, off_a + 1, off_a + run_len, nw),
         (2, off_b + 1, off_b + run_len, nw),
     }
+
+
+def test_simhash_hamming_recall_is_one_vs_bruteforce(spark):
+    """Pigeonhole banding is EXACT: the banded neighbor query recovers
+    every pair within HAM_K of the brute-force all-pairs answer at
+    sf0.001 (feasible: ~50 docs), with matching distances."""
+    from os___mapreduceframework_spark.operators.dedup import (
+        HAM_K,
+        _simhash_df,
+        q_dedup_simhash_hamming,
+    )
+    from os___mapreduceframework_spark.sources import load_table
+    from tests.conftest import TEST_SF_DIR
+
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in _simhash_df(load_table(spark, TEST_SF_DIR, "documents")).collect()
+    }
+    ids = sorted(sims)
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= HAM_K
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q_dedup_simhash_hamming(spark, TEST_SF_DIR).collect()
+    }
+    assert got == brute
+    assert brute, "fixture produced no close pairs; test is vacuous"
+
+
+def test_simhash_hamming_pigeonhole_adversarial(spark):
+    """Hand-built simhash band structure: pairs at distance exactly
+    HAM_K (all flipped bits inside distinct bands AND all inside one
+    band) are found; distance HAM_K + 1 pairs are dropped even when a
+    band still matches (the verify filter, not banding recall, decides
+    membership)."""
+    from os___mapreduceframework_spark.operators import dedup as d
+
+    base = 0b1010110011010101001101011010  # arbitrary 28-bit pattern
+    flips_spread = (1 << 0) | (1 << 7) | (1 << 14)        # 3 bands touched
+    flips_oneband = (1 << 0) | (1 << 1) | (1 << 2)        # one band, dist 3
+    flips_far = (1 << 0) | (1 << 7) | (1 << 14) | (1 << 21)  # dist 4: out
+    docs = [
+        (1, base),
+        (2, base ^ flips_spread),
+        (3, base ^ flips_oneband),
+        (4, base ^ flips_far),
+    ]
+    sim = spark.createDataFrame(docs, "doc_id long, simhash long")
+    import pyspark.sql.functions as F
+
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(d.HAM_BANDS)])).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(
+            f"shiftright(simhash, band * {d.HAM_BAND_BITS}) & {d._HAM_MASK}"
+        ).alias("bval"),
+    )
+    cand = d.bucket_pairs(bands, "doc_id", ("band", "bval"))
+    x = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    y = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cand.join(x, "id_a")
+        .join(y, "id_b")
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= d.HAM_K)
+        .collect()
+    }
+    assert (1, 2) in got and (1, 3) in got
+    assert (1, 4) not in got
