@@ -114,7 +114,14 @@ def decode_media(payload: bytes, media_type: str):
         import io
         import wave
 
-        with wave.open(io.BytesIO(payload), "rb") as w:
+        try:
+            ctx = wave.open(io.BytesIO(payload), "rb")
+        except (wave.Error, EOFError) as exc:
+            # the wave module signals a truncated/zero-length/non-RIFF
+            # payload with its own Error (or bare EOFError on b"");
+            # normalize to the module-wide ValueError contract
+            raise ValueError(f"not a decodable WAV payload: {exc}") from exc
+        with ctx as w:
             if w.getsampwidth() != 1:
                 # list(frames) below is one-byte-per-sample: a wider PCM
                 # would silently misdecode into meaningless half-words

@@ -98,6 +98,24 @@ def build_adversarial_dir() -> str:
                   SELECT (SELECT max(event_id) + 5 FROM read_parquet('{src}')), ts, user_id, event_type,
                          123456.75, props
                   FROM read_parquet('{src}') WHERE event_id = 4
+                  UNION ALL
+                  -- IEEE specials (VERDICT r5 item 8): Spark and DuckDB
+                  -- differ subtly on NaN (Spark: NaN==NaN in group/join
+                  -- keys and sorts LAST; DuckDB: NaN groups too and
+                  -- sorts last) and on Inf arithmetic (Inf-Inf=NaN in
+                  -- both) -- any aggregate/histogram/clamp path that
+                  -- disagrees shows up as a hash mismatch here
+                  SELECT (SELECT max(event_id) + 6 FROM read_parquet('{src}')), ts, user_id, event_type,
+                         'NaN'::DOUBLE, props
+                  FROM read_parquet('{src}') WHERE event_id = 5
+                  UNION ALL
+                  SELECT (SELECT max(event_id) + 7 FROM read_parquet('{src}')), ts, user_id, event_type,
+                         'Infinity'::DOUBLE, props
+                  FROM read_parquet('{src}') WHERE event_id = 6
+                  UNION ALL
+                  SELECT (SELECT max(event_id) + 8 FROM read_parquet('{src}')), ts, user_id, event_type,
+                         '-Infinity'::DOUBLE, props
+                  FROM read_parquet('{src}') WHERE event_id = 7
                 ) TO '{dst}' (FORMAT parquet)
                 """
             )
