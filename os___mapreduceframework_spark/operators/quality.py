@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from os___mapreduceframework_spark.queries import query
-from os___mapreduceframework_spark.sources import load_table, ts_bounds_us
+from os___mapreduceframework_spark.sources import (
+    FINITE_VALUE_SQL,
+    finite_values,
+    load_table,
+    ts_bounds_us,
+)
 
 
 @query(
@@ -176,7 +181,7 @@ _HIST_LO, _HIST_HI = 0.0, 1000.0  # events.value domain
              {_HIST_BINS - 1}) AS bin,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_v
-    FROM events
+    FROM events WHERE {FINITE_VALUE_SQL}
     GROUP BY 1
     ORDER BY bin
     """,
@@ -184,10 +189,12 @@ _HIST_LO, _HIST_HI = 0.0, 1000.0  # events.value domain
     "input): scan-local bin expression, fixed bin count, so the "
     "aggregate state is bounded regardless of corpus size. floor-based "
     "binning instead of width_bucket keeps the formula portable across "
-    "engines (DuckDB lacks width_bucket).",
+    "engines (DuckDB lacks width_bucket). Non-finite measurements are "
+    "dropped at ingestion (sources.finite_values contract): CAST(NaN "
+    "AS BIGINT) is an error, not a bin.",
 )
 def q_quality_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = finite_values(load_table(spark, sf_dir, "events"))
     step = (_HIST_HI - _HIST_LO) / _HIST_BINS
     bin_col = F.least(
         F.greatest(
@@ -214,7 +221,8 @@ def q_quality_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
              time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
-      FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+      FROM events WHERE user_id % 10 = 0 AND (value IS NULL OR isfinite(value))
+      GROUP BY user_id
     ),
     grid AS (
       SELECT user_id,
@@ -224,7 +232,8 @@ def q_quality_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly AS (
       SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
-      FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+      FROM events WHERE user_id % 10 = 0 AND (value IS NULL OR isfinite(value))
+      GROUP BY 1, 2
     )
     SELECT g.user_id,
            strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
@@ -245,7 +254,7 @@ def q_quality_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
-        load_table(spark, sf_dir, "events")
+        finite_values(load_table(spark, sf_dir, "events"))
         .filter(F.col("user_id") % 10 == 0)
         .select("user_id", F.date_trunc("hour", "ts").alias("hour"), "value")
     )
@@ -288,7 +297,7 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAST(GREATEST(CAST(FLOOR((value - {_HIST_LO})
                / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT), 0),
                {_HIST_BINS - 1}) AS bin
-      FROM events, m
+      FROM events, m WHERE {FINITE_VALUE_SQL}
     ),
     h AS (
       SELECT bin,
@@ -316,7 +325,7 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = ts_bounds_us(spark, sf_dir, "events", "ts")
     mid = (lo + hi) // 2
     step = (_HIST_HI - _HIST_LO) / _HIST_BINS
-    binned = events.select(
+    binned = finite_values(events).select(
         F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("half"),
         F.least(
             F.greatest(
@@ -357,7 +366,7 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAST(GREATEST(CAST(FLOOR((value - {_HIST_LO})
                / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT), 0),
                {_HIST_BINS - 1}) AS bin
-      FROM events, m
+      FROM events, m WHERE {FINITE_VALUE_SQL}
     ),
     h AS (
       SELECT bin,
@@ -390,7 +399,7 @@ def q_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = ts_bounds_us(spark, sf_dir, "events", "ts")
     mid = (lo + hi) // 2
     step = (_HIST_HI - _HIST_LO) / _HIST_BINS
-    binned = events.select(
+    binned = finite_values(events).select(
         F.when(F.unix_micros("ts") < mid, 0).otherwise(1).alias("half"),
         F.least(
             F.greatest(
@@ -686,13 +695,16 @@ def q_quality_rules_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              AVG(value) AS mu,
              STDDEV_SAMP(value) AS sigma,
              COUNT(*) AS n
-      FROM events GROUP BY event_type
+      FROM events WHERE (value IS NULL OR isfinite(value))
+      GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(s.n AS BIGINT) AS n,
            CAST(COUNT(*) FILTER (ABS(e.value - s.mu) > 3 * s.sigma) AS BIGINT)
              AS n_anomalies
-    FROM events e JOIN s USING (event_type)
+    FROM (SELECT * FROM events
+          WHERE (value IS NULL OR isfinite(value))) e
+    JOIN s USING (event_type)
     GROUP BY e.event_type, s.n
     ORDER BY event_type
     """,
@@ -704,7 +716,7 @@ def q_quality_rules_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts (not flagged rows) come back, keeping output bounded.",
 )
 def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_values(load_table(spark, sf_dir, "events"))
     s = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
         F.stddev_samp("value").alias("sigma"),
@@ -845,7 +857,7 @@ _MI_BINS = 16
              LEAST(GREATEST(CAST(FLOOR((value - {_HIST_LO})
                / (({_HIST_HI} - {_HIST_LO}) / {_MI_BINS})) AS BIGINT), 0),
                {_MI_BINS - 1}) AS y
-      FROM events
+      FROM events WHERE {FINITE_VALUE_SQL}
     ),
     j AS (SELECT x, y, COUNT(*)::DOUBLE AS n FROM b GROUP BY x, y),
     -- marginals as window sums over the joint, NOT a USING join: an
@@ -881,7 +893,7 @@ _MI_BINS = 16
     "in [0,1]. Natural-log nats, rounded to 4 on both engines.",
 )
 def q_quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_values(load_table(spark, sf_dir, "events"))
     step = (_HIST_HI - _HIST_LO) / _MI_BINS
     b = ev.select(
         F.col("event_type").alias("x"),
@@ -928,12 +940,13 @@ _QB_PCTS = [i / 10 for i in range(1, 10)]  # decile boundaries
     oracle=f"""
     WITH b AS (
       SELECT quantile_cont(value, {_QB_PCTS}) AS bs FROM events
+      WHERE {FINITE_VALUE_SQL}
     )
     SELECT e.event_type,
            CAST(len(list_filter(b.bs, x -> x <= e.value)) AS INT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(ROUND(AVG(e.value), 4) AS DOUBLE) AS mean_v
-    FROM events e CROSS JOIN b
+    FROM (SELECT * FROM events WHERE {FINITE_VALUE_SQL}) e CROSS JOIN b
     GROUP BY e.event_type, 2
     ORDER BY event_type, bucket
     """,
@@ -948,7 +961,7 @@ _QB_PCTS = [i / 10 for i in range(1, 10)]  # decile boundaries
     "percentiles identically so the bucketing is bit-for-bit.",
 )
 def q_feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_values(load_table(spark, sf_dir, "events"))
     pcts = ", ".join(str(p) for p in _QB_PCTS)
     bounds = ev.agg(F.expr(f"percentile(value, array({pcts}))").alias("bs"))
     return (
@@ -980,6 +993,7 @@ _MZ_MIN_N = 10  # minimum history before scoring
              STDDEV_SAMP(value) OVER win AS sd,
              COUNT(*) OVER win AS n_hist
       FROM events
+      WHERE {FINITE_VALUE_SQL}
       WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN {_MZ_LOOKBACK} PRECEDING AND 1 PRECEDING)
     )
@@ -1001,7 +1015,7 @@ _MZ_MIN_N = 10  # minimum history before scoring
     "of history are unscored, not free passes.",
 )
 def q_window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_values(load_table(spark, sf_dir, "events"))
     win = (
         W.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -1115,7 +1129,8 @@ _MAD_SIGMA = 1.4826  # consistency constant: MAD -> stddev under normality
 @query(
     "events_anomaly_mad",
     oracle=f"""
-    WITH s AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    WITH s AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL AND isfinite(value)),
     med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
             FROM s GROUP BY event_type),
     dev AS (SELECT s.event_type, s.value, ABS(s.value - m.med) AS ad, m.med
@@ -1144,7 +1159,7 @@ _MAD_SIGMA = 1.4826  # consistency constant: MAD -> stddev under normality
 )
 def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
-        load_table(spark, sf_dir, "events")
+        finite_values(load_table(spark, sf_dir, "events"))
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )

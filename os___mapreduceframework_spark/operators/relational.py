@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from os___mapreduceframework_spark.queries import query
-from os___mapreduceframework_spark.sources import load_table
+from os___mapreduceframework_spark.sources import (
+    FINITE_VALUE_SQL,
+    finite_values,
+    load_table,
+)
 
 # decimal casts sized to fixture ranges (prices < 5e5, rates < 0.11,
 # quantity <= 50) with ample headroom; sums widen automatically
@@ -186,7 +190,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            ROUND(quantile_cont(value, 0.5), 6) AS p50,
            ROUND(quantile_cont(value, 0.9), 6) AS p90
-    FROM events
+    FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -196,7 +200,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "events")
+        finite_values(load_table(spark, sf_dir, "events"))
         .groupBy("event_type")
         .agg(
             F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),

@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from os___mapreduceframework_spark.queries import query
-from os___mapreduceframework_spark.sources import load_table
+from os___mapreduceframework_spark.sources import (
+    FINITE_VALUE_SQL,
+    finite_values,
+    load_table,
+)
 
 RANGE_WINDOW_S = 300  # range-join predicate: events within 5 minutes
 SESSION_GAP_MIN = 30
@@ -253,7 +257,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS lvl,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-    FROM events
+    FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
                             (date_trunc('day', ts)), ())
     ORDER BY lvl, day, hour
@@ -267,7 +271,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the incremental-refresh variant is stream_tumbling_agg.",
 )
 def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_values(load_table(spark, sf_dir, "events"))
     day = F.date_trunc("day", "ts")
     hour = F.date_trunc("hour", "ts")
     rolled = (

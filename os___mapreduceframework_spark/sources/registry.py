@@ -60,6 +60,36 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+# Ingestion contract for numeric MEASUREMENTS (the events.value column):
+# NaN/+-Inf are sensor garbage -- a single one poisons sums and means,
+# crashes integer bucketization (CAST(NaN AS INT) errors on DuckDB,
+# int(round(nan)) raises in Python state code), and shifts quantiles in
+# engine-specific ways (Spark sorts NaN last-and-counted, DuckDB's
+# quantile ignores it). Queries that aggregate/bucketize/rank the value
+# column therefore drop non-finite rows AT INGESTION, identically in
+# both engines; NULLs pass through (each query's NULL semantics are its
+# own, already pinned by the adversarial sweep). DuckDB side of the
+# same contract:
+FINITE_VALUE_SQL = "(value IS NULL OR isfinite(value))"
+
+
+def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
+    """Drop rows whose measurement is NaN/+-Inf, keep NULLs -- the
+    Spark half of FINITE_VALUE_SQL. isnan() covers NaN (comparisons
+    with NaN are engine-quirky); equality covers the two infinities."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    return df.filter(
+        c.isNull()
+        | (
+            ~F.isnan(c)
+            & (c != F.lit(float("inf")))
+            & (c != F.lit(float("-inf")))
+        )
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan. Filters/projections on the result are pushed
     into the scan by Catalyst (check ``PushedFilters``/``ReadSchema`` in

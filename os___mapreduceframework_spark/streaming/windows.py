@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.scratch import scratch_dir
-from os___mapreduceframework_spark.sources.registry import normalize_events
+from os___mapreduceframework_spark.sources.registry import (
+    finite_values,
+    normalize_events,
+)
 
 _SINK_COUNTER = itertools.count()
 
@@ -104,7 +107,7 @@ def run_to_completion(
            event_type,
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
-    FROM events
+    FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
@@ -114,7 +117,7 @@ def run_to_completion(
     "incremental-execution guarantee under test.",
 )
 def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_stream(spark, sf_dir)
+    ev = finite_values(events_stream(spark, sf_dir))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -141,7 +144,7 @@ def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
                      time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS w_start,
              value
-      FROM events
+      FROM events WHERE (value IS NULL OR isfinite(value))
     )
     SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n,
@@ -155,7 +158,7 @@ def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "starts explicitly.",
 )
 def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_stream(spark, sf_dir)
+    ev = finite_values(events_stream(spark, sf_dir))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "2 hours", "1 hour"))
@@ -248,7 +251,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
-    FROM events
+    FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY user_id
     ORDER BY user_id
     """,
@@ -262,7 +265,10 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    # finite_values is load-bearing here beyond oracle parity: a NaN
+    # reaching the state code would raise (int(round(nan))) and kill
+    # the whole stream -- measured by the adversarial IEEE-special rows
+    ev = finite_values(events_stream(spark, sf_dir)).select("user_id", "value")
 
     def update(key, pdfs, state: GroupState):
         # state: (n_events, total_value_scaled_e4) -- integer-scaled sum
@@ -302,7 +308,7 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS sum_value
-    FROM events
+    FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -319,7 +325,7 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("foreach_batch_sink")
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    ev = events_stream(spark, sf_dir).select("event_type", "value")
+    ev = finite_values(events_stream(spark, sf_dir)).select("event_type", "value")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
@@ -477,7 +483,9 @@ def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              time_bucket(INTERVAL 1 HOUR, MIN(ts)) AS lo,
              time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
-      FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+      FROM events
+      WHERE user_id % 10 = 0 AND (value IS NULL OR isfinite(value))
+      GROUP BY user_id
     ),
     grid AS (
       SELECT user_id,
@@ -487,7 +495,9 @@ def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly AS (
       SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
-      FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+      FROM events
+      WHERE user_id % 10 = 0 AND (value IS NULL OR isfinite(value))
+      GROUP BY 1, 2
     )
     SELECT g.user_id,
            strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
@@ -512,7 +522,9 @@ def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "windows stay per-key parallel.",
 )
 def q_stream_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_stream(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    ev = finite_values(events_stream(spark, sf_dir)).filter(
+        F.col("user_id") % 10 == 0
+    )
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "user_id")
