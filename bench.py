@@ -90,6 +90,10 @@ HEADLINE = [
     "text_bpe_train_merges",      # iterative BPE training (3 merge rounds)
     "embedding_kmeans_clusters",  # iterative Lloyd's k-means (2 rounds)
     "stream_gap_fill_hourly",     # streaming feature table + fill view
+    # round-6 additions
+    "dedup_exact_spans",          # span-level exact-substring dedup (detect)
+    "dedup_apply_spans",          # span dedup apply: cleaned-corpus rewrite
+    "dedup_simhash_hamming",      # exact hamming-range join (pigeonhole bands)
 ]
 
 

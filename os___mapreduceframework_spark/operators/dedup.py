@@ -317,8 +317,15 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = bucket_pairs(bands, "doc_id", ("band", "bval")).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    x = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    y = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    # shuffle_hash: the simhash table is CORPUS-sized (one row per doc
+    # -- 16 GB at 1e9 docs), so the verify joins must never broadcast
+    # it; hash beats merge because the candidate side arrives unsorted
+    x = sim.hint("shuffle_hash").select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    y = sim.hint("shuffle_hash").select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
@@ -908,7 +915,10 @@ def exact_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         .select("doc_id", "win.start", "win.h")
     )
     dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
-    hits = wins.join(dup.select("h"), "h", "left_semi").select(
+    # shuffle_hash: the duplicated-hash set is corpus-dependent (a
+    # boilerplate-heavy corpus can mark most windows) -- never assume
+    # it broadcasts; the semi join stays hash-to-hash at any volume
+    hits = wins.join(dup.select("h").hint("shuffle_hash"), "h", "left_semi").select(
         "doc_id", "start", (F.col("start") + w - 1).alias("end")
     )
     w_prev = (
@@ -938,8 +948,10 @@ def exact_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "n_windows")
 
 
-_SPAN_ORACLE = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# CTE chain through isl(doc_id, strt, e, island) -- shared by the
+# detect query's oracle and the apply query's oracle
+_SPAN_ORACLE_CTES = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     wins AS (SELECT doc_id, CAST(i AS BIGINT) AS strt,
                     md5(array_to_string(w[CAST(i AS INT):CAST(i + {SPAN_W - 1} AS INT)], ' ')) AS h
              FROM t, unnest(range(1, len(w) - {SPAN_W - 2})) AS u(i)
@@ -956,6 +968,10 @@ _SPAN_ORACLE = f"""
         SUM(newi) OVER (PARTITION BY doc_id ORDER BY strt
                         ROWS UNBOUNDED PRECEDING) AS island
         FROM marked)
+"""
+
+_SPAN_ORACLE = f"""
+    WITH {_SPAN_ORACLE_CTES}
     SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
            COUNT(*) AS n_windows
     FROM isl GROUP BY doc_id, island
@@ -976,3 +992,78 @@ _SPAN_ORACLE = f"""
 def q_dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_span_duplicates(docs).orderBy("doc_id", "span_start")
+
+
+@query(
+    "dedup_apply_spans",
+    oracle=f"""
+    WITH {_SPAN_ORACLE_CTES},
+    spans AS (
+      SELECT doc_id, MIN(strt) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+      FROM spans GROUP BY doc_id
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+           -- DuckDB renders an empty list as NULL; Spark's array_join
+           -- gives '' -- a fully-scrubbed doc is empty, not missing
+           COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM (
+      SELECT t.doc_id, t.w,
+             list_filter(t.w, (x, i) ->
+               p.sp IS NULL OR
+               len(list_filter(p.sp, v -> i >= v.s AND i <= v.e)) = 0) AS kept
+      FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ) f
+    ORDER BY doc_id
+    """,
+    doc="APPLY stage of span-level dedup: materialize the cleaned "
+    "corpus with every duplicated span removed (drop-all policy -- the "
+    "conservative decontamination form; keep-first needs a canonical-"
+    "occurrence vote and is composable on top). Spans collapse to one "
+    "small array per affected doc (broadcast-joinable), and token "
+    "removal is a scan-local higher-order filter over the token array "
+    "-- no explode, no range join, no Python: at 100 TB the cost is "
+    "the detect stage plus one column rewrite pass.",
+)
+def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans_per_doc = (
+        exact_span_duplicates(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("sp")
+        )
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # shuffle_hash: spans_per_doc holds every AFFECTED doc -- a heavily
+    # duplicated corpus makes it corpus-fraction-sized, so the rewrite
+    # join must not rely on broadcasting it
+    return (
+        toks.join(spans_per_doc.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "w",
+            # Spark's filter lambda index is 0-based; spans are 1-based
+            F.expr(
+                "filter(w, (x, i) -> sp IS NULL OR "
+                "NOT exists(sp, v -> i + 1 >= v.s AND i + 1 <= v.e))"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            (F.size("w") - F.size("kept")).cast("bigint").alias("n_removed"),
+            F.array_join("kept", " ").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -149,3 +149,50 @@ def test_simhash_hamming_pigeonhole_adversarial(spark):
     }
     assert (1, 2) in got and (1, 3) in got
     assert (1, 4) not in got
+
+
+def test_apply_spans_removes_exactly_the_detected_spans(spark):
+    """Apply == detect: for planted cross-doc duplication, the cleaned
+    text is the original minus exactly the detected span tokens, and a
+    doc that IS one big duplicated run scrubs to the empty string."""
+    import pyspark.sql.functions as F
+
+    from os___mapreduceframework_spark.operators.dedup import (
+        exact_span_duplicates,
+    )
+
+    w = 5
+    shared = [f"s{i}" for i in range(9)]
+    a = [f"a{i}" for i in range(4)] + shared + [f"A{i}" for i in range(3)]
+    b = [f"b{i}" for i in range(7)] + shared + [f"B{i}" for i in range(5)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(shared)),
+         (4, " ".join(shared))],
+        "doc_id long, text string",
+    )
+    spans = (
+        exact_span_duplicates(docs, w=w)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct(
+            F.col("span_start").alias("s"), F.col("span_end").alias("e")
+        )).alias("sp"))
+    )
+    cleaned = {
+        r["doc_id"]: r["cleaned"]
+        for r in docs.select("doc_id", F.split("text", " ").alias("w"))
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.expr(
+                    "filter(w, (x, i) -> sp IS NULL OR "
+                    "NOT exists(sp, v -> i + 1 >= v.s AND i + 1 <= v.e))"
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+        .collect()
+    }
+    assert cleaned[1] == " ".join(a[:4] + a[13:])   # shared run excised
+    assert cleaned[2] == " ".join(b[:7] + b[16:])
+    assert cleaned[3] == "" and cleaned[4] == ""    # whole doc duplicated
