@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import (
     FINITE_VALUE_SQL,
+    finite_value_col,
     finite_values,
     load_table,
     ts_bounds_us,
@@ -752,7 +753,9 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN touch IS NOT NULL
                    AND touch.t >= ts - INTERVAL 1 HOUR THEN touch.c
                   ELSE 'none' END AS channel,
-             value
+             -- nullify (not drop) garbage measurements: the row still
+             -- counts as a purchase and still anchors touch windows
+             (CASE WHEN isfinite(value) THEN value END) AS value
       FROM w WHERE event_type = 'purchase'
     )
     SELECT channel, COUNT(*) AS n_purchases,
@@ -794,7 +797,7 @@ def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
             )
             .otherwise(F.lit("none"))
             .alias("channel"),
-            "value",
+            finite_value_col().alias("value"),
         )
     )
     return (
@@ -1071,7 +1074,8 @@ def _ewma_terms(lag_expr):
         lambda num_den: f"""
     WITH s AS (
       SELECT user_id, ts, event_id, value
-      FROM events WHERE user_id % 20 = 0 AND value IS NOT NULL
+      FROM events
+      WHERE user_id % 20 = 0 AND value IS NOT NULL AND isfinite(value)
     ),
     l AS (
       SELECT user_id, ts, event_id,
@@ -1098,7 +1102,7 @@ def _ewma_terms(lag_expr):
 )
 def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
-        load_table(spark, sf_dir, "events")
+        finite_values(load_table(spark, sf_dir, "events"))
         .filter((F.col("user_id") % 20 == 0) & F.col("value").isNotNull())
         .select("user_id", "ts", "event_id", "value")
     )

@@ -347,7 +347,7 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(MIN(value), 4) AS DOUBLE) AS low,
            CAST(ROUND(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
              AS close
-    FROM events
+    FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY event_type, date_trunc('hour', ts)
     ORDER BY event_type, hour
     """,
@@ -361,7 +361,7 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string so both engines hash identical values.",
 )
 def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_values(load_table(spark, sf_dir, "events"))
     # UNIQUE zero-padded string key: duplicate timestamps exist in real
     # feeds (and in the adversarial fixtures) and the engines' native
     # tie rules differ (Spark max_by(struct) takes the LAST max, DuckDB

@@ -1,7 +1,9 @@
 from os___mapreduceframework_spark.sources.registry import (
     TABLES,
     dir_entries,
+    FINITE_VALUE_NULLIFY_SQL,
     FINITE_VALUE_SQL,
+    finite_value_col,
     embedding_count,
     finite_values,
     embedding_dim,
@@ -13,7 +15,9 @@ from os___mapreduceframework_spark.sources.registry import (
 __all__ = [
     "TABLES",
     "dir_entries",
+    "FINITE_VALUE_NULLIFY_SQL",
     "FINITE_VALUE_SQL",
+    "finite_value_col",
     "embedding_count",
     "finite_values",
     "embedding_dim",

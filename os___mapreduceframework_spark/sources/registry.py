@@ -90,6 +90,25 @@ def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
     )
 
 
+# the row-preserving variant: rows that matter STRUCTURALLY (a click
+# that anchors an attribution window) survive with the garbage
+# measurement nullified (SUM/AVG skip NULL identically on both
+# engines). SQL half: CASE WHEN isfinite(value) THEN value END.
+FINITE_VALUE_NULLIFY_SQL = "(CASE WHEN isfinite(value) THEN value END)"
+
+
+def finite_value_col(col: str = "value"):
+    """Column expression mapping NaN/+-Inf to NULL, finite to itself,
+    NULL to NULL -- the Spark half of FINITE_VALUE_NULLIFY_SQL."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    return F.when(
+        ~F.isnan(c) & (c != F.lit(float("inf"))) & (c != F.lit(float("-inf"))),
+        c,
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan. Filters/projections on the result are pushed
     into the scan by Catalyst (check ``PushedFilters``/``ReadSchema`` in

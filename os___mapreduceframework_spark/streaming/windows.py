@@ -427,7 +427,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(ROUND(MIN(value), 4) AS DOUBLE) AS low,
            CAST(ROUND(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
              AS close
-    FROM events
+    FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
@@ -440,7 +440,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     "batch-equivalence contract.",
 )
 def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_stream(spark, sf_dir)
+    ev = finite_values(events_stream(spark, sf_dir))
     # UNIQUE zero-padded string key: duplicate timestamps exist in real
     # feeds (and in the adversarial fixtures) and the engines' native
     # tie rules differ (Spark max_by(struct) takes the LAST max, DuckDB
