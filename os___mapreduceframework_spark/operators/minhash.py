@@ -486,12 +486,29 @@ def embedding_band_buckets(
         for pdf in batches:
             if not len(pdf):
                 continue
-            E = np.vstack(pdf["e"].values)
+            # NULL vectors produce NO band rows and ragged vectors act
+            # zero-padded/truncated to `dim` -- exactly the oracle's
+            # unnest semantics (a NULL list unnests to zero dim rows; a
+            # short list contributes only its own dims to the plane
+            # sums). np.vstack on a batch holding a None CRASHED the
+            # whole job before round 6 -- one failed-encoder row must
+            # not kill a corpus-scale banding pass.
+            vals = pdf["e"].values
+            # len(v) == 0 skipped too: an empty list unnests to zero
+            # dim rows on the oracle side, same as NULL
+            keep = [i for i, v in enumerate(vals) if v is not None and len(v) > 0]
+            if not keep:
+                continue
+            E = np.zeros((len(keep), dim), dtype=np.float64)
+            for r, i in enumerate(keep):
+                t = np.asarray(vals[i][:dim], dtype=np.float64)
+                E[r, : len(t)] = t
+            ids = pdf["vec_id"].values[keep]
             bits = (E @ W.T >= 0).reshape(len(E), n_bands, nbits)
             buckets = (bits * pows).sum(axis=2)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].values, n_bands),
+                    "vec_id": np.repeat(ids, n_bands),
                     "band": np.tile(np.arange(n_bands, dtype="int64"), len(E)),
                     "bucket": buckets.reshape(-1).astype("int64"),
                 }

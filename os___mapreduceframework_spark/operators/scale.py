@@ -215,7 +215,12 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     def to_vec(df: DataFrame) -> DataFrame:
-        return df.select("vec_id", array_to_vector("e").alias("features"))
+        # NULL/empty vectors carry no geometry: excluded from training
+        # AND assignment (the oracle's unnest skips them identically);
+        # array_to_vector on NULL otherwise kills the whole fit job
+        return df.filter(
+            F.col("e").isNotNull() & (F.size("e") > 0)
+        ).select("vec_id", array_to_vector("e").alias("features"))
 
     vecs = to_vec(emb)
     model = KMeans(k=k, seed=seed, maxIter=10).fit(

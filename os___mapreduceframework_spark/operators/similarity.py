@@ -558,6 +558,23 @@ def q_embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_TOP_K = 8
 
 
+def _dense_batch(vals, dim):
+    """Stack a pandas array column into a dense (n, dim) float matrix,
+    SKIPPING NULL/empty vectors (the oracle's unnest of a NULL/empty
+    list yields zero dim rows) and zero-padding/truncating ragged ones
+    to ``dim`` (short lists contribute only their own dims). One
+    failed-encoder NULL row must never crash a corpus-scale numpy
+    batch (np.vstack on None did, round 6). Returns (E, keep_idx)."""
+    import numpy as np
+
+    keep = [i for i, v in enumerate(vals) if v is not None and len(v) > 0]
+    E = np.zeros((len(keep), dim), dtype=np.float64)
+    for r, i in enumerate(keep):
+        t = np.asarray(vals[i][:dim], dtype=np.float64)
+        E[r, : len(t)] = t
+    return E, keep
+
+
 def _collect_moments(df: DataFrame, col: str, dim: int):
     """Distributed (G = sum x x^T, s = sum x, n) over an array<double>
     column in ONE scan: numpy partials per partition, merged by a
@@ -574,7 +591,9 @@ def _collect_moments(df: DataFrame, col: str, dim: int):
         n = 0
         for pdf in batches:
             if len(pdf):
-                E = np.vstack(pdf[col].values)
+                E, _ = _dense_batch(pdf[col].values, dim)
+                if not len(E):
+                    continue
                 G += E.T @ E
                 s += E.sum(axis=0)
                 n += len(E)
@@ -701,7 +720,8 @@ _WHITEN_SCHEMA = (
 @query(
     "embedding_whitening_check",
     oracle=f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SELECT CAST(COUNT(*) FILTER (embedding IS NOT NULL
+                                 AND len(embedding) > 0) AS BIGINT) AS n,
            CAST(MAX(len(embedding)) AS INT) AS dim,
            {PCA_TOP_K} AS k,
            TRUE AS mean_zero_ok,
@@ -742,7 +762,10 @@ def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = 0
         for pdf in batches:
             if len(pdf):
-                E = np.vstack(pdf["e"].values) - mu
+                E, _ = _dense_batch(pdf["e"].values, len(mu))
+                if not len(E):
+                    continue
+                E = E - mu
                 Z = E @ W_mat
                 Gz += Z.T @ Z
                 sz += Z.sum(axis=0)

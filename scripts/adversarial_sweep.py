@@ -140,6 +140,15 @@ def build_adversarial_dir() -> str:
                          list_transform(embedding, x -> x * 1000000.0::FLOAT),
                          label
                   FROM read_parquet('{src}') WHERE vec_id = 1
+                  UNION ALL
+                  -- NULL vector (failed encoder -- round 6): one such
+                  -- row CRASHED the np.vstack banding batch before the
+                  -- unnest-mirroring skip; every embedding consumer
+                  -- must either skip it like the oracle's unnest does
+                  -- or agree engine-to-engine on its NULL propagation
+                  SELECT (SELECT max(vec_id) + 4 FROM read_parquet('{src}')),
+                         NULL::FLOAT[], label
+                  FROM read_parquet('{src}') WHERE vec_id = 2
                 ) TO '{dst}' (FORMAT parquet)
                 """
             )

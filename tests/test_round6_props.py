@@ -196,3 +196,34 @@ def test_apply_spans_removes_exactly_the_detected_spans(spark):
     assert cleaned[1] == " ".join(a[:4] + a[13:])   # shared run excised
     assert cleaned[2] == " ".join(b[:7] + b[16:])
     assert cleaned[3] == "" and cleaned[4] == ""    # whole doc duplicated
+
+
+def test_null_and_ragged_embeddings_follow_unnest_semantics(spark):
+    """A NULL/empty embedding row must be SKIPPED by every numpy batch
+    path (the oracle's unnest yields zero dim rows for it) and a ragged
+    vector acts zero-padded -- np.vstack on None crashed the whole
+    banding job before round 6."""
+    import pyspark.sql.functions as F
+
+    from os___mapreduceframework_spark.operators.minhash import (
+        embedding_band_buckets,
+    )
+    from os___mapreduceframework_spark.operators.similarity import (
+        _collect_moments,
+        _dense_batch,
+    )
+
+    E, keep = _dense_batch([[1.0, 2.0], None, [], [3.0]], dim=2)
+    assert keep == [0, 3]
+    assert E.tolist() == [[1.0, 2.0], [3.0, 0.0]]
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, None), (3, []), (4, [0.25] * 8)],
+        "vec_id long, e array<double>",
+    )
+    bb = embedding_band_buckets(df, dim=8, n_vectors=4)
+    ids = {r["vec_id"] for r in bb.select("vec_id").distinct().collect()}
+    assert ids == {1, 4}, f"NULL/empty vectors leaked into banding: {ids}"
+
+    G, s, n = _collect_moments(df, "e", 8)
+    assert n == 2  # only the two real vectors contribute moments
