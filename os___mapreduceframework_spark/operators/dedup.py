@@ -1061,9 +1061,17 @@ def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.size("w").cast("bigint").alias("n_tokens"),
-            (F.size("w") - F.size("kept")).cast("bigint").alias("n_removed"),
-            F.array_join("kept", " ").alias("cleaned_text"),
+            # explicit NULL for NULL text: Spark's size(NULL) is -1,
+            # the oracle's len(NULL) is NULL
+            F.when(F.col("w").isNotNull(), F.size("w"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.when(F.col("w").isNotNull(), F.size("w") - F.size("kept"))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.array_join("kept", " "), F.lit("")).alias(
+                "cleaned_text"
+            ),
         )
         .orderBy("doc_id")
     )

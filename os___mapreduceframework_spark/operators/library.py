@@ -113,6 +113,8 @@ def q_mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def map_fn(doc_id, text):
+        if text is None:  # failed-fetch doc: 0 emissions, like the
+            return        # oracle's unnest(string_split(NULL))
         for tok in text.split(" "):
             yield (tok, 1)
 

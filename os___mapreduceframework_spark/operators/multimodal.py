@@ -284,13 +284,25 @@ def extract_features(media: DataFrame, with_embedding: bool = True) -> DataFrame
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            # NULL payload (failed fetch/decode): every derived column
+            # goes NULL, mirroring the oracles' octet_length(NULL)/
+            # md5(NULL) propagation -- len(None) crashed the batch
             cols = {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len),
-                "n_space_bytes": payloads.map(lambda b: b.count(b" ")),
+                "n_bytes": payloads.map(lambda b: None if b is None else len(b)),
+                "n_space_bytes": payloads.map(
+                    lambda b: None if b is None else b.count(b" ")
+                ),
             }
             if with_embedding:
-                cols["feat"] = payloads.map(fake_features)
+                # [None] * dim, not None: the embed query posexplodes
+                # the vector, and the oracle emits dim rows of NULL val
+                # for a NULL doc (explode of a NULL array emits none)
+                cols["feat"] = payloads.map(
+                    lambda b: [None] * FAKE_FEATURE_DIM
+                    if b is None
+                    else fake_features(b)
+                )
             yield pd.DataFrame(cols)
 
     schema = "doc_id long, n_bytes long, n_space_bytes long"
@@ -367,15 +379,20 @@ def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
             out_w = (w * target) // long_side
             out_h = (h * target) // long_side
             budget = out_w * out_h
+            # NULL payload -> NULL n_bytes_out (the oracle's
+            # least(NULL, budget)); dims still compute from metadata
             resized = [
-                p[:b] for p, b in zip(pdf["payload"], budget)
+                None if p is None else p[:b]
+                for p, b in zip(pdf["payload"], budget)
             ]  # decode_media()+resample at 100 TB; deterministic stub here
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "out_w": out_w,
                     "out_h": out_h,
-                    "n_bytes_out": [len(r) for r in resized],
+                    "n_bytes_out": [
+                        None if r is None else len(r) for r in resized
+                    ],
                 }
             )
 
@@ -400,9 +417,12 @@ def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     SELECT doc_id,
            (w * {RESIZE_TARGET}) // greatest(w, h) AS out_w,
            (h * {RESIZE_TARGET}) // greatest(w, h) AS out_h,
-           least(n_bytes, ((w * {RESIZE_TARGET}) // greatest(w, h))
-                          * ((h * {RESIZE_TARGET}) // greatest(w, h)))
-             AS n_bytes_out
+           -- CASE, not bare least(): DuckDB's LEAST ignores NULL args,
+           -- but a NULL payload has no resized bytes at all
+           CASE WHEN n_bytes IS NULL THEN NULL
+                ELSE least(n_bytes, ((w * {RESIZE_TARGET}) // greatest(w, h))
+                           * ((h * {RESIZE_TARGET}) // greatest(w, h)))
+           END AS n_bytes_out
     FROM m
     ORDER BY doc_id
     """,

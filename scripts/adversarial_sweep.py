@@ -65,7 +65,11 @@ def build_adversarial_dir() -> str:
                      (SELECT n_chars FROM read_parquet('{src}') WHERE doc_id = 0)),
                     ((SELECT max(doc_id) + 4 FROM read_parquet('{src}')), 'a b', NULL, 'src2', 3::BIGINT),
                     ((SELECT max(doc_id) + 5 FROM read_parquet('{src}')), '   ', 'en', 'src0', 3::BIGINT),
-                    ((SELECT max(doc_id) + 6 FROM read_parquet('{src}')), 'héllo wörld ünïcode tæxt みんな', 'de', 'src1', 29::BIGINT)
+                    ((SELECT max(doc_id) + 6 FROM read_parquet('{src}')), 'héllo wörld ünïcode tæxt みんな', 'de', 'src1', 29::BIGINT),
+                    -- NULL text (round 6): a failed fetch/decode row;
+                    -- split/explode/md5 must agree engine-to-engine on
+                    -- skipping vs propagating it
+                    ((SELECT max(doc_id) + 7 FROM read_parquet('{src}')), NULL, 'en', 'src0', 0::BIGINT)
                   ) v(doc_id, text, lang, source, n_chars)
                 ) TO '{dst}' (FORMAT parquet)
                 """
