@@ -384,17 +384,22 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(o_orderkey) OVER w AS cheapest_in_priority
     FROM orders
     WHERE o_orderkey <= 3000
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     ORDER BY o_orderkey
     """,
     doc="Distribution window functions: ntile / percent_rank / "
     "cume_dist / first_value. (o_totalprice ties broken by key so both "
-    "engines agree.)",
+    "engines agree; NULL prices pinned FIRST on both engines -- Spark "
+    "defaults asc to NULLS FIRST, DuckDB to NULLS LAST, so an "
+    "unpinned nullable sort key silently reshuffles every rank.)",
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_first("o_totalprice"), "o_orderkey"
+    )
     return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 3000)
@@ -660,7 +665,9 @@ def q_pandas_udf_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(ROUND(SUM(o_totalprice * (o_orderkey % 5 + 1))
-                 / SUM(o_orderkey % 5 + 1), 4) AS DOUBLE) AS w_mean_price
+                 / SUM(CASE WHEN o_totalprice IS NOT NULL
+                       THEN o_orderkey % 5 + 1 END), 4) AS DOUBLE)
+             AS w_mean_price
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -680,8 +687,15 @@ def q_pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def weighted_mean(price: pd.Series, weight: pd.Series) -> float:
+        # SQL-aggregate NULL contract: a NULL price contributes neither
+        # numerator nor weight (pandas would otherwise smuggle it in as
+        # NaN and poison the whole group's mean).
+        p = price.to_numpy(dtype="float64")
         w = weight.to_numpy(dtype="float64")
-        return float(np.average(price.to_numpy(dtype="float64"), weights=w))
+        keep = ~np.isnan(p)
+        if not keep.any():
+            return None
+        return float(np.average(p[keep], weights=w[keep]))
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",

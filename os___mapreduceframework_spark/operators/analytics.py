@@ -1222,9 +1222,12 @@ def q_basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT o_custkey,
-             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
-             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
-             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+             NTILE(5) OVER (ORDER BY last_order NULLS FIRST,
+                            o_custkey NULLS FIRST) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency NULLS FIRST,
+                            o_custkey NULLS FIRST) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary NULLS FIRST,
+                            o_custkey NULLS FIRST) AS m_score
       FROM rfm
     )
     SELECT r_score, f_score, m_score,
@@ -1253,11 +1256,33 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
     )
+    # NULLS FIRST pinned on every rank key (Spark's asc default, made
+    # explicit; DuckDB defaults to NULLS LAST): a NULL-keyed customer
+    # group or an all-NULL monetary sum must land in the same tile on
+    # both engines.
     scored = rfm.select(
         "o_custkey",
-        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+        F.ntile(5)
+        .over(
+            W.orderBy(
+                F.asc_nulls_first("last_order"), F.asc_nulls_first("o_custkey")
+            )
+        )
+        .alias("r_score"),
+        F.ntile(5)
+        .over(
+            W.orderBy(
+                F.asc_nulls_first("frequency"), F.asc_nulls_first("o_custkey")
+            )
+        )
+        .alias("f_score"),
+        F.ntile(5)
+        .over(
+            W.orderBy(
+                F.asc_nulls_first("monetary"), F.asc_nulls_first("o_custkey")
+            )
+        )
+        .alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

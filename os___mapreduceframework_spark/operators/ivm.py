@@ -91,12 +91,21 @@ def maintain_sum_count(
 @query(
     "ivm_revenue_by_customer",
     oracle="""
-    WITH state AS (
+    WITH src AS (
+      -- IVM maintainability contract: a NULL price ingests as 0. The
+      -- (count, sum) maintained state cannot represent SQL's
+      -- SUM-of-all-NULL = NULL (that needs a separate non-null
+      -- counter), so NULL measurements are pinned to 0 at ingestion
+      -- on BOTH engines.
+      SELECT o_orderkey, o_custkey, COALESCE(o_totalprice, 0) AS o_totalprice
+      FROM orders
+    ),
+    state AS (
       SELECT o_custkey,
              CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
                   THEN CAST(o_totalprice * 2 AS DECIMAL(18,2))
                   ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
-      FROM orders
+      FROM src
       WHERE o_orderkey % 11 <> 0
     )
     SELECT o_custkey, COUNT(*) AS n_orders,
@@ -120,7 +129,11 @@ def q_ivm_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+        "o_orderkey",
+        "o_custkey",
+        # NULL price ingests as 0 (see the oracle's src CTE): the
+        # maintained (count, sum) state has no NULL-sum representation.
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("o_totalprice"),
     )
     path = _scratch("ivm_revenue_by_customer")
     shutil.rmtree(path, ignore_errors=True)  # idempotent per invocation

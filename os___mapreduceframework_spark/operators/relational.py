@@ -656,7 +656,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
     doc="PIVOT with explicit value list (compiles to conditional "
-    "aggregation -- one pass, no extra shuffle).",
+    "aggregation -- one pass, no extra shuffle). Empty cells pinned "
+    "to 0: Spark's pivot().count() yields NULL for a (group, value) "
+    "cell with no rows while conditional COUNT yields 0; the COUNT "
+    "contract wins.",
 )
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -664,6 +667,11 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .count()
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0)).alias("F"),
+            F.coalesce("O", F.lit(0)).alias("O"),
+        )
         .orderBy("l_returnflag")
     )
 

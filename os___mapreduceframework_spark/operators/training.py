@@ -494,7 +494,7 @@ def q_merge_txn_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_forgotten_remaining
     FROM orders
-    WHERE o_custkey % 97 <> 0
+    WHERE o_custkey % 97 <> 0 OR o_custkey IS NULL
     """,
     doc="Right-to-be-forgotten delete: every order of the forgotten "
     "customer set is removed by one bucket-scoped merge, then "
@@ -525,7 +525,13 @@ def q_merge_forget_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = existing.join(updates, ["o_orderkey"], "left_anti").unionByName(
             updates
         )
-        return merged.filter(F.col("o_custkey") % 97 != 0)
+        # a NULL custkey is NOT a forgotten customer: keep it explicitly.
+        # (`x % 97 != 0` alone silently drops NULLs in the buckets the
+        # merge touches while untouched buckets keep theirs -- the keep
+        # set must not depend on bucket adjacency to a forgotten row.)
+        return merged.filter(
+            (F.col("o_custkey") % 97 != 0) | F.col("o_custkey").isNull()
+        )
 
     table.merge(forgotten, merge_fn=forget)
     table.vacuum(keep_last=1)

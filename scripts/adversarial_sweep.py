@@ -156,6 +156,41 @@ def build_adversarial_dir() -> str:
                 ) TO '{dst}' (FORMAT parquet)
                 """
             )
+        elif t == "orders":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  -- NULL FK + NULL measure (round 6): a half-ingested
+                  -- order. NULL custkey must behave identically in
+                  -- joins (never matches), outer joins (row kept),
+                  -- grouping (NULLs group together) and windows on
+                  -- both engines across the ~100 TPC-H-shaped queries
+                  SELECT (SELECT max(o_orderkey) + 1 FROM read_parquet('{src}')),
+                         NULL::BIGINT, o_orderstatus, NULL::DOUBLE,
+                         ts, o_orderpriority
+                  FROM (SELECT o_orderstatus, o_orderdate AS ts, o_orderpriority
+                        FROM read_parquet('{src}') LIMIT 1)
+                ) TO '{dst}' (FORMAT parquet)
+                """
+            )
+        elif t == "lineitem":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  -- FK-orphan line (points at the NULL-custkey order's
+                  -- key space) with NULL part/supp keys and NULL price
+                  SELECT (SELECT max(l_orderkey) + 999 FROM read_parquet('{src}')),
+                         NULL::BIGINT, NULL::BIGINT, 1,
+                         l_quantity, NULL::DOUBLE, l_discount, l_tax,
+                         l_returnflag, l_linestatus, l_shipdate
+                  FROM read_parquet('{src}') LIMIT 1
+                ) TO '{dst}' (FORMAT parquet)
+                """
+            )
         else:
             shutil.copyfile(src, dst)
     return out
