@@ -156,6 +156,47 @@ def build_adversarial_dir() -> str:
                 ) TO '{dst}' (FORMAT parquet)
                 """
             )
+        elif t == "customer":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  -- dimension row with every non-key attribute NULL
+                  -- (round 6): NULL nationkey breaks the dim->dim hop,
+                  -- NULL mktsegment is a NULL group/filter key, NULL
+                  -- acctbal a NULL measure in dim-side aggregates
+                  SELECT (SELECT max(c_custkey) + 1 FROM read_parquet('{src}')),
+                         'Customer#null', NULL::INTEGER, NULL::DOUBLE,
+                         NULL::VARCHAR
+                ) TO '{dst}' (FORMAT parquet)
+                """
+            )
+        elif t == "supplier":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  SELECT (SELECT max(s_suppkey) + 1 FROM read_parquet('{src}')),
+                         'Supplier#null', NULL::INTEGER, NULL::DOUBLE
+                ) TO '{dst}' (FORMAT parquet)
+                """
+            )
+        elif t == "part":
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  -- NULL type/size/price: p_type feeds LIKE filters and
+                  -- grouping, p_size range predicates, retailprice sums
+                  SELECT (SELECT max(p_partkey) + 1 FROM read_parquet('{src}')),
+                         'null part', (SELECT p_brand FROM read_parquet('{src}') LIMIT 1),
+                         NULL::VARCHAR, NULL::INTEGER, NULL::DOUBLE
+                ) TO '{dst}' (FORMAT parquet)
+                """
+            )
         elif t == "orders":
             con.execute(
                 f"""
