@@ -26,12 +26,14 @@ scope (SURVEY.md section 2, training-pipeline sinks).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 DEFAULT_N_BUCKETS = 64
 
@@ -65,7 +67,40 @@ class MergeTable:
             F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int"),
         ).repartition(self.n_buckets, F.col("__bucket"))
 
+    def _schema_file(self) -> str:
+        return os.path.join(self.path, "_schema.json")
+
+    def _save_schema(self, bucketed: DataFrame) -> None:
+        """Persist the bucketed schema as table metadata (the role a
+        format's log plays). Without it an EMPTY table -- zero bucket
+        dirs, just _SUCCESS -- is unreadable (parquet schema inference
+        has no files) and exists() would misread it as absent. The
+        underscore prefix keeps Spark's file listing from treating it
+        as data."""
+        tmp = self._schema_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(bucketed.schema.jsonValue(), f)
+        os.replace(tmp, self._schema_file())
+
+    def _stored_schema(self) -> StructType | None:
+        try:
+            with open(self._schema_file()) as f:
+                return StructType.fromJson(json.load(f))
+        except OSError:
+            return None
+
+    def _read_raw(self) -> DataFrame:
+        """The table WITH its layout column, schema-explicit when the
+        metadata exists (pre-metadata tables fall back to inference)."""
+        schema = self._stored_schema()
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.path)
+
     def exists(self) -> bool:
+        if os.path.exists(self._schema_file()):
+            return True
         # ONLY path-absent (AnalysisException) means "no table": a
         # transient read failure must propagate, or merge() would
         # misread it as first-write and overwrite() the whole table
@@ -78,13 +113,13 @@ class MergeTable:
 
     def read(self) -> DataFrame:
         """The table as a DataFrame (layout column dropped)."""
-        return self.spark.read.parquet(self.path).drop("__bucket")
+        return self._read_raw().drop("__bucket")
 
     def overwrite(self, df: DataFrame) -> None:
         """(Re)create the table from scratch."""
-        self._bucket(df).write.mode("overwrite").partitionBy(
-            "__bucket"
-        ).parquet(self.path)
+        bucketed = self._bucket(df)
+        bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(self.path)
+        self._save_schema(bucketed)
 
     def merge(
         self,
@@ -131,7 +166,7 @@ class MergeTable:
             for r in bucketed_updates.select("__bucket").distinct().collect()
         ]
         existing = (
-            self.spark.read.parquet(self.path)
+            self._read_raw()
             .filter(F.col("__bucket").isin(buckets))  # partition-pruned
             .drop("__bucket")
         )
@@ -146,7 +181,7 @@ class MergeTable:
         the buckets that contain matches."""
         if not self.exists():
             return
-        full = self.spark.read.parquet(self.path)
+        full = self._read_raw()
         buckets = [
             r["__bucket"]
             for r in full.filter(predicate).select("__bucket").distinct().collect()
@@ -180,6 +215,7 @@ class MergeTable:
             .partitionBy("__bucket")
             .parquet(self.path)
         )
+        self._save_schema(bucketed)  # a custom merge_fn may evolve it
         survivors = {
             r["__bucket"] for r in bucketed.select("__bucket").distinct().collect()
         }

@@ -89,6 +89,46 @@ class SnapshotMergeTable:
     def _manifest_dir(self) -> str:
         return os.path.join(self.path, "_manifests")
 
+    def _schema_dir(self) -> str:
+        return os.path.join(self.path, "_schemas")
+
+    def _write_schema(self, version: int, bucketed: DataFrame) -> None:
+        """Persist version ``version``'s LOGICAL schema (layout column
+        dropped) as snapshot metadata -- what a format keeps in its
+        snapshot log. Required to read a version whose live-bucket set
+        is empty (an empty overwrite, or merges that emptied every
+        bucket): with zero data files parquet inference has nothing to
+        work from. Written before the manifest commit; an orphan from a
+        failed commit is harmless."""
+        os.makedirs(self._schema_dir(), exist_ok=True)
+        spath = os.path.join(self._schema_dir(), f"v{version}.json")
+        tmp = spath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(bucketed.drop("__bucket").schema.jsonValue(), f)
+        os.replace(tmp, spath)
+
+    def _load_schema(self, version: int | None = None):
+        """The stored logical schema nearest AT-OR-BEFORE ``version``
+        (schema evolution is additive per snapshot), or the newest one
+        when no version is given; None for pre-metadata tables."""
+        from pyspark.sql.types import StructType
+
+        try:
+            names = os.listdir(self._schema_dir())
+        except OSError:
+            return None
+        vs = sorted(
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json")
+        )
+        if version is not None:
+            vs = [v for v in vs if v <= version]
+        if not vs:
+            return None
+        with open(os.path.join(self._schema_dir(), f"v{vs[-1]}.json")) as f:
+            return StructType.fromJson(json.load(f))
+
     def _current_file(self) -> str:
         return os.path.join(self.path, "_current")
 
@@ -176,19 +216,21 @@ class SnapshotMergeTable:
     def overwrite(self, df: DataFrame) -> None:
         """Create snapshot v0 (or a fresh full snapshot) from ``df``."""
         version = 0 if self.current_version() is None else self.current_version() + 1
+        # checkpoint once: the write and the present-bucket collect must
+        # see the same rows (and an EMPTY frame leaves a dir with zero
+        # bucket files, which a read-back could not even infer a schema
+        # from -- the materialized frame is the authoritative content)
+        bucketed = self._bucket(df).localCheckpoint(eager=True)
         (
-            self._bucket(df)
-            .write.mode("overwrite")
+            bucketed.write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(self._data_dir(version))
         )
         present = {
             r["__bucket"]
-            for r in self.spark.read.parquet(self._data_dir(version))
-            .select("__bucket")
-            .distinct()
-            .collect()
+            for r in bucketed.select("__bucket").distinct().collect()
         }
+        self._write_schema(version, bucketed)
         self._commit(version, {str(b): version for b in present})
 
     def merge(
@@ -238,7 +280,7 @@ class SnapshotMergeTable:
             r["__bucket"]
             for r in bucketed_updates.select("__bucket").distinct().collect()
         ]
-        existing = self._read_buckets(manifest, affected)
+        existing = self._read_buckets(manifest, affected, version=cur)
         if merge_fn is None:
             merge_fn = self._upsert
         merged = merge_fn(existing, bucketed_updates.drop("__bucket"))
@@ -252,6 +294,7 @@ class SnapshotMergeTable:
         survivors = {
             r["__bucket"] for r in bucketed.select("__bucket").distinct().collect()
         }
+        self._write_schema(version, bucketed)
         new_manifest = dict(manifest)
         for b in affected:
             if b in survivors:
@@ -269,7 +312,12 @@ class SnapshotMergeTable:
             updates, allowMissingColumns=True
         )
 
-    def _read_buckets(self, manifest: dict[str, int], buckets: list[int]) -> DataFrame:
+    def _read_buckets(
+        self,
+        manifest: dict[str, int],
+        buckets: list[int],
+        version: int | None = None,
+    ) -> DataFrame:
         """Read the given buckets at the manifest's version pointers,
         partition-pruned per version dir. Version dirs written before a
         schema evolution lack the newer columns; unionByName null-pads
@@ -286,10 +334,16 @@ class SnapshotMergeTable:
             for v, bs in by_version.items()
         ]
         if not parts:
-            # schema-only read for an empty selection: data/v0 may have
-            # been vacuumed away, so derive the schema from a dir some
-            # RETAINED manifest still references (this manifest's
-            # pointers first, then any retained version's)
+            # schema-only read for an empty selection: the snapshot
+            # metadata is authoritative (and the ONLY source when the
+            # table is empty -- zero data files anywhere)
+            schema = self._load_schema(version)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            # pre-metadata tables: data/v0 may have been vacuumed away,
+            # so derive the schema from a dir some RETAINED manifest
+            # still references (this manifest's pointers first, then any
+            # retained version's)
             fallback = next(iter(set(manifest.values())), None)
             if fallback is None:
                 for v in reversed(self.versions()):
@@ -328,7 +382,7 @@ class SnapshotMergeTable:
         if v is None:
             raise ValueError(f"SnapshotMergeTable at {self.path} does not exist")
         manifest = self._load_manifest(v)
-        return self._read_buckets(manifest, [int(b) for b in manifest])
+        return self._read_buckets(manifest, [int(b) for b in manifest], version=v)
 
     def changes(
         self, v_from: int, v_to: int, before_image: bool = False
@@ -358,8 +412,8 @@ class SnapshotMergeTable:
             for b in set(m_from) | set(m_to)
             if m_from.get(b) != m_to.get(b)
         )
-        old = self._read_buckets(m_from, changed).alias("o")
-        new = self._read_buckets(m_to, changed).alias("n")
+        old = self._read_buckets(m_from, changed, version=v_from).alias("o")
+        new = self._read_buckets(m_to, changed, version=v_to).alias("n")
         value_cols = [c for c in new.columns if c not in self.keys]
         cond = [old[k].eqNullSafe(new[k]) for k in self.keys]
         j = old.join(new, cond, "full_outer")

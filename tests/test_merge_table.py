@@ -111,3 +111,24 @@ def test_delete_keeps_null_predicate_rows(spark):
     t.delete(F.col("status") == "old")
     got = {(r["k"], r["status"]) for r in t.read().collect()}
     assert got == {(2, None), (3, "new")}
+
+
+def test_empty_table_round_trip(spark):
+    """An EMPTY table is still a table: at scale a selective backfill
+    or a full purge routinely leaves zero rows, and the next merge must
+    find the table (not re-seed it). The _schema.json metadata carries
+    the schema parquet inference can no longer provide."""
+    t = _table(spark)
+    empty = spark.createDataFrame([], "k long, v string")
+    t.overwrite(empty)
+    assert t.exists()
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "v"]
+    # merge into the EXISTING empty table upserts (not first-write)
+    t.merge(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert _rows(t.read()) == [(1, "a")]
+    # delete back down to zero rows; the table stays readable
+    t.delete(F.col("k") >= 0)
+    assert t.exists() and t.read().count() == 0
+    t.merge(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert _rows(t.read()) == [(2, "b")]

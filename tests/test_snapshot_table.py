@@ -575,3 +575,26 @@ def test_txn_crash_anywhere_recovers_all_or_nothing(spark, two_tables, stage, cr
     tx2.commit()
     assert (7, "next") in _rows(tables["a"].read())
     assert (7, "next") in _rows(tables["b"].read())
+
+
+def test_empty_snapshots_round_trip(spark):
+    """Empty snapshots are first-class: v0 may be created empty (a
+    pipeline bootstrap) and a later merge may empty every bucket (a
+    full purge). Both must stay readable and diffable -- the per-version
+    schema sidecar supplies what zero data files cannot."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="snap_empty_") + "/t"
+    t = SnapshotMergeTable(spark, path, keys=["k"], n_buckets=4)
+    t.overwrite(spark.createDataFrame([], "k long, v string"))
+    assert t.current_version() == 0
+    assert t.read().count() == 0 and t.read().columns == ["k", "v"]
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    t.merge(rows)
+    assert t.read().count() == 2
+    assert t.read(version=0).count() == 0  # time travel to the empty v0
+    assert t.changes(0, 1).count() == 2
+    # a merge_fn that deletes every existing key empties the table
+    t.merge(rows, merge_fn=lambda ex, up: ex.join(up, ["k"], "left_anti"))
+    assert t.read().count() == 0 and t.read().columns == ["k", "v"]
+    assert t.changes(1, 2).count() == 2
