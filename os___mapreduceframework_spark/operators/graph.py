@@ -90,6 +90,9 @@ def pagerank_suppliers(
         e.select("c").distinct().agg(F.count(F.lit(1)).alias("ncust"))
         .crossJoin(e.select("s").distinct().agg(F.count(F.lit(1)).alias("nsupp")))
         .select((F.col("ncust") + F.col("nsupp")).alias("n"))
+        # an empty graph has no ranks: dropping the 1-row scalar frame
+        # empties every crossJoin downstream (vs 1/0 under ANSI)
+        .filter(F.col("n") > 0)
         .localCheckpoint(eager=True)  # 1 row
     )
     # iteration-invariant weighted in-degree: one edge-sized shuffle, ever

@@ -150,7 +150,10 @@ def q_quality_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = orders.agg(*aggs)
+    # the profile of an EMPTY table is empty (null_frac is 0/0): drop
+    # the wide row rather than emit undefined stats -- mirrors the
+    # oracle's GROUP BY n over zero joined rows
+    wide = orders.agg(*aggs).filter(F.col("__n") > 0)
     per_col = [
         F.struct(
             F.lit(c).alias("col"),
@@ -348,7 +351,16 @@ def q_quality_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.crossJoin(F.broadcast(t))
         .agg(
             F.round(
-                F.sum(F.abs(F.col("n0") / F.col("t0") - F.col("n1") / F.col("t1"))), 4
+                # try_divide: with every event in one half the other
+                # total is 0 and the drift is undefined -- NULL, exactly
+                # DuckDB's x/0 (ANSI Spark would error instead)
+                F.sum(
+                    F.abs(
+                        F.try_divide(F.col("n0"), F.col("t0"))
+                        - F.try_divide(F.col("n1"), F.col("t1"))
+                    )
+                ),
+                4,
             )
             .cast("double")
             .alias("l1")
@@ -442,6 +454,7 @@ def q_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(quantile_cont(len, 0.99), 1) AS DOUBLE) AS p99_exact,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
     FROM l GROUP BY ROLLUP(source)
+    HAVING COUNT(*) > 0
     ORDER BY source
     """,
     doc="Mergeable quantile sketch rollup (the t-digest-style companion "
@@ -927,7 +940,10 @@ def q_quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(p * F.log(F.col("nt") / F.col("ny"))).alias("hy"),
     ).select(
         F.round("mi", 4).cast("double").alias("mi_nats"),
-        F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 4)
+        # try_divide: a single-cell joint has zero marginal entropy and
+        # nmi is undefined (0/0) -- NULL on both engines, not an ANSI
+        # error (degenerate-input contract, singleton-fixture sweep)
+        F.round(F.try_divide(F.col("mi"), F.sqrt(F.col("hx") * F.col("hy"))), 4)
         .cast("double")
         .alias("nmi"),
         F.round("hx", 4).cast("double").alias("h_event_type"),

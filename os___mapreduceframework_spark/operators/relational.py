@@ -591,9 +591,14 @@ def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
-    doc="ROLLUP hierarchy totals (grand total + per-flag subtotals).",
+    doc="ROLLUP hierarchy totals (grand total + per-flag subtotals). "
+    "Engine contract: EMPTY input yields EMPTY output -- Spark's "
+    "rollup omits the standard's zero-count grand-total row, and the "
+    "oracle mirrors that via HAVING COUNT(*) > 0 (a no-op on any "
+    "non-empty input, since every rollup row aggregates >= 1 row).",
 )
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -610,9 +615,11 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
-    doc="CUBE: all grouping-set combinations.",
+    doc="CUBE: all grouping-set combinations. Same empty-input "
+    "contract as rollup_agg (empty in, empty out; HAVING pins it).",
 )
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

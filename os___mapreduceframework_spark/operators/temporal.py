@@ -260,6 +260,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
                             (date_trunc('day', ts)), ())
+    HAVING COUNT(*) > 0
     ORDER BY lvl, day, hour
     """,
     doc="Time-hierarchy rollup over the events hypertable (the "

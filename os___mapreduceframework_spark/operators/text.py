@@ -621,10 +621,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 F.min(F.struct("sym", "nxt")).alias("ab"),
                 F.first("mc").alias("cnt"),
             )
+            # no pairs at all (empty corpus, or vocabulary already
+            # fully merged): the global agg still emits one all-NULL
+            # row -- there is no merge this round, drop it
+            .filter(F.col("ab").isNotNull())
             .select(
                 F.col("ab.sym").alias("a"), F.col("ab.nxt").alias("b"), "cnt"
             )
-            .localCheckpoint(eager=False)  # 1 row, read by output AND merge
+            .localCheckpoint(eager=False)  # <=1 row, read by output AND merge
         )
         step_rows.append(
             best.select(
@@ -635,13 +639,17 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
         )
         s = (
-            s.crossJoin(F.broadcast(best))
+            # left join on TRUE, not crossJoin: a merge-less round must
+            # leave the vocabulary unchanged, not annihilate it
+            s.join(F.broadcast(best), F.lit(True), "left")
             .select(
                 "word",
                 "w",
-                _bpe_merge_expr(F.col("syms"), F.col("a"), F.col("b")).alias(
-                    "syms"
-                ),
+                F.when(F.col("a").isNull(), F.col("syms"))
+                .otherwise(
+                    _bpe_merge_expr(F.col("syms"), F.col("a"), F.col("b"))
+                )
+                .alias("syms"),
             )
             .localCheckpoint(eager=False)
         )

@@ -129,7 +129,9 @@ def q_training_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     )
     docs.write.mode("overwrite").partitionBy("shard").parquet(path)
-    back = spark.read.parquet(path)
+    # schema-explicit read-back: an empty corpus writes zero shard dirs
+    # and inference would fail; the writer's schema is authoritative
+    back = spark.read.schema(docs.schema).parquet(path)
     return (
         back.groupBy("shard")
         .agg(
@@ -190,11 +192,19 @@ def q_vocab_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "exact_distinct_tokens",
-            (
+            # an empty vocabulary has no relative error: the estimate is
+            # within tolerance iff it is also empty (NULL sketch union
+            # counts as 0) -- avoids 0/0 under ANSI on an empty corpus
+            F.when(
+                F.col("exact_distinct_tokens") == 0,
+                F.coalesce(F.col("est"), F.lit(0)) == 0,
+            )
+            .otherwise(
                 F.abs(F.col("est") - F.col("exact_distinct_tokens"))
                 / F.col("exact_distinct_tokens")
                 < 0.15
-            ).alias("est_within_tol"),
+            )
+            .alias("est_within_tol"),
         )
         .orderBy("source")
     )

@@ -147,11 +147,14 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed tables): the layout is an amortized artifact, not a
     per-query cost."""
     path = _scratch("partitioned_orders")
+    orders = load_table(spark, sf_dir, "orders")
     if spark.conf.get("spark.graft.partitioned.for", "") != sf_dir:
-        orders = load_table(spark, sf_dir, "orders")
         orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
         spark.conf.set("spark.graft.partitioned.for", sf_dir)
-    return spark.read.parquet(path)
+    # schema-explicit read-back: an all-one-status (or empty) orders
+    # table writes fewer partition dirs than the domain -- zero dirs
+    # breaks inference entirely; the source schema is authoritative
+    return spark.read.schema(orders.schema).parquet(path)
 
 
 _STATUS_DIM = [("F", "finished"), ("O", "open"), ("P", "pending")]
@@ -475,6 +478,8 @@ def q_merge_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_price",
         (
             (F.col("n_rows") == F.col("pre_n"))
-            & (F.col("sum_price") == F.col("pre_sum"))
+            # null-safe: an EMPTY table compacts to an empty table and
+            # both sums are NULL -- that is a match, not unknown
+            & F.col("sum_price").eqNullSafe(F.col("pre_sum"))
         ).alias("post_compact_match"),
     )

@@ -108,6 +108,12 @@ def q_stream_snapshot_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
+    if table.current_version() is None:
+        # zero input batches (empty source): the latest-state table is
+        # legitimately empty -- seed it so read() serves the schema
+        # (empty overwrite is first-class in the sink)
+        table.overwrite(_latest_per_user(spark.createDataFrame([], ev.schema)))
+
     return (
         table.read()
         .select(

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Degenerate-cardinality parity sweep: every query on EMPTY and
+SINGLETON tables.
+
+At 100 TB a selective filter or a cold partition routinely hands an
+operator zero rows, and a freshly bootstrapped pipeline hands it one.
+Neither shape ever occurs in the synthetic fixtures, so divergences
+(driver-side sampling from an empty table, stddev-of-one NaN vs NULL,
+division by a zero total, min/max of nothing feeding a range) stay
+latent. This sweep makes the hunt mechanical, mirroring
+scripts/adversarial_sweep.py: build the fixture, run the full registry
+through the exact preflight compare, report divergences/errors.
+
+Fixtures (schemas copied from sf0.001 so column types are identical):
+
+- empty: every table with 0 rows. Contract: no crash, and Spark and
+  DuckDB agree on the result (usually 0 rows; global aggregates may
+  legitimately emit one NULL/0 row -- engines must agree which).
+- one: every table LIMIT 1 (deterministic min-key row). FKs may
+  dangle -- that is the point; joins must survive it.
+
+Usage: python scripts/degenerate_sweep.py [empty|one] [names_substring]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+BASE = os.environ.get("SPARK_GRAFT_ADV_BASE", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# deterministic "first" row per table so the singleton fixture is stable
+_ORDER_KEY = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey, l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def build_dir(mode: str) -> str:
+    out = tempfile.mkdtemp(prefix=f"sf_degenerate_{mode}_")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if mode == "empty":
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}') WHERE 1=0) "
+                f"TO '{dst}' (FORMAT parquet)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}') "
+                f"ORDER BY {_ORDER_KEY[t]} LIMIT 1) "
+                f"TO '{dst}' (FORMAT parquet)"
+            )
+    return out
+
+
+def norm(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = str(r[i])
+            vals.append("nan" if v.lower() == "nan" else v)
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main() -> int:
+    modes = ["empty", "one"]
+    if len(sys.argv) > 1 and sys.argv[1] in modes:
+        modes = [sys.argv[1]]
+        only = sys.argv[2] if len(sys.argv) > 2 else ""
+    else:
+        only = sys.argv[1] if len(sys.argv) > 1 else ""
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    total_bad = 0
+    for mode in modes:
+        sf_dir = build_dir(mode)
+        print(f"== mode={mode} dir={sf_dir}")
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        bad = 0
+        t0 = time.time()
+        for i, (name, fn) in enumerate(qs.items(), 1):
+            if only and only not in name:
+                continue
+            if name not in oracles:
+                continue
+            try:
+                df = fn(spark, sf_dir)
+                a = norm(df.columns, [tuple(r) for r in df.collect()])
+            except Exception as e:
+                # documented degenerate-input contract: bucket-anchored
+                # queries (retention/drift/gap) REFUSE an empty or
+                # all-NULL timestamp column with a clear error rather
+                # than emit buckets anchored at undefined bounds
+                # (sources/registry.py ts_bounds_us, ADVICE r4 item 4)
+                if "timestamp bounds are undefined" in str(e):
+                    print(f"{i} OK-CONTRACT {name}: refused (ts bounds undefined)")
+                    continue
+                print(f"{i} SPARK-ERR {name}: {str(e)[:160]}")
+                bad += 1
+                continue
+            try:
+                o = con.execute(oracles[name])
+                b = norm([d[0] for d in o.description], o.fetchall())
+            except Exception as e:
+                print(f"{i} ORACLE-ERR {name}: {str(e)[:160]}")
+                bad += 1
+                continue
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y]
+                print(
+                    f"{i} DIVERGE {name}: spark={len(a)} oracle={len(b)} "
+                    f"first_diff={diffs[0] if diffs else ('row-count',)}"
+                )
+                bad += 1
+            else:
+                print(f"{i} OK  {name} rows={len(a)}")
+        print(f"DONE mode={mode} bad={bad} total_sec={time.time() - t0:.0f}")
+        con.close()
+        total_bad += bad
+    return 1 if total_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
