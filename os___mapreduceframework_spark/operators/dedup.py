@@ -881,25 +881,11 @@ SPAN_W = 20  # window width in tokens (the paper uses 50; the synthetic
              # corpus' docs run 10-99 tokens, so 20 keeps coverage)
 
 
-def exact_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
-    """(doc_id, span_start, span_end, n_windows): maximal duplicated
-    token spans — every ``w``-token sliding window whose exact text
-    occurs more than once in the corpus (across docs OR repeated within
-    one doc), with overlapping/adjacent duplicated windows merged into
-    one span per doc (gaps-and-islands over window starts).
-
-    Token positions are 1-based and inclusive. 100 TB shape: windows are
-    carried as (doc_id, start, 32-byte md5) rows — the ONE shuffle
-    groups by window hash, never by document text; the interval merge is
-    a per-doc window function over duplicated hits only, a small
-    fraction of the corpus. The suffix-array formulation of the paper is
-    replaced by the hash-groupBy that a shuffle engine executes
-    natively; recall is identical for fixed w (every duplicated span of
-    length >= w contains a duplicated w-window at each offset, so the
-    merged islands reconstruct it exactly)."""
-    from pyspark.sql import Window
-
-    wins = (
+def _span_window_hashes(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, start, h): every ``w``-token sliding window's md5, the
+    shared detect-stage input of the span-dedup family. Scan-local
+    (split + transform + explode); positions are 1-based."""
+    return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= w)
         .select(
@@ -914,13 +900,15 @@ def exact_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         )
         .select("doc_id", "win.start", "win.h")
     )
-    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
-    # shuffle_hash: the duplicated-hash set is corpus-dependent (a
-    # boilerplate-heavy corpus can mark most windows) -- never assume
-    # it broadcasts; the semi join stays hash-to-hash at any volume
-    hits = wins.join(dup.select("h").hint("shuffle_hash"), "h", "left_semi").select(
-        "doc_id", "start", (F.col("start") + w - 1).alias("end")
-    )
+
+
+def _merge_islands(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, start, end) window hits into
+    maximal spans per doc: (doc_id, span_start, span_end, n_windows).
+    Per-doc window functions over hit rows only (a small fraction of
+    the corpus), never over all windows."""
+    from pyspark.sql import Window
+
     w_prev = (
         Window.partitionBy("doc_id").orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -948,17 +936,83 @@ def exact_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "n_windows")
 
 
-# CTE chain through isl(doc_id, strt, e, island) -- shared by the
-# detect query's oracle and the apply query's oracle
-_SPAN_ORACLE_CTES = f"""
+def exact_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal duplicated
+    token spans — every ``w``-token sliding window whose exact text
+    occurs more than once in the corpus (across docs OR repeated within
+    one doc), with overlapping/adjacent duplicated windows merged into
+    one span per doc (gaps-and-islands over window starts).
+
+    Token positions are 1-based and inclusive. 100 TB shape: windows are
+    carried as (doc_id, start, 32-byte md5) rows — the ONE shuffle
+    groups by window hash, never by document text; the interval merge is
+    a per-doc window function over duplicated hits only, a small
+    fraction of the corpus. The suffix-array formulation of the paper is
+    replaced by the hash-groupBy that a shuffle engine executes
+    natively; recall is identical for fixed w (every duplicated span of
+    length >= w contains a duplicated w-window at each offset, so the
+    merged islands reconstruct it exactly)."""
+    wins = _span_window_hashes(docs, w)
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    # shuffle_hash: the duplicated-hash set is corpus-dependent (a
+    # boilerplate-heavy corpus can mark most windows) -- never assume
+    # it broadcasts; the semi join stays hash-to-hash at any volume
+    hits = wins.join(dup.select("h").hint("shuffle_hash"), "h", "left_semi").select(
+        "doc_id", "start", (F.col("start") + w - 1).alias("end")
+    )
+    return _merge_islands(hits)
+
+
+def keep_first_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Keep-first span dedup: like :func:`exact_span_duplicates`, but the
+    CANONICAL occurrence of each duplicated window — the one with the
+    least (doc_id, start) — is kept; only the other occurrences become
+    removal spans. The corpus retains exactly one copy of every
+    duplicated substring (Lee et al.'s actual policy) instead of
+    scrubbing them everywhere (the drop-all decontamination form of
+    ``dedup_exact_spans``).
+
+    100 TB shape: ONE shuffle, by window hash — the per-hash occurrence
+    count and the canonical vote (row_number over (doc_id, start)) are
+    two frames over the same exchange+sort, so the cost equals the
+    drop-all detect stage; islands then merge per doc over the (strictly
+    smaller) non-canonical hit set."""
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    ranked = (
+        _span_window_hashes(docs, w)
+        # NULLS FIRST on both sides of the vote: Spark's asc default,
+        # pinned explicitly so the DuckDB oracle can mirror it (the
+        # cross-engine window-sort contract, ROADMAP r6 item 9)
+        .withColumn("n", F.count(F.lit(1)).over(wh))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wh.orderBy(
+                    F.col("doc_id").asc_nulls_first(),
+                    F.col("start").asc_nulls_first(),
+                )
+            ),
+        )
+    )
+    hits = ranked.filter((F.col("n") > 1) & (F.col("rn") > 1)).select(
+        "doc_id", "start", (F.col("start") + w - 1).alias("end")
+    )
+    return _merge_islands(hits)
+
+
+# CTE building blocks shared by the span-family oracles: tokens+window
+# hashes, then (given a hits(doc_id, strt, e) CTE) the island merge.
+_SPAN_TOKEN_CTES = f"""
     t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     wins AS (SELECT doc_id, CAST(i AS BIGINT) AS strt,
                     md5(array_to_string(w[CAST(i AS INT):CAST(i + {SPAN_W - 1} AS INT)], ' ')) AS h
              FROM t, unnest(range(1, len(w) - {SPAN_W - 2})) AS u(i)
-             WHERE len(w) >= {SPAN_W}),
-    dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
-    hits AS (SELECT doc_id, strt, strt + {SPAN_W - 1} AS e
-             FROM wins WHERE h IN (SELECT h FROM dups)),
+             WHERE len(w) >= {SPAN_W})
+"""
+
+_SPAN_ISLAND_CTES = """
     marked AS (SELECT doc_id, strt, e,
         CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY strt
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
@@ -968,6 +1022,16 @@ _SPAN_ORACLE_CTES = f"""
         SUM(newi) OVER (PARTITION BY doc_id ORDER BY strt
                         ROWS UNBOUNDED PRECEDING) AS island
         FROM marked)
+"""
+
+# full chain through isl for the drop-all policy -- shared by the
+# detect query's oracle and the apply query's oracle
+_SPAN_ORACLE_CTES = f"""
+    {_SPAN_TOKEN_CTES},
+    dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+    hits AS (SELECT doc_id, strt, strt + {SPAN_W - 1} AS e
+             FROM wins WHERE h IN (SELECT h FROM dups)),
+    {_SPAN_ISLAND_CTES}
 """
 
 _SPAN_ORACLE = f"""
@@ -1075,3 +1139,35 @@ def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_spans_keep_first",
+    oracle=f"""
+    WITH {_SPAN_TOKEN_CTES},
+    ranked AS (SELECT doc_id, strt,
+                      COUNT(*) OVER (PARTITION BY h) AS n,
+                      ROW_NUMBER() OVER (PARTITION BY h
+                          ORDER BY doc_id NULLS FIRST, strt NULLS FIRST) AS rn
+               FROM wins),
+    hits AS (SELECT doc_id, strt, strt + {SPAN_W - 1} AS e
+             FROM ranked WHERE n > 1 AND rn > 1),
+    {_SPAN_ISLAND_CTES}
+    SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+    doc="KEEP-FIRST policy for span-level dedup (the canonical-"
+    "occurrence vote dedup_apply_spans' docstring points at): each "
+    "duplicated 20-token window keeps its least-(doc_id, start) "
+    "occurrence and marks only the others for removal, so exactly one "
+    "copy of every duplicated substring survives — Lee et al. 2022's "
+    "actual removal rule, vs dedup_exact_spans' conservative drop-all. "
+    "Same single shuffle by window hash (occurrence count + canonical "
+    "row_number are two frames over one exchange+sort); island merge "
+    "runs on the strictly smaller non-canonical hit set.",
+)
+def q_dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return keep_first_span_duplicates(docs).orderBy("doc_id", "span_start")

@@ -1279,3 +1279,90 @@ def q_events_funnel_timeboxed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("conv_rate"),
     )
+
+
+@query(
+    "quality_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_qty,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+             AS n_high_discount,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    """,
+    doc="In-flight pipeline metrics via DataFrame.observe (the "
+    "accumulator-style observability surface Delta Live Tables-style "
+    "expectations ride on): quality counters attach to the lineitem "
+    "scan of an ORDINARY aggregate job and are collected from the "
+    "driver-side Observation after that job runs -- ZERO extra scans, "
+    "unlike a separate audit query. At 100 TB this is the difference "
+    "between monitoring-for-free and doubling the read bill: metrics "
+    "are computed as accumulator partials inside the tasks the "
+    "pipeline already runs. Counters use count(CASE ...) so an empty "
+    "scan reports 0, not NULL (degenerate-cardinality contract).",
+)
+def q_quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_null_qty"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias(
+            "n_high_discount"
+        ),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    # the monitored pipeline: a routine per-flag rollup consumes the
+    # observed scan; its result is bounded (one row per flag value),
+    # and running it is what populates the observation
+    observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    try:
+        m = obs.get
+    except Exception:
+        # an EMPTY scan is planned as a zero-partition local relation,
+        # so the CollectMetrics node never executes and the observation
+        # holds no row (toPyRow assertion) -- the degenerate-cardinality
+        # contract is zero counters and undefined extrema
+        m = {
+            "n_rows": 0,
+            "n_null_qty": 0,
+            "n_high_discount": 0,
+            "min_price": None,
+            "max_price": None,
+        }
+    schema = StructType(
+        [
+            StructField("n_rows", LongType(), False),
+            StructField("n_null_qty", LongType(), False),
+            StructField("n_high_discount", LongType(), False),
+            StructField("min_price", DoubleType(), True),
+            StructField("max_price", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_qty"]),
+                int(m["n_high_discount"]),
+                None if m["min_price"] is None else float(m["min_price"]),
+                None if m["max_price"] is None else float(m["max_price"]),
+            )
+        ],
+        schema,
+    )

@@ -73,6 +73,10 @@ GOLDEN_QUERIES = [n for n in HEADLINE if not n.startswith("stream_")] + [
     "events_funnel_timeboxed",
     "arrow_map_doc_stats",
     "text_bpe_encode",
+    # round-6 late additions (observe/zorder-skipping run jobs at build
+    # time -- collect for the observation, scratch write -- so only the
+    # span-policy query has a materialization-free plan)
+    "dedup_spans_keep_first",
 ]
 
 

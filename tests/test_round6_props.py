@@ -227,3 +227,66 @@ def test_null_and_ragged_embeddings_follow_unnest_semantics(spark):
 
     G, s, n = _collect_moments(df, "e", 8)
     assert n == 2  # only the two real vectors contribute moments
+
+
+# ---------------------------------------------------------------------------
+# keep-first span policy
+# ---------------------------------------------------------------------------
+
+from os___mapreduceframework_spark.operators.dedup import (  # noqa: E402
+    keep_first_span_duplicates,
+)
+
+
+def _kf_spans(spark, docs, w):
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
+    )
+    out = keep_first_span_duplicates(df, w=w).collect()
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"]) for r in out
+    }
+
+
+def test_keep_first_spares_the_canonical_occurrence(spark):
+    """The same 9-token run in docs 1 and 2: drop-all marks both, but
+    keep-first marks ONLY doc 2's copy (doc 1 holds every window's
+    least-(doc_id, start) occurrence)."""
+    w = 5
+    shared = [f"s{i}" for i in range(9)]
+    a = [f"a{i}" for i in range(4)] + shared + [f"A{i}" for i in range(3)]
+    b = [f"b{i}" for i in range(7)] + shared + [f"B{i}" for i in range(5)]
+    assert _kf_spans(spark, [(1, a), (2, b)], w) == {(2, 8, 16, 5)}
+
+
+def test_keep_first_within_doc_keeps_earliest(spark):
+    """A run repeated inside ONE doc keeps its first occurrence and
+    removes only the second."""
+    w = 5
+    run = [f"r{i}" for i in range(6)]
+    doc = run + [f"f{i}" for i in range(4)] + run
+    assert _kf_spans(spark, [(1, doc)], w) == {(1, 11, 16, 2)}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    run_len=st.integers(min_value=5, max_value=14),
+    off_a=st.integers(min_value=0, max_value=6),
+    off_b=st.integers(min_value=0, max_value=6),
+)
+def test_property_keep_first_is_drop_all_minus_canonical(spark, run_len, off_a, off_b):
+    """For a run planted once in each of two docs, keep-first removal
+    equals the drop-all answer minus doc 1's (canonical) span -- one
+    copy of the duplicated substring always survives."""
+    w = 5
+    shared = [f"s{i}" for i in range(run_len)]
+    a = [f"a{i}" for i in range(off_a)] + shared + [f"A{i}" for i in range(3)]
+    b = [f"b{i}" for i in range(off_b)] + shared + [f"B{i}" for i in range(3)]
+    drop_all = _spans(spark, [(1, a), (2, b)], w)
+    keep_first = _kf_spans(spark, [(1, a), (2, b)], w)
+    assert keep_first == {s for s in drop_all if s[0] != 1}
+    assert keep_first == {(2, off_b + 1, off_b + run_len, run_len - w + 1)}
