@@ -897,7 +897,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region   ON n_regionkey = r_regionkey
       WHERE r_name = 'EUROPE'
       GROUP BY l_partkey, l_suppkey)
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type,
+                    supply_cost
     FROM costs
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -952,6 +953,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        # distinct before the top-100 cut: replayed/duplicated dimension
+        # rows fan the dim joins out by engine-specific multiplicities
+        # (this chain reuses the region-joined supplier dim; the oracle
+        # joins nation directly), and LIMIT would then cut different
+        # distinct coverage -- the result is a SET under TPC-H key
+        # semantics, so pin it as one (no-op on unique dims)
+        .dropDuplicates()
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )

@@ -352,8 +352,11 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
       FROM per_bigram GROUP BY doc_id
     ),
     toks AS (
-      SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq
-      FROM t
+      -- grouped like the Spark side's max-per-doc: duplicated doc rows
+      -- (ingestion replays) collapse to ONE stats row per doc_id
+      SELECT doc_id, MAX(len(w)) AS n_tokens,
+             MAX(len(list_distinct(w))) AS n_uniq
+      FROM t GROUP BY doc_id
     )
     SELECT s.doc_id,
            ROUND(s.top_bigram_count / s.n_bigrams, 6) AS top_bigram_frac,

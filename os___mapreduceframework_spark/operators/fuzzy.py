@@ -61,7 +61,10 @@ _DUCK_GRAMS = (
     cand AS (
       SELECT p.probe_id, ANY_VALUE(p.dirty) AS dirty, c.name,
              ANY_VALUE(p.np) AS np, ANY_VALUE(c.ng) AS ng,
-             COUNT(*) AS inter
+             -- DISTINCT: the intersection is a SET size; replayed/
+             -- duplicated probe rows would otherwise multiply the
+             -- row count past np + ng and 0-out the union denominator
+             COUNT(DISTINCT gram) AS inter
       FROM pgr p JOIN cgr c USING (gram)
       GROUP BY p.probe_id, c.name
     ),
@@ -111,7 +114,10 @@ def q_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("dirty").alias("dirty"),
             F.any_value("np").alias("np"),
             F.any_value("ng").alias("ng"),
-            F.count(F.lit(1)).alias("inter"),
+            # set-intersection size, robust to duplicated probe rows
+            # (ingestion replays): row counts would inflate past the
+            # union and divide by zero
+            F.countDistinct("gram").alias("inter"),
         )
     )
     jac = F.col("inter") / (F.col("np") + F.col("ng") - F.col("inter")).cast("double")

@@ -146,7 +146,7 @@ def q_search_count_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
                         AS token
                FROM documents)
-    SELECT token, COUNT(*) AS df
+    SELECT token, COUNT(DISTINCT doc_id) AS df
     FROM t
     GROUP BY token
     ORDER BY df DESC, token
@@ -154,16 +154,18 @@ def q_search_count_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Inverted-index build over the documents table, summarized as "
     "the document-frequency table (top 25 by df): explode distinct "
-    "tokens -> count docs per token. The full (token, doc_id) posting "
-    "relation is the reusable index artifact; df is the statistic "
-    "query planners order AND-terms by (rarest first).",
+    "tokens -> count DISTINCT docs per token (df is a per-document "
+    "statistic, so replayed/duplicated rows cannot inflate it). The "
+    "full (token, doc_id) posting relation is the reusable index "
+    "artifact; df is the statistic query planners order AND-terms by "
+    "(rarest first).",
 )
 def q_text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         inverted_index(docs)
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.countDistinct("doc_id").alias("df"))
         .orderBy(F.desc("df"), "token")
         .limit(25)
     )
@@ -175,7 +177,7 @@ SEARCH_TERMS = ("vector", "spark", "merge")  # fixture vocabulary tokens
 @query(
     "text_search_all_terms",
     oracle=f"""
-    SELECT doc_id
+    SELECT DISTINCT doc_id
     FROM documents
     WHERE {" AND ".join(
         f"list_contains(string_split(text, ' '), '{t}')" for t in SEARCH_TERMS
@@ -184,10 +186,13 @@ SEARCH_TERMS = ("vector", "spark", "merge")  # fixture vocabulary tokens
     """,
     doc="Multi-term AND search served from the (token, doc_id) inverted "
     "index: semi-join the terms' posting lists, keep docs matching "
-    "every term (match-count gate). Token equality is exact so no "
-    "verify pass is needed. At 100 TB each term lookup is a "
-    "bucket-pruned posting scan; intersection cost is the smallest "
-    "posting list, not the corpus.",
+    "every term (match-count gate over DISTINCT tokens -- postings are "
+    "a set, so replayed/duplicated document rows cannot inflate the "
+    "per-doc match count past the term count; oracle mirrors with "
+    "DISTINCT doc_id). Token equality is exact so no verify pass is "
+    "needed. At 100 TB each term lookup is a bucket-pruned posting "
+    "scan; intersection cost is the smallest posting list, not the "
+    "corpus.",
 )
 def q_text_search_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -195,7 +200,7 @@ def q_text_search_all_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         postings.filter(F.col("token").isin(list(SEARCH_TERMS)))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.countDistinct("token").alias("k"))
         .filter(F.col("k") == len(SEARCH_TERMS))
         .select("doc_id")
         .orderBy("doc_id")

@@ -481,7 +481,11 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_decode",
     oracle=f"""
     WITH v AS (
-      SELECT doc_id, doc_id % 256 + 64 AS n, doc_id % 7 + 1 AS k
+      -- rid: decode is PER PAYLOAD ROW, so a replayed/duplicated doc
+      -- row must yield its own (identical) output row, not merge its
+      -- samples into a doubled per-doc_id sum
+      SELECT ROW_NUMBER() OVER () AS rid, doc_id,
+             doc_id % 256 + 64 AS n, doc_id % 7 + 1 AS k
       FROM documents
     )
     SELECT v.doc_id,
@@ -490,7 +494,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM((u.i * v.k) % 256) AS BIGINT) AS sum_amp,
            CAST(MAX((u.i * v.k) % 256) AS BIGINT) AS max_amp
     FROM v, unnest(range(0, v.n)) AS u(i)
-    GROUP BY v.doc_id, v.n
+    GROUP BY v.rid, v.doc_id, v.n
     ORDER BY doc_id
     """,
     doc="REAL media decode end-to-end, stdlib-only: a deterministic "
@@ -564,11 +568,13 @@ _DFT_BINS = (1, 8, 32)
     "multimodal_audio_spectrum",
     oracle="""
     WITH d AS (
-      SELECT doc_id, doc_id % 256 + 64 AS n, doc_id % 7 + 1 AS k
+      -- rid: per-payload-row decode (see multimodal_audio_decode)
+      SELECT ROW_NUMBER() OVER () AS rid, doc_id,
+             doc_id % 256 + 64 AS n, doc_id % 7 + 1 AS k
       FROM documents
     ),
     s AS (
-      SELECT doc_id, n, i, CAST((i * k) % 256 AS DOUBLE) AS x
+      SELECT rid, doc_id, n, i, CAST((i * k) % 256 AS DOUBLE) AS x
       FROM d, unnest(range(0, n)) AS u(i)
     )
     SELECT doc_id,
@@ -580,7 +586,7 @@ _DFT_BINS = (1, 8, 32)
            ROUND(SQRT(POW(SUM(x * COS(2 * PI() * 32 * i / n)), 2)
                     + POW(SUM(x * SIN(2 * PI() * 32 * i / n)), 2)), 2) AS mag_b32
     FROM s
-    GROUP BY doc_id
+    GROUP BY rid, doc_id
     ORDER BY doc_id
     """,
     doc="Spectral feature extraction on REAL decoded audio: the WAV "
@@ -631,11 +637,13 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_decode",
     oracle="""
     WITH v AS (
-      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 9 + 4 AS h
+      -- rid: per-payload-row decode (see multimodal_audio_decode)
+      SELECT ROW_NUMBER() OVER () AS rid, doc_id,
+             doc_id % 13 + 4 AS w, doc_id % 9 + 4 AS h
       FROM documents
     ),
     px AS (
-      SELECT v.doc_id, v.w, v.h, ux.x, uy.y,
+      SELECT v.rid, v.doc_id, v.w, v.h, ux.x, uy.y,
              (3 * ux.x + 7 * uy.y + v.doc_id) % 256 AS r,
              (3 * ux.x + 7 * uy.y + 11 + v.doc_id) % 256 AS g,
              (3 * ux.x + 7 * uy.y + 22 + v.doc_id) % 256 AS b,
@@ -660,7 +668,7 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(AVG(CASE WHEN qy = 1 AND qx = 1 THEN r END), 4)
                 AS DOUBLE) AS pool_r11
     FROM px
-    GROUP BY doc_id
+    GROUP BY rid, doc_id
     ORDER BY doc_id
     """,
     doc="REAL image decode end-to-end, stdlib-only (the image sibling "
@@ -722,12 +730,14 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_video_decode",
     oracle="""
     WITH v AS (
-      SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h,
+      -- rid: per-payload-row decode (see multimodal_audio_decode)
+      SELECT ROW_NUMBER() OVER () AS rid, doc_id,
+             doc_id % 6 + 4 AS w, doc_id % 4 + 3 AS h,
              doc_id % 5 + 2 AS nf
       FROM documents
     ),
     px AS (
-      SELECT v.doc_id, v.w, v.h, v.nf, tt.t, xx.x, yy.y,
+      SELECT v.rid, v.doc_id, v.w, v.h, v.nf, tt.t, xx.x, yy.y,
              (3 * xx.x + 7 * yy.y + 5 * tt.t + v.doc_id) % 256 AS yv
       FROM v,
            unnest(range(0, v.nf)) AS tt(t),
@@ -746,7 +756,7 @@ def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN t = nf - 1 THEN yv ELSE 0 END) AS BIGINT)
              AS sum_y_last
     FROM px
-    GROUP BY doc_id
+    GROUP BY rid, doc_id
     ORDER BY doc_id
     """,
     doc="REAL video decode end-to-end, stdlib-only (closing the "

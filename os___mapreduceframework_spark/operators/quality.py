@@ -1302,7 +1302,11 @@ def q_events_funnel_timeboxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "between monitoring-for-free and doubling the read bill: metrics "
     "are computed as accumulator partials inside the tasks the "
     "pipeline already runs. Counters use count(CASE ...) so an empty "
-    "scan reports 0, not NULL (degenerate-cardinality contract).",
+    "scan reports 0, not NULL (degenerate-cardinality contract). "
+    "Known benign noise: the first Observation registers Spark's "
+    "session-wide ObservationManager listener, which ERROR-logs (and "
+    "ignores) any LATER query's failure event in the same session -- "
+    "log-level only, no effect on results.",
 )
 def q_quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation

@@ -217,15 +217,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM buckets, range(0, {N_PLANES}) AS r(p)
       WHERE vec_id < {N_QUERIES}
     ),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             {_SQL_COS} AS cos_sim,
-             ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                ORDER BY {_SQL_COS} DESC, c.vec_id) AS rn
+    pairs AS (
+      -- DISTINCT mirrors the Spark side's dedup: overlapping probes
+      -- AND duplicated corpus rows both collapse to one scored pair
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_SQL_COS} AS cos_sim
       FROM probes q
       JOIN buckets c ON c.bucket = q.pb AND c.vec_id <> q.vec_id
       JOIN embeddings a ON a.vec_id = q.vec_id
       JOIN embeddings b ON b.vec_id = c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM pairs
     )
     SELECT query_id, vec_id, cos_sim
     FROM scored WHERE rn <= {TOP_K}
@@ -341,15 +347,23 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_gram_matrix",
     oracle="""
-    WITH dims AS (
-      SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
-      FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+    WITH rows_ AS (
+      -- keyed by PHYSICAL row, not vec_id: a replayed/duplicated row
+      -- contributes its products once per copy (X^T X over the row
+      -- multiset, the Spark derivation), never cross-paired with its
+      -- twin the way a vec_id self-join would
+      SELECT ROW_NUMBER() OVER () AS rid, embedding::DOUBLE[] AS e
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT rid, i AS d, e[CAST(i + 1 AS INT)] AS val
+      FROM rows_, unnest(range(0, len(e))) AS u(i)
     )
     SELECT a.d AS i, b.d AS j,
            CAST(ROUND(CAST(SUM(CAST(ROUND(a.val * b.val * 1000.0)
                                     AS DECIMAL(38,0))) AS DOUBLE)
                       / 1000.0, 3) AS DOUBLE) AS g
-    FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.d <= b.d
+    FROM dims a JOIN dims b ON a.rid = b.rid AND a.d <= b.d
     GROUP BY 1, 2
     ORDER BY i, j
     """,
@@ -403,9 +417,13 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_filtered_topk",
     oracle=f"""
     WITH gated AS (
+      -- EXISTS, not JOIN: the gate is a SEMI-join on the Spark side,
+      -- so duplicated document rows must not fan the candidate corpus
+      -- out (a JOIN would double every candidate's multiplicity and
+      -- shift the top-k cut under replayed rows)
       SELECT e.* FROM embeddings e
-      JOIN documents d ON d.doc_id = e.vec_id
-      WHERE d.lang = 'en'
+      WHERE EXISTS (SELECT 1 FROM documents d
+                    WHERE d.doc_id = e.vec_id AND d.lang = 'en')
     ),
     scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -335,7 +335,11 @@ def q_merge_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
       FROM orders WHERE o_orderkey % 8 IN (6, 7)
     )
-    SELECT CASE WHEN o_orderkey % 8 = 7 THEN 'insert' ELSE 'update' END
+    -- DISTINCT: the assertion is about the change SET per key; the
+    -- sink's changes() is row-granular, so replayed/duplicated rows
+    -- would otherwise multiply through its key full-outer join
+    SELECT DISTINCT
+           CASE WHEN o_orderkey % 8 = 7 THEN 'insert' ELSE 'update' END
              AS change_type,
            o_orderkey,
            CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
@@ -376,6 +380,9 @@ def q_merge_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round("o_totalprice", 2).cast("double").alias("price"),
         )
+        # change SET per key (see oracle note): row-granular diffs of
+        # duplicated rows collapse to the distinct change rows
+        .dropDuplicates()
         .orderBy("o_orderkey")
     )
 

@@ -404,7 +404,19 @@ class SnapshotMergeTable:
         its file lists), and the full outer join on the table keys
         shuffles only those buckets' rows: cost proportional to changed
         data, not table size. Rows whose non-key columns are unchanged
-        are dropped."""
+        are dropped.
+
+        Duplicate-key rows (ingestion replays; the table never enforces
+        uniqueness) pair by ROW IDENTITY, not key alone: each side
+        numbers its rows per key (ordered by the value columns, so the
+        pairing is deterministic) and the diff joins on (keys, occ).
+        Two old copies vs two new copies of an updated key therefore
+        yield exactly two update rows -- a key-only join would fan out
+        2x2 and a delta consumer would double-apply the update. Surplus
+        occurrences on one side become inserts/deletes, which is the
+        correct multiset delta."""
+        from pyspark.sql import Window
+
         m_from = self._load_manifest(v_from)
         m_to = self._load_manifest(v_to)
         changed = sorted(
@@ -412,10 +424,28 @@ class SnapshotMergeTable:
             for b in set(m_from) | set(m_to)
             if m_from.get(b) != m_to.get(b)
         )
-        old = self._read_buckets(m_from, changed, version=v_from).alias("o")
-        new = self._read_buckets(m_to, changed, version=v_to).alias("n")
-        value_cols = [c for c in new.columns if c not in self.keys]
-        cond = [old[k].eqNullSafe(new[k]) for k in self.keys]
+        def with_occ(df: DataFrame) -> DataFrame:
+            vcols = [c for c in df.columns if c not in self.keys]
+            order = (
+                [F.col(c).asc_nulls_first() for c in vcols]
+                if vcols
+                else [F.lit(1)]
+            )
+            w = Window.partitionBy(*self.keys).orderBy(*order)
+            return df.withColumn("__occ", F.row_number().over(w))
+
+        old = with_occ(
+            self._read_buckets(m_from, changed, version=v_from)
+        ).alias("o")
+        new = with_occ(
+            self._read_buckets(m_to, changed, version=v_to)
+        ).alias("n")
+        value_cols = [
+            c for c in new.columns if c not in self.keys and c != "__occ"
+        ]
+        cond = [old[k].eqNullSafe(new[k]) for k in self.keys] + [
+            old["__occ"] == new["__occ"]
+        ]
         j = old.join(new, cond, "full_outer")
         old_key = F.coalesce(*[old[k] for k in self.keys[:1]])
         new_key = F.coalesce(*[new[k] for k in self.keys[:1]])
@@ -434,7 +464,7 @@ class SnapshotMergeTable:
             out_cols += [
                 old[c].alias(f"{c}__before")
                 for c in old.columns
-                if c not in self.keys
+                if c not in self.keys and c != "__occ"
             ]
         return (
             j.withColumn("change_type", change)

@@ -292,7 +292,11 @@ def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_binaryfile_ingest",
     oracle="""
-    SELECT doc_id,
+    -- DISTINCT: the landing zone is keyed by doc_id (one file per id),
+    -- so replayed/duplicated rows with identical content overwrite the
+    -- same object -- the idempotent-ingest property an id-keyed object
+    -- store gives for free
+    SELECT DISTINCT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents

@@ -115,17 +115,25 @@ def incremental_scd2(
 @query(
     "stream_scd2_user_state",
     oracle="""
+    WITH ev AS (
+      -- replay-dedup mirror: the stream drops duplicates on
+      -- (user_id, event_id) by design (ingestion replays must not
+      -- create phantom versions), so the one-shot rebuild dedups the
+      -- identical copies too
+      SELECT DISTINCT user_id, event_type, ts, event_id FROM events
+    )
     SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER w AS valid_to,
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
-    FROM events
+    FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, version
     """,
     doc="Streaming SCD2 maintenance: the events stream folds into a "
     "versioned validity-interval history via foreachBatch "
     "merge-recompute over affected users only (module doc). The "
-    "oracle is the one-shot batch rebuild -- incremental maintenance "
+    "oracle is the one-shot batch rebuild over replay-deduped events "
+    "(event_id is the event identity) -- incremental maintenance "
     "must converge to it exactly; the multi-batch replay (incl. "
     "out-of-order arrival) is pinned in tests/test_streaming_scd2.py.",
 )

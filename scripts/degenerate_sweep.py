@@ -18,8 +18,15 @@ Fixtures (schemas copied from sf0.001 so column types are identical):
   legitimately emit one NULL/0 row -- engines must agree which).
 - one: every table LIMIT 1 (deterministic min-key row). FKs may
   dangle -- that is the point; joins must survive it.
+- dup: every table UNION ALL'd with itself (2 bit-identical copies of
+  every row). The ingestion-retry shape: at 100 TB replayed batches
+  routinely double rows, and any query that assumes key uniqueness
+  (window ties, merge sources, asof picks, canonical votes) must still
+  agree with the oracle -- identical tied rows make ANY tiebreak
+  value-identical, so a divergence here is a real order-dependence or
+  uniqueness-assumption bug, never noise.
 
-Usage: python scripts/degenerate_sweep.py [empty|one] [names_substring]
+Usage: python scripts/degenerate_sweep.py [empty|one|dup] [names_substring]
 """
 
 from __future__ import annotations
@@ -65,6 +72,12 @@ def build_dir(mode: str) -> str:
                 f"COPY (SELECT * FROM read_parquet('{src}') WHERE 1=0) "
                 f"TO '{dst}' (FORMAT parquet)"
             )
+        elif mode == "dup":
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}') UNION ALL "
+                f"SELECT * FROM read_parquet('{src}')) "
+                f"TO '{dst}' (FORMAT parquet)"
+            )
         else:
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src}') "
@@ -87,7 +100,7 @@ def norm(cols, rows):
 
 
 def main() -> int:
-    modes = ["empty", "one"]
+    modes = ["empty", "one", "dup"]
     if len(sys.argv) > 1 and sys.argv[1] in modes:
         modes = [sys.argv[1]]
         only = sys.argv[2] if len(sys.argv) > 2 else ""
