@@ -566,3 +566,63 @@ def q_stream_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@query(
+    "stream_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS n_purchases,
+           CAST(COUNT(CASE WHEN value IS NOT NULL AND NOT isfinite(value)
+                           THEN 1 END) AS BIGINT) AS n_nonfinite_value
+    FROM events
+    """,
+    doc="STREAMING in-flight metrics via observe() (the streaming twin "
+    "of quality_observe_metrics): named counters attach to the event "
+    "stream and surface per micro-batch in StreamingQueryProgress."
+    "observedMetrics; the query sums them across every batch of an "
+    "availableNow run and the total must equal the batch aggregate "
+    "over the same fixture -- the cross-batch additivity that makes "
+    "streaming counters trustworthy dashboards. Counters are "
+    "count(CASE ...): additive, 0 on an empty batch, and the "
+    "non-finite counter is the monitoring view of the finite-"
+    "measurement ingestion contract (sources.finite_values). Zero "
+    "extra scans at any scale: metrics ride the tasks the stream "
+    "already runs.",
+)
+def q_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = events_stream(spark, sf_dir)
+    observed = ev.observe(
+        "ingest_quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+        F.count(
+            F.when(
+                F.col("value").isNotNull()
+                & (F.isnan("value") | (F.abs("value") == float("inf"))),
+                1,
+            )
+        ).alias("n_nonfinite_value"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"n_rows": 0, "n_purchases": 0, "n_nonfinite_value": 0}
+    for p in q.recentProgress or []:
+        om = (p.get("observedMetrics") or {}).get("ingest_quality")
+        if om:
+            for k in totals:
+                totals[k] += int(om[k])
+    schema = StructType(
+        [StructField(k, LongType(), False) for k in totals]
+    )
+    return spark.createDataFrame([tuple(totals.values())], schema)

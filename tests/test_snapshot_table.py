@@ -598,3 +598,56 @@ def test_empty_snapshots_round_trip(spark):
     t.merge(rows, merge_fn=lambda ex, up: ex.join(up, ["k"], "left_anti"))
     assert t.read().count() == 0 and t.read().columns == ["k", "v"]
     assert t.changes(1, 2).count() == 2
+
+
+def test_change_feed_duplicate_keys_pair_by_row_identity(spark, tmp_path):
+    """Replayed (duplicate-key) rows pair by (keys, occurrence), never
+    key-only: 2 old x 2 new copies of an updated key emit exactly 2
+    update rows (a key-only diff fans out 2x2=4 and a delta consumer
+    double-applies the update); surplus copies on one side classify as
+    insert/delete -- the correct multiset delta."""
+    t = SnapshotMergeTable(
+        spark, str(tmp_path / "dup"), keys=["k"], n_buckets=4
+    )
+    # v0: key 1 twice (replay), key 2 once, key 3 twice
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (1, 10), (2, 20), (3, 30), (3, 30)], "k long, v long"
+        )
+    )
+    # v1: key 1 updated (still 2 copies), key 2 now 2 copies (one
+    # surplus insert), key 3 down to 1 copy (one surplus delete)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 11), (1, 11), (2, 20), (2, 20), (3, 30)], "k long, v long"
+        )
+    )
+    rows = [
+        (r["change_type"], r["k"], r["v"], r["v__before"])
+        for r in t.changes(0, 1, before_image=True).collect()
+    ]
+    assert sorted(rows) == [
+        ("delete", 3, None, 30),
+        ("insert", 2, 20, None),
+        ("update", 1, 11, 10),
+        ("update", 1, 11, 10),
+    ]
+    # and the (count, sum) view maintained from this feed is exact
+    from os___mapreduceframework_spark.operators.ivm import maintain_sum_count
+    from pyspark.sql import functions as F
+
+    m0 = (
+        t.read(version=0)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+    )
+    m1 = maintain_sum_count(
+        m0, t.changes(0, 1, before_image=True), "k", "v"
+    )
+    got = {(r["k"], r["n"], float(r["total"])) for r in m1.collect()}
+    assert got == {(1, 2, 22.0), (2, 2, 40.0), (3, 1, 30.0)}
