@@ -1337,11 +1337,16 @@ def q_quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     try:
         m = obs.get
-    except Exception:
+    except Exception as ex:
         # an EMPTY scan is planned as a zero-partition local relation,
         # so the CollectMetrics node never executes and the observation
-        # holds no row (toPyRow assertion) -- the degenerate-cardinality
-        # contract is zero counters and undefined extrema
+        # holds no row (PythonSQLUtils.toPyRow assertion) -- the
+        # degenerate-cardinality contract is zero counters and
+        # undefined extrema. Anything else (py4j transport, interrupt)
+        # is a REAL error and must surface, not masquerade as an empty
+        # table.
+        if "assertion failed" not in str(ex):
+            raise
         m = {
             "n_rows": 0,
             "n_null_qty": 0,

@@ -415,8 +415,6 @@ class SnapshotMergeTable:
         2x2 and a delta consumer would double-apply the update. Surplus
         occurrences on one side become inserts/deletes, which is the
         correct multiset delta."""
-        from pyspark.sql import Window
-
         m_from = self._load_manifest(v_from)
         m_to = self._load_manifest(v_to)
         changed = sorted(
@@ -424,52 +422,72 @@ class SnapshotMergeTable:
             for b in set(m_from) | set(m_to)
             if m_from.get(b) != m_to.get(b)
         )
-        def with_occ(df: DataFrame) -> DataFrame:
+        # Occurrence pairing without extra shuffles: each side folds to
+        # ONE row per key -- __key = struct(key cols), whose plain ==
+        # is null-safe key matching (container comparison treats NULL
+        # fields as equal; a NULL key is a legitimate key value) and a
+        # SORTED array of that key's value rows. The diff is then a
+        # full-outer join on __key alone (the grouping exchange is
+        # reused: __key is ALL the join's cluster keys) and a
+        # scan-local zip_with that pairs the i-th old copy with the
+        # i-th new copy -- value-sorted, so the pairing is
+        # deterministic. Surplus copies pad as NULL structs and
+        # classify as insert/delete: the correct multiset delta, at
+        # exactly the two delta-sized exchanges the key-only diff had.
+        def fold(df: DataFrame):
             vcols = [c for c in df.columns if c not in self.keys]
-            order = (
-                [F.col(c).asc_nulls_first() for c in vcols]
-                if vcols
-                else [F.lit(1)]
+            return (
+                df.groupBy(F.struct(*self.keys).alias("__key"))
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct(*vcols))
+                    ).alias("rows")
+                ),
+                vcols,
             )
-            w = Window.partitionBy(*self.keys).orderBy(*order)
-            return df.withColumn("__occ", F.row_number().over(w))
 
-        old = with_occ(
+        old_g, old_vcols = fold(
             self._read_buckets(m_from, changed, version=v_from)
-        ).alias("o")
-        new = with_occ(
+        )
+        new_g, value_cols = fold(
             self._read_buckets(m_to, changed, version=v_to)
-        ).alias("n")
-        value_cols = [
-            c for c in new.columns if c not in self.keys and c != "__occ"
-        ]
-        cond = [old[k].eqNullSafe(new[k]) for k in self.keys] + [
-            old["__occ"] == new["__occ"]
-        ]
-        j = old.join(new, cond, "full_outer")
-        old_key = F.coalesce(*[old[k] for k in self.keys[:1]])
-        new_key = F.coalesce(*[new[k] for k in self.keys[:1]])
+        )
+        old_g, new_g = old_g.alias("o"), new_g.alias("n")
+        j = old_g.join(
+            new_g, old_g["__key"] == new_g["__key"], "full_outer"
+        ).select(
+            F.coalesce(new_g["__key"], old_g["__key"]).alias("__key"),
+            F.coalesce(old_g["rows"], F.array()).alias("o_rows"),
+            F.coalesce(new_g["rows"], F.array()).alias("n_rows"),
+        )
+        pairs = j.select(
+            "__key",
+            F.explode(
+                F.zip_with(
+                    "o_rows",
+                    "n_rows",
+                    lambda o, n: F.struct(o.alias("o"), n.alias("n")),
+                )
+            ).alias("p"),
+        )
+        o_p, n_p = F.col("p.o"), F.col("p.n")
+        # classify by PAIR-SIDE PRESENCE (zip_with pads the shorter
+        # side with NULL structs); struct equality is the null-safe
+        # all-columns unchanged test
         change = (
-            F.when(old_key.isNull(), F.lit("insert"))
-            .when(new_key.isNull(), F.lit("delete"))
+            F.when(o_p.isNull(), F.lit("insert"))
+            .when(n_p.isNull(), F.lit("delete"))
             .otherwise(F.lit("update"))
         )
-        same = F.lit(True)
-        for c in value_cols:
-            same = same & old[c].eqNullSafe(new[c])
-        out_cols = [
-            F.coalesce(new[k], old[k]).alias(k) for k in self.keys
-        ] + [new[c].alias(c) for c in value_cols]
+        out_cols = [F.col(f"__key.{k}").alias(k) for k in self.keys] + [
+            n_p[c].alias(c) for c in value_cols
+        ]
         if before_image:
-            out_cols += [
-                old[c].alias(f"{c}__before")
-                for c in old.columns
-                if c not in self.keys and c != "__occ"
-            ]
+            out_cols += [o_p[c].alias(f"{c}__before") for c in old_vcols]
         return (
-            j.withColumn("change_type", change)
+            pairs.withColumn("change_type", change)
             .filter(
-                (F.col("change_type") != "update") | ~same
+                (F.col("change_type") != "update") | ~(o_p == n_p)
             )
             .select("change_type", *out_cols)
         )

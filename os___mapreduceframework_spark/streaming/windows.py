@@ -609,15 +609,26 @@ def q_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_nonfinite_value"),
     )
-    q = (
-        observed.writeStream.format("noop")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # recentProgress is a ring buffer (numRecentProgressUpdates,
+    # default 100): a multi-file source split into >100 micro-batches
+    # would silently drop the oldest batches' counters -- raise the cap
+    # for this run so the sum really covers EVERY batch
+    conf_key = "spark.sql.streaming.numRecentProgressUpdates"
+    old_cap = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "100000")
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = list(q.recentProgress or [])
+    finally:
+        spark.conf.set(conf_key, old_cap)
     totals = {"n_rows": 0, "n_purchases": 0, "n_nonfinite_value": 0}
-    for p in q.recentProgress or []:
+    for p in progresses:
         om = (p.get("observedMetrics") or {}).get("ingest_quality")
         if om:
             for k in totals:

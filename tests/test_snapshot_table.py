@@ -651,3 +651,29 @@ def test_change_feed_duplicate_keys_pair_by_row_identity(spark, tmp_path):
     )
     got = {(r["k"], r["n"], float(r["total"])) for r in m1.collect()}
     assert got == {(1, 2, 22.0), (2, 2, 40.0), (3, 1, 30.0)}
+
+
+def test_change_feed_null_key_rows_classify_by_presence(spark, tmp_path):
+    """A NULL key is a legitimate key value (the NULL-FK fixtures ship
+    them): its delete and update must classify as delete/update, not
+    'insert', and an unchanged NULL-key row sharing a rewritten bucket
+    must not leak a phantom change. Classification keys off join-side
+    presence (__occ), never key-column nullness."""
+    t = SnapshotMergeTable(
+        spark, str(tmp_path / "nullk"), keys=["k"], n_buckets=2
+    )
+    t.overwrite(
+        spark.createDataFrame([(None, 5), (None, 7), (1, 10)], "k long, v long")
+    )
+    # v1: NULL-key v=5 updated to 6, NULL-key v=7 deleted, key 1 kept
+    t.overwrite(
+        spark.createDataFrame([(None, 6), (1, 10)], "k long, v long")
+    )
+    rows = sorted(
+        (r["change_type"], r["k"], r["v"], r["v__before"])
+        for r in t.changes(0, 1, before_image=True).collect()
+    )
+    assert rows == [
+        ("delete", None, None, 7),
+        ("update", None, 6, 5),
+    ]
