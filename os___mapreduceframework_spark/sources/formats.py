@@ -292,10 +292,11 @@ def partitioned_scan_for_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_binaryfile_ingest",
     oracle="""
-    -- DISTINCT: the landing zone is keyed by doc_id (one file per id),
-    -- so replayed/duplicated rows with identical content overwrite the
-    -- same object -- the idempotent-ingest property an id-keyed object
-    -- store gives for free
+    -- DISTINCT: the landing zone is content-addressed (object key =
+    -- doc_id + content md5), so replayed rows overwrite the same
+    -- object idempotently while differing-content duplicates land as
+    -- distinct objects -- the ingest materializes exactly the
+    -- DISTINCT (doc_id, content) set
     SELECT DISTINCT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
@@ -335,16 +336,28 @@ def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def write_files(rows) -> None:
+        import hashlib as _hashlib
+
         _os.makedirs(path, exist_ok=True)
         for r in rows:
-            with open(_os.path.join(path, f"doc_{r['doc_id']}.txt"), "wb") as f:
-                f.write(r["text"].encode("utf-8"))
+            # content-addressed object key: doc_{id}_{md5}.txt. A key
+            # of doc_id alone would let two duplicate-id rows with
+            # DIFFERING content race to the same object -- last writer
+            # wins across parallel tasks, a nondeterministic ingest.
+            # With the content hash in the key, identical replays stay
+            # idempotent (same key, same bytes) and differing-content
+            # duplicates land as distinct objects, exactly the
+            # DISTINCT (doc_id, content) set the oracle states.
+            data = r["text"].encode("utf-8")
+            name = f"doc_{r['doc_id']}_{_hashlib.md5(data).hexdigest()}.txt"
+            with open(_os.path.join(path, name), "wb") as f:
+                f.write(data)
 
     sample.foreachPartition(write_files)
     back = spark.read.format("binaryFile").load(path)
     return (
         back.select(
-            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt", 1)
+            F.regexp_extract(F.col("path"), r"doc_(\d+)_[0-9a-f]{32}\.txt", 1)
             .cast("bigint")
             .alias("doc_id"),
             F.col("length").alias("n_bytes"),

@@ -9,7 +9,8 @@ existing history rows are folded back to events, unioned with the new
 events, and their intervals recomputed with the same lead()/row_number()
 windows as the batch operator; every other user's rows pass through
 untouched. The recompute-per-affected-key design makes the maintenance
-idempotent under replays (dropDuplicates on (user_id, event_id)) and
+idempotent under replays (deterministic one-winner dedup per
+(user_id, event_id), see ``_dedup_events``) and
 correct under late/out-of-order arrivals across batches -- a late event
 splices into its user's timeline because the user's whole (small)
 history is re-windowed, while the table-wide cost stays proportional to
@@ -45,6 +46,28 @@ _HISTORY_SCHEMA = (
 )
 
 
+def _dedup_events(events: DataFrame) -> DataFrame:
+    """Deterministic replay dedup: ONE winner per (user_id, event_id),
+    the (ts, event_type)-minimal payload. ``dropDuplicates`` on the key
+    subset keeps an ARBITRARY row when a replayed event_id arrives with
+    a differing payload (a corrected ts, say), so the surviving version
+    -- and the whole downstream timeline -- would depend on partition
+    and batch arrival order. The min-winner depends only on the SET of
+    payloads ever seen, so multi-batch replays converge to the same
+    history no matter the delivery order, and the DuckDB oracle can
+    mirror the rule exactly (NULLS FIRST spelled on both engines:
+    Spark asc defaults nulls-first, DuckDB ASC defaults NULLS LAST)."""
+    w = W.partitionBy("user_id", "event_id").orderBy(
+        F.col("ts").asc_nulls_first(),
+        F.col("event_type").asc_nulls_first(),
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _rewindow(events: DataFrame) -> DataFrame:
     """The batch SCD2 shape, keeping event_id for replay-dedup and
     deterministic tie-break."""
@@ -71,7 +94,7 @@ def _scd2_merge(existing: DataFrame, batch: DataFrame) -> DataFrame:
         F.col("valid_from").alias("ts"),
         "event_id",
     )
-    merged = prior_events.unionByName(batch).dropDuplicates(["user_id", "event_id"])
+    merged = _dedup_events(prior_events.unionByName(batch))
     return keep.unionByName(_rewindow(merged))
 
 
@@ -92,9 +115,7 @@ def incremental_scd2(
             return
         batch = batch_df.select("user_id", "event_type", "ts", "event_id")
         if not table.exists():
-            table.overwrite(
-                _rewindow(batch.dropDuplicates(["user_id", "event_id"]))
-            )
+            table.overwrite(_rewindow(_dedup_events(batch)))
             return
         table.merge(batch, merge_fn=_scd2_merge)
 
@@ -116,11 +137,18 @@ def incremental_scd2(
     "stream_scd2_user_state",
     oracle="""
     WITH ev AS (
-      -- replay-dedup mirror: the stream drops duplicates on
-      -- (user_id, event_id) by design (ingestion replays must not
-      -- create phantom versions), so the one-shot rebuild dedups the
-      -- identical copies too
-      SELECT DISTINCT user_id, event_type, ts, event_id FROM events
+      -- replay-dedup mirror: the stream keeps ONE deterministic winner
+      -- per (user_id, event_id) -- the (ts, event_type)-minimal payload
+      -- (ingestion replays must not create phantom versions, and a
+      -- replay with a differing payload must not pick an
+      -- arrival-order-dependent survivor)
+      SELECT user_id, event_type, ts, event_id FROM (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_id
+                 ORDER BY ts ASC NULLS FIRST, event_type ASC NULLS FIRST
+               ) AS rn
+        FROM events) WHERE rn = 1
     )
     SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER w AS valid_to,

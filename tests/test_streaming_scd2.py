@@ -75,10 +75,27 @@ def test_streamed_history_equals_batch_rebuild(spark):
 
 def test_replayed_batch_is_idempotent(spark):
     """Re-delivering the same events (replay after failure) must not
-    duplicate versions: dropDuplicates on (user_id, event_id)."""
+    duplicate versions: one deterministic winner per (user_id,
+    event_id)."""
     got = _run_stream(spark, BATCH1, BATCH1)
     assert got.count() == len(BATCH1)
     versions = [
         (r["user_id"], r["version"]) for r in got.collect()
     ]
     assert len(versions) == len(set(versions))
+
+
+def test_conflicting_replay_picks_deterministic_winner(spark):
+    """A replayed event_id carrying a DIFFERENT payload (corrected ts)
+    must resolve to the (ts, event_type)-minimal winner regardless of
+    which batch delivered it -- both delivery orders converge to the
+    same history."""
+    original = [(1, "a", _t(10), 100), (1, "b", _t(30), 101)]
+    corrected = [(1, "a2", _t(5), 100)]  # same event_id, earlier ts
+    fwd = _run_stream(spark, original, corrected)
+    rev = _run_stream(spark, corrected, original)
+    as_rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert as_rows(fwd) == as_rows(rev)
+    # winner for event 100 is the ts-minimal payload (a2 at minute 5)
+    states = [r["state"] for r in fwd.orderBy("version").collect()]
+    assert states == ["a2", "b"]
