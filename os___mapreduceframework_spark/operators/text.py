@@ -621,17 +621,19 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 F.min(F.struct("sym", "nxt")).alias("ab"),
                 F.first("mc").alias("cnt"),
             )
-            # no pairs at all (empty corpus, or vocabulary already
-            # fully merged): the global agg still emits one all-NULL
-            # row -- there is no merge this round, drop it
-            .filter(F.col("ab").isNotNull())
             .select(
                 F.col("ab.sym").alias("a"), F.col("ab.nxt").alias("b"), "cnt"
             )
-            .localCheckpoint(eager=False)  # <=1 row, read by output AND merge
+            .localCheckpoint(eager=False)  # 1 row, read by output AND merge
         )
+        # best is EXACTLY one row: on a merge-less round (empty corpus,
+        # or vocabulary already fully merged) the global agg emits one
+        # all-NULL row, kept so the merge below stays a 1-row CROSS
+        # join (whole-stage-codegen'd BNLJ; a left-outer BNLJ drops the
+        # merge fold out of codegen, measured 2-6x slower) -- the
+        # no-merge row is filtered only from the OUTPUT
         step_rows.append(
-            best.select(
+            best.filter(F.col("a").isNotNull()).select(
                 F.lit(j).alias("step"),
                 F.col("a").alias("left_sym"),
                 F.col("b").alias("right_sym"),
@@ -639,9 +641,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
         )
         s = (
-            # left join on TRUE, not crossJoin: a merge-less round must
-            # leave the vocabulary unchanged, not annihilate it
-            s.join(F.broadcast(best), F.lit(True), "left")
+            # cross join with the guaranteed-1-row best: a merge-less
+            # round carries the all-NULL row and the when() below
+            # leaves the vocabulary unchanged instead of annihilating it
+            s.crossJoin(F.broadcast(best))
             .select(
                 "word",
                 "w",
