@@ -99,3 +99,27 @@ def test_conflicting_replay_picks_deterministic_winner(spark):
     # winner for event 100 is the ts-minimal payload (a2 at minute 5)
     states = [r["state"] for r in fwd.orderBy("version").collect()]
     assert states == ["a2", "b"]
+
+
+def test_dedup_events_order_and_partition_invariant(spark):
+    """_dedup_events must pick the same winner set for ANY delivery
+    order and ANY partitioning of the same event multiset -- the
+    contract that makes multi-batch replays converge."""
+    from itertools import permutations
+
+    from os___mapreduceframework_spark.streaming.scd2 import _dedup_events
+
+    rows = [
+        (1, "b", _t(10), 100),
+        (1, "a", _t(10), 100),  # same key+ts, event_type breaks the tie
+        (1, "c", _t(5), 100),   # earlier ts wins outright
+        (2, "x", _t(1), 200),
+        (2, "x", _t(1), 200),   # exact duplicate
+    ]
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    want = {(1, "c", _t(5), 100), (2, "x", _t(1), 200)}
+    for perm in list(permutations(rows))[:8]:
+        for n_parts in (1, 3):
+            df = spark.createDataFrame(list(perm), schema).repartition(n_parts)
+            got = {tuple(r) for r in _dedup_events(df).collect()}
+            assert got == want, (perm, n_parts, got)
