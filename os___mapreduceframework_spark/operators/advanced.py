@@ -379,20 +379,32 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_orderpriority,
            NTILE(4) OVER w AS price_quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CASE WHEN COUNT(*) OVER p = 1 THEN 0
+                ELSE ((RANK() OVER w - 1) * 1000000)
+                     // (COUNT(*) OVER p - 1) END AS pct_rank_ppm,
+           (COUNT(*) OVER wc * 1000000) // COUNT(*) OVER p AS cume_ppm,
            FIRST_VALUE(o_orderkey) OVER w AS cheapest_in_priority
     FROM orders
     WHERE o_orderkey <= 3000
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey),
+           wc AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice NULLS FIRST, o_orderkey
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           p AS (PARTITION BY o_orderpriority)
     ORDER BY o_orderkey
     """,
     doc="Distribution window functions: ntile / percent_rank / "
     "cume_dist / first_value. (o_totalprice ties broken by key so both "
     "engines agree; NULL prices pinned FIRST on both engines -- Spark "
     "defaults asc to NULLS FIRST, DuckDB to NULLS LAST, so an "
-    "unpinned nullable sort key silently reshuffles every rank.)",
+    "unpinned nullable sort key silently reshuffles every rank.) The "
+    "distribution ranks are emitted as EXACT parts-per-million "
+    "integers -- floor((rank-1)*1e6/(n-1)) in pure integer arithmetic "
+    "-- because ROUND(percent_rank, k) sits on a .5 boundary whenever "
+    "(rank-1)*10^k is a half-multiple of (n-1), and the engines "
+    "round halves differently (Spark half-up, DuckDB half-even); "
+    "integer floor-division is bit-portable at any scale.",
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -400,15 +412,25 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_orderpriority").orderBy(
         F.asc_nulls_first("o_totalprice"), "o_orderkey"
     )
+    wc = w.rangeBetween(W.unboundedPreceding, W.currentRow)
+    p = W.partitionBy("o_orderpriority")
     return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 3000)
+        .withColumn("__n", F.count(F.lit(1)).over(p))
+        .withColumn("__rk", F.rank().over(w).cast("long"))
+        .withColumn("__cc", F.count(F.lit(1)).over(wc))
         .select(
             "o_orderkey",
             "o_orderpriority",
             F.ntile(4).over(w).alias("price_quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            # `div` is Spark SQL's exact integer division -- the same
+            # arithmetic as DuckDB's `//`, no double rounding anywhere
+            F.expr(
+                "CASE WHEN __n = 1 THEN 0L "
+                "ELSE ((__rk - 1) * 1000000) div (__n - 1) END"
+            ).alias("pct_rank_ppm"),
+            F.expr("(__cc * 1000000) div __n").alias("cume_ppm"),
             F.first("o_orderkey").over(w).alias("cheapest_in_priority"),
         )
         .orderBy("o_orderkey")

@@ -54,7 +54,14 @@ _GRAMS_EXPR_TPL = (
 _GRAMS_EXPR = _GRAMS_EXPR_TPL.format(n=NGRAM)
 
 _GRAMS_SQL = f"""
-    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    -- canonical document per id: a replayed doc_id carrying corrected
+    -- text/source must resolve to ONE deterministic row (field-wise
+    -- MIN; engines agree on scalar MIN incl. NULL-skipping) before any
+    -- gram/keeper/split logic -- otherwise per-doc gram streams mix
+    -- copies and keeper/semi-join gates fan out engine-dependently
+    cdoc AS (SELECT doc_id, MIN(text) AS text, MIN(source) AS source
+             FROM documents GROUP BY doc_id),
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM cdoc
           WHERE len(string_split(text, ' ')) >= {NGRAM}),
     g AS (SELECT doc_id,
                  list_distinct(list_transform(range(1, len(w) - {NGRAM} + 2),
@@ -62,6 +69,18 @@ _GRAMS_SQL = f"""
           FROM t),
     gr AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g)
 """
+
+
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """One canonical row per doc_id: field-wise MIN of (text, source).
+    The duplicate-replay contract for the contamination family (SQL
+    twin: the ``cdoc`` CTE in ``_GRAMS_SQL``): scalar MIN is
+    NULL-skipping and identically ordered on both engines, so a
+    replayed doc_id with corrected fields resolves deterministically
+    instead of fanning gram streams and keeper gates per copy."""
+    return docs.groupBy("doc_id").agg(
+        F.min("text").alias("text"), F.min("source").alias("source")
+    )
 
 
 def doc_ngrams(docs: DataFrame, n: int = NGRAM) -> DataFrame:
@@ -101,7 +120,7 @@ def doc_ngrams(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     "its n-grams -- the GPT-3-style contamination check at corpus scale.",
 )
 def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grams = doc_ngrams(load_table(spark, sf_dir, "documents"))
+    grams = doc_ngrams(canonical_docs(load_table(spark, sf_dir, "documents")))
     eval_grams = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
     )
@@ -138,7 +157,7 @@ def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS docs_total,
            COUNT(f.doc_id) AS docs_contaminated,
            ROUND(COUNT(f.doc_id) / COUNT(*), 6) AS contamination_rate
-    FROM documents d
+    FROM cdoc d
     JOIN train_docs t ON d.doc_id = t.doc_id
     LEFT JOIN flagged f ON d.doc_id = f.doc_id
     GROUP BY d.source
@@ -149,7 +168,7 @@ def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Same broadcast-semi shape; one extra tiny join to source labels.",
 )
 def q_curation_decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = canonical_docs(load_table(spark, sf_dir, "documents"))
     grams = doc_ngrams(docs)
     eval_grams = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
@@ -191,12 +210,12 @@ def q_curation_decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFr
     -- exact dedup: keeper = min doc_id per normalized-text fingerprint
     keepers AS (
       SELECT MIN(doc_id) AS doc_id
-      FROM documents
+      FROM cdoc
       GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
     ),
     survivors AS (
       SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tok
-      FROM documents d
+      FROM cdoc d
       JOIN keepers k ON d.doc_id = k.doc_id
       LEFT JOIN contaminated c ON d.doc_id = c.doc_id
       WHERE d.doc_id % {EVAL_MOD} <> 0 AND c.doc_id IS NULL
@@ -220,7 +239,7 @@ def q_curation_decontaminate_summary(spark: SparkSession, sf_dir: str) -> DataFr
     "production path.",
 )
 def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = canonical_docs(load_table(spark, sf_dir, "documents"))
     grams = doc_ngrams(docs)
     eval_grams = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()

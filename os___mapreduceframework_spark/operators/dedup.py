@@ -48,6 +48,7 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     _EMB_BANDS_SQL,
     _EMB_WEIGHT_DIMS,
     _plane_weights,
+    canonical_embeddings,
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.queries import REGISTRY, query
@@ -367,8 +368,8 @@ def embedding_near_exact(emb: DataFrame, threshold: float) -> DataFrame:
     SELECT c.vec_a, c.vec_b,
            CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN NULL ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) END AS cos_sim
     FROM ecand c
-    JOIN embeddings a ON a.vec_id = c.vec_a
-    JOIN embeddings b ON b.vec_id = c.vec_b
+    JOIN cemb a ON a.vec_id = c.vec_a
+    JOIN cemb b ON b.vec_id = c.vec_b
     WHERE CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN NULL ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) END
           >= {COSINE_NEAR_THRESHOLD}
     ORDER BY vec_a, vec_b
@@ -383,9 +384,14 @@ def embedding_near_exact(emb: DataFrame, threshold: float) -> DataFrame:
     "quadratic comparison is impossible.",
 )
 def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    # canonical vector per id (duplicate-replay contract; cemb twin);
+    # three consumers (banding + both verify sides) share one lazy
+    # localCheckpoint instead of re-shuffling the corpus per consumer
+    emb = canonical_embeddings(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).localCheckpoint(eager=False)
     # band rows are corpus x 32; bucket_pairs merge-hints both self-join
     # sides (no fact broadcast) and caps per-bucket pair fan-out so a
     # near-constant embedding corpus cannot go quadratic (hot-bucket
@@ -829,8 +835,8 @@ def q_dedup_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     near AS (
       SELECT c.vec_a, c.vec_b
       FROM ecand c
-      JOIN embeddings a ON a.vec_id = c.vec_a
-      JOIN embeddings b ON b.vec_id = c.vec_b
+      JOIN cemb a ON a.vec_id = c.vec_a
+      JOIN cemb b ON b.vec_id = c.vec_b
       WHERE CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN NULL ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) END
             >= {COSINE_NEAR_THRESHOLD}
     ),

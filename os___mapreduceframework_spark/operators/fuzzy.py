@@ -44,8 +44,12 @@ _DUCK_GRAMS = (
     oracle=f"""
     WITH catalog AS (SELECT DISTINCT p_name AS name FROM part),
     probes AS (
-      SELECT p_partkey AS probe_id, substr(p_name, 2) AS dirty
+      -- canonical probe string per id (MIN): a replayed part row with
+      -- a corrected name must not fan one probe into two gram streams
+      -- whose any_value()/intersection mix is engine-order-dependent
+      SELECT p_partkey AS probe_id, MIN(substr(p_name, 2)) AS dirty
       FROM part WHERE p_partkey % {PROBE_MOD} = 0
+      GROUP BY p_partkey
     ),
     cg AS (
       SELECT name, grams, len(grams) AS ng
@@ -92,9 +96,12 @@ _DUCK_GRAMS = (
 def q_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     catalog = part.select(F.col("p_name").alias("name")).distinct()
-    probes = part.filter(F.col("p_partkey") % PROBE_MOD == 0).select(
-        F.col("p_partkey").alias("probe_id"),
-        F.expr("substring(p_name, 2)").alias("dirty"),
+    # canonical probe per id (oracle's probes CTE): MIN of the dirty
+    # variants, so conflicting duplicate part rows stay deterministic
+    probes = (
+        part.filter(F.col("p_partkey") % PROBE_MOD == 0)
+        .groupBy(F.col("p_partkey").alias("probe_id"))
+        .agg(F.min(F.expr("substring(p_name, 2)")).alias("dirty"))
     )
     cgr = catalog.select(
         "name", F.expr(_SPARK_GRAMS.format(c="name")).alias("grams")

@@ -381,6 +381,17 @@ def _emb_plane_index(band: int, j: int) -> int:
 
 
 _EMB_BANDS_SQL = f"""
+    -- canonical vector per id: replayed/conflicting duplicate rows
+    -- resolve to the lexicographically-minimal embedding BEFORE any
+    -- signature math (MIN over lists is identical in both engines;
+    -- all-NULL groups stay NULL and band to nothing). Without this, a
+    -- duplicate vec_id would let the plane sums mix copies here while
+    -- the engine bands each row separately -- structurally divergent,
+    -- and every per-id winner join downstream would be ambiguous.
+    cemb AS (
+      SELECT vec_id, MIN(embedding) AS embedding
+      FROM embeddings GROUP BY vec_id
+    ),
     w AS (
       SELECT p, d,
              (('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
@@ -389,7 +400,7 @@ _EMB_BANDS_SQL = f"""
     ),
     dims AS (
       SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
-      FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+      FROM cemb, unnest(range(0, len(embedding))) AS u(i)
     ),
     psums AS (
       SELECT vec_id, p, SUM(wt * val) AS s
@@ -412,7 +423,7 @@ _EMB_BANDS_SQL = f"""
     f" + (CASE WHEN n > {EMB_ADAPT_REF << k} THEN 1 ELSE 0 END)"
     for k in range(EMB_MAX_PLANES_PER_BAND - EMB_PLANES_PER_BAND)
 ) + """ AS nbits
-      FROM (SELECT COUNT(*) AS n FROM embeddings)
+      FROM (SELECT COUNT(*) AS n FROM cemb)
     ),
     ebands AS (
       SELECT vec_id, band,
@@ -433,6 +444,20 @@ def _plane_weights(p: int, dim: int) -> list[int]:
         int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000
         for d in range(dim)
     ]
+
+
+def canonical_embeddings(emb: DataFrame) -> DataFrame:
+    """One canonical row per vec_id: the lexicographically-minimal
+    embedding (MIN over arrays, identical ordering in Spark and
+    DuckDB; all-NULL ids stay NULL and band to nothing). The
+    duplicate-replay ingestion contract for the banded family -- a
+    replayed vec_id carrying a corrected vector must not band each
+    copy separately while per-id joins downstream pick ambiguous
+    winners. Map-side-combinable partial MIN: the exchange carries one
+    row per id, the same cost class as any ingestion dedup. SQL twin:
+    the ``cemb`` CTE in ``_EMB_BANDS_SQL``. Expects columns
+    (vec_id, e)."""
+    return emb.groupBy("vec_id").agg(F.min("e").alias("e"))
 
 
 def embedding_band_buckets(

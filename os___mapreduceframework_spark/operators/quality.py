@@ -447,14 +447,24 @@ def q_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_quantile_sketch",
     oracle="""
     WITH l AS (SELECT COALESCE(source, '(null)') AS source,
-                      length(text) AS len FROM documents)
-    SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
-           CAST(ROUND(quantile_cont(len, 0.5), 1) AS DOUBLE) AS p50_exact,
-           CAST(ROUND(quantile_cont(len, 0.9), 1) AS DOUBLE) AS p90_exact,
-           CAST(ROUND(quantile_cont(len, 0.99), 1) AS DOUBLE) AS p99_exact,
+                      length(text) AS len FROM documents),
+    t AS (SELECT source AS gsource, len FROM l
+          UNION ALL SELECT 'ALL', len FROM l),
+    -- NULL lengths are excluded from the rank space entirely (the
+    -- aggregate-percentile NULL-skipping semantics both engines share;
+    -- ranking them would also hit the engines' opposite NULL sort
+    -- defaults)
+    r AS (SELECT gsource, len,
+                 ROW_NUMBER() OVER (PARTITION BY gsource ORDER BY len) - 1
+                   AS rn,
+                 COUNT(*) OVER (PARTITION BY gsource) AS n
+          FROM t WHERE len IS NOT NULL)
+    SELECT gsource AS source,
+           MIN(CASE WHEN rn = (50 * (n-1)) // 100 THEN len END) AS p50_disc,
+           MIN(CASE WHEN rn = (90 * (n-1)) // 100 THEN len END) AS p90_disc,
+           MIN(CASE WHEN rn = (99 * (n-1)) // 100 THEN len END) AS p99_disc,
            TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-    FROM l GROUP BY ROLLUP(source)
-    HAVING COUNT(*) > 0
+    FROM r GROUP BY gsource
     ORDER BY source
     """,
     doc="Mergeable quantile sketch rollup (the t-digest-style companion "
@@ -483,7 +493,6 @@ def q_quality_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
     aggs = []
     for p, tag in pcts:
-        aggs.append(F.expr(f"percentile(len, {p})").alias(f"{tag}_e"))
         aggs.append(F.expr(f"percentile_approx(len, {p}, 10000)").alias(f"{tag}_a"))
     stats = (
         lens.rollup("source")
@@ -502,6 +511,28 @@ def q_quality_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = lens.select(
         F.explode(F.array("source", F.lit("ALL"))).alias("gsource"), "len"
     )
+    # exact companions are DISCRETE order statistics -- the element at
+    # integer rank (p*100 * (n-1)) div 100, selected with pure integer
+    # arithmetic. Interpolated percentiles (Spark percentile vs DuckDB
+    # quantile_cont) compute the same formula in different expression
+    # orders, so the last double ulp can differ and ROUND amplifies it
+    # at .5 boundaries; an order statistic is an actual element, exact
+    # on both engines at any scale.
+    ranked = tagged.filter(F.col("len").isNotNull()).select(
+        "gsource",
+        "len",
+        (F.row_number().over(W.partitionBy("gsource").orderBy("len")) - 1).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy("gsource")).alias("__n"),
+    )
+    disc_aggs = [
+        F.min(
+            F.when(
+                F.expr(f"__rn = ({int(p * 100)} * (__n - 1)) div 100"),
+                F.col("len"),
+            )
+        ).alias(f"{tag}_disc")
+        for p, tag in pcts
+    ]
     fr = [
         f
         for _, tag in pcts
@@ -510,19 +541,32 @@ def q_quality_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("len") <= F.col(f"{tag}_a")).cast("double")).alias(f"{tag}_le"),
         )
     ]
-    fracs = tagged.join(F.broadcast(stats), "gsource").groupBy("gsource").agg(*fr)
+    # ONE grouped aggregate computes the rank-audit fractions AND the
+    # discrete quantiles: it sits directly above the rank window on the
+    # same key, so the window's gsource exchange is the only shuffle
+    # this whole stage pays (a separate fracs aggregate would let
+    # Catalyst prune the window from its branch and pay a second
+    # exchange). NULL lens were avg-skipped either way (NULL
+    # comparisons), so ranked's NULL filter changes nothing here.
+    fracs = (
+        ranked.join(F.broadcast(stats), "gsource")
+        .groupBy("gsource")
+        .agg(*fr, *disc_aggs)
+    )
     eps = 0.005  # rank-error bound: n/accuracy <= 1e-4, plus FP slack
     out = [F.col("gsource").alias("source")]
     flags = []
     for p, tag in pcts:
-        out.append(F.round(F.col(f"{tag}_e"), 1).cast("double").alias(f"{tag}_exact"))
+        out.append(F.col(f"{tag}_disc"))
         flags.append(
             (
                 (F.col(f"{tag}_lt") <= p + eps) & (F.col(f"{tag}_le") >= p - eps)
             ).alias(f"{tag}_ok")
         )
     return (
-        stats.join(F.broadcast(fracs), "gsource").select(*out, *flags).orderBy("source")
+        stats.join(F.broadcast(fracs), "gsource")
+        .select(*out, *flags)
+        .orderBy("source")
     )
 
 

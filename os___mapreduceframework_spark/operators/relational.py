@@ -749,18 +749,23 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            ROUND(SUM(l_quantity) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
     FROM lineitem
     WHERE l_suppkey < 20
     ORDER BY l_suppkey, l_orderkey, l_linenumber
     """,
-    doc="Running-total analytic frame (ROWS UNBOUNDED PRECEDING).",
+    doc="Running-total analytic frame (ROWS UNBOUNDED PRECEDING). The "
+    "summed measure is the FINAL window-order tiebreak: a ROWS frame "
+    "under replayed rows that tie on the whole logical key but carry "
+    "corrected quantities would otherwise produce engine-order "
+    "prefix sums (rows identical in every column stay interchangeable, "
+    "so the dup-replay shape is still deterministic).",
 )
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (

@@ -26,6 +26,7 @@ from os___mapreduceframework_spark.operators.minhash import (
     _cosine_prenorm,
     _norm,
     bucket_pairs,
+    canonical_embeddings,
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.queries import query
@@ -868,8 +869,8 @@ _SQL_COS4_PAIR = (
     scored AS (
       SELECT p.v, p.n, {cos4} AS cs
       FROM pairs p
-      JOIN embeddings a ON a.vec_id = p.v
-      JOIN embeddings b ON b.vec_id = p.n
+      JOIN cemb a ON a.vec_id = p.v
+      JOIN cemb b ON b.vec_id = p.n
     ),
     ranked AS (
       SELECT v, n, cs,
@@ -878,7 +879,7 @@ _SQL_COS4_PAIR = (
       FROM scored
     )
     SELECT e.vec_id, r.n AS nbr_id, r.cs AS cos_sim
-    FROM embeddings e
+    FROM cemb e
     LEFT JOIN ranked r ON r.v = e.vec_id AND r.rn = 1
     ORDER BY vec_id
     """.format(bands=_EMB_BANDS_SQL, cos4=_SQL_COS4_PAIR),
@@ -896,9 +897,15 @@ _SQL_COS4_PAIR = (
     "parameters like dedup_embedding_near.",
 )
 def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    # canonical vector per id (duplicate-replay contract; cemb twin);
+    # four consumers (banding, both norm sides, the final id list) --
+    # one lazy localCheckpoint materializes the canonical agg once
+    # instead of re-shuffling the corpus per consumer
+    emb = canonical_embeddings(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).localCheckpoint(eager=False)
     # undirected capped candidates (hot-bucket guard: a degenerate
     # bucket yields O(n * cap) pairs, not O(n^2)), expanded to both
     # directions -- same shape as the oracle's UNION over ecand

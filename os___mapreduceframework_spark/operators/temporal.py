@@ -342,11 +342,15 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
+           CAST(ROUND((MIN(struct_pack(
+             k := lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0'),
+             o := COALESCE(value, 'infinity'::DOUBLE), v := value))).v, 4) AS DOUBLE)
              AS open,
            CAST(ROUND(MAX(value), 4) AS DOUBLE) AS high,
            CAST(ROUND(MIN(value), 4) AS DOUBLE) AS low,
-           CAST(ROUND(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
+           CAST(ROUND((MAX(struct_pack(
+             k := lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0'),
+             o := COALESCE(value, '-infinity'::DOUBLE), v := value))).v, 4) AS DOUBLE)
              AS close
     FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY event_type, date_trunc('hour', ts)
@@ -355,32 +359,47 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="OHLC downsampling (the candlestick resample every time-series "
     "store ships): per (series, hour) bucket -- first value (open), "
     "max (high), min (low), last value (close), row count. ONE "
-    "map-side-combinable aggregate: open/close are min_by/max_by on "
-    "the (ts, event_id) tiebreak struct, so no window pass and no "
+    "map-side-combinable aggregate: open/close are struct-min/max on "
+    "((ts, event_id) key, value) ordering structs, so no window pass and no "
     "per-bucket sort; state is four scalars per bucket however many "
     "events the hour holds. The hour key is emitted as a formatted "
     "string so both engines hash identical values.",
 )
 def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = finite_values(load_table(spark, sf_dir, "events"))
-    # UNIQUE zero-padded string key: duplicate timestamps exist in real
-    # feeds (and in the adversarial fixtures) and the engines' native
-    # tie rules differ (Spark max_by(struct) takes the LAST max, DuckDB
-    # arg_max ORDER BY keeps the FIRST) -- a key that cannot tie makes
-    # open/close deterministic and engine-independent
+    # Zero-padded string key orders (ts, event_id) identically on both
+    # engines; the VALUE itself is the final struct-ordering component
+    # because even this key can tie -- a replayed event_id carrying a
+    # corrected value -- and the engines' native tie rules differ
+    # (Spark max_by takes the LAST max, DuckDB arg_max the FIRST).
+    # Contract: among same-key conflicts, open resolves to the SMALLER
+    # value, close to the LARGER, and NULL-valued duplicates lose the
+    # tie (their ordering slot is +-infinity, which finite ingestion
+    # guarantees no real measurement occupies). min/max over a struct
+    # is lexicographic and stays a mergeable four-scalar state.
     tie = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lit("_"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
+    open_s = F.struct(
+        tie.alias("k"),
+        F.coalesce("value", F.lit(float("inf"))).alias("o"),
+        F.col("value").alias("v"),
+    )
+    close_s = F.struct(
+        tie.alias("k"),
+        F.coalesce("value", F.lit(float("-inf"))).alias("o"),
+        F.col("value").alias("v"),
+    )
     return (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min_by("value", tie), 4).alias("open"),
+            F.round(F.min(open_s).getField("v"), 4).alias("open"),
             F.round(F.max("value"), 4).alias("high"),
             F.round(F.min("value"), 4).alias("low"),
-            F.round(F.max_by("value", tie), 4).alias("close"),
+            F.round(F.max(close_s).getField("v"), 4).alias("close"),
         )
         .select(
             "event_type",

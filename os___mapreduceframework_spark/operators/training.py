@@ -51,11 +51,15 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     the token stream every ``seq_len`` tokens; a document's pack is the
     chunk its first token lands in (GPT-style boundary-agnostic
     packing). Deterministic given the corpus -- no RNG, no partition-
-    order dependence. Returns (source, doc_id, toks, pack_id)."""
+    order dependence; ``toks`` is the final concatenation-order
+    tiebreak so replayed doc_ids carrying corrected text still pack
+    identically on every engine (bit-identical duplicate rows are
+    interchangeable either way). Returns (source, doc_id, toks,
+    pack_id)."""
     toks = F.size(F.split("text", " "))
     w = (
         W.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "toks")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
@@ -74,7 +78,7 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT source, toks,
-             SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+             SUM(toks) OVER (PARTITION BY source ORDER BY doc_id, toks
                              ROWS UNBOUNDED PRECEDING) - toks AS start
       FROM t
     )

@@ -206,14 +206,19 @@ def embedding_dim(
 def embedding_count(
     spark: SparkSession, sf_dir: str, table: str = "embeddings"
 ) -> int:
-    """Memoized row count of the embeddings table: drives the adaptive
-    LSH bucket width (operators/minhash.py emb_adaptive_bits). One
-    count job per (session, sf_dir, table) -- a parquet metadata-only
-    scan, but memoized so every banded query doesn't re-run it."""
+    """Memoized DISTINCT vec_id count of the embeddings table: drives
+    the adaptive LSH bucket width (operators/minhash.py
+    emb_adaptive_bits). Distinct, not raw rows, because the banded
+    family canonicalizes to one vector per id (duplicate-replay
+    contract) and the oracle derives nbits from the canonical count.
+    One job per (session, sf_dir, table), memoized so every banded
+    query doesn't re-run it."""
     cache = _stats_cache(spark)
     key = ("embedding_count", os.path.abspath(sf_dir), table)
     if key not in cache:
-        cache[key] = load_table(spark, sf_dir, table).count()
+        cache[key] = (
+            load_table(spark, sf_dir, table).select("vec_id").distinct().count()
+        )
     return cache[key]
 
 

@@ -421,11 +421,15 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
              AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
+           CAST(ROUND((MIN(struct_pack(
+             k := lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0'),
+             o := COALESCE(value, 'infinity'::DOUBLE), v := value))).v, 4) AS DOUBLE)
              AS open,
            CAST(ROUND(MAX(value), 4) AS DOUBLE) AS high,
            CAST(ROUND(MIN(value), 4) AS DOUBLE) AS low,
-           CAST(ROUND(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')), 4) AS DOUBLE)
+           CAST(ROUND((MAX(struct_pack(
+             k := lpad(epoch_us(ts)::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0'),
+             o := COALESCE(value, '-infinity'::DOUBLE), v := value))).v, 4) AS DOUBLE)
              AS close
     FROM events WHERE (value IS NULL OR isfinite(value))
     GROUP BY 1, 2
@@ -433,33 +437,44 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     """,
     doc="Streaming OHLC candles: the events_ohlc_hourly aggregate run "
     "as a Structured Streaming tumbling window (watermark-bounded "
-    "state). min_by/max_by over (ts, event_id) tiebreak structs are "
-    "incrementally mergeable, so open/close carry exactly four scalars "
-    "of state per (window, series) -- the live-market-data shape. "
-    "Oracle is the batch-equivalent candle per the streaming module's "
-    "batch-equivalence contract.",
+    "state). min/max over ((ts, event_id) key, value) ordering structs "
+    "are incrementally mergeable, so open/close carry exactly four "
+    "scalars of state per (window, series) -- the live-market-data "
+    "shape; same-key conflict ties resolve to the smaller/larger value "
+    "per the batch operator's contract. Oracle is the batch-equivalent "
+    "candle per the streaming module's batch-equivalence contract.",
 )
 def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = finite_values(events_stream(spark, sf_dir))
-    # UNIQUE zero-padded string key: duplicate timestamps exist in real
-    # feeds (and in the adversarial fixtures) and the engines' native
-    # tie rules differ (Spark max_by(struct) takes the LAST max, DuckDB
-    # arg_max ORDER BY keeps the FIRST) -- a key that cannot tie makes
-    # open/close deterministic and engine-independent
+    # same ordering contract as events_ohlc_hourly (operators/
+    # temporal.py): zero-padded (ts, event_id) key, value as the final
+    # ordering component so a replayed event_id with a corrected value
+    # cannot produce an engine-dependent winner; NULL-valued
+    # duplicates lose ties via the +-infinity ordering slot
     tie = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lit("_"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    open_s = F.struct(
+        tie.alias("k"),
+        F.coalesce("value", F.lit(float("inf"))).alias("o"),
+        F.col("value").alias("v"),
+    )
+    close_s = F.struct(
+        tie.alias("k"),
+        F.coalesce("value", F.lit(float("-inf"))).alias("o"),
+        F.col("value").alias("v"),
     )
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min_by("value", tie), 4).alias("open"),
+            F.round(F.min(open_s).getField("v"), 4).alias("open"),
             F.round(F.max("value"), 4).alias("high"),
             F.round(F.min("value"), 4).alias("low"),
-            F.round(F.max_by("value", tie), 4).alias("close"),
+            F.round(F.max(close_s).getField("v"), 4).alias("close"),
         )
     )
     out = run_to_completion(agg, "complete")

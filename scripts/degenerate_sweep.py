@@ -26,7 +26,13 @@ Fixtures (schemas copied from sf0.001 so column types are identical):
   value-identical, so a divergence here is a real order-dependence or
   uniqueness-assumption bug, never noise.
 
-Usage: python scripts/degenerate_sweep.py [empty|one|dup] [names_substring]
+- conflict: every table UNION ALL'd with a key-preserving,
+  payload-perturbed copy of itself (the retry-after-partial-update
+  shape: a replayed batch carrying corrected values). Ties become REAL
+  conflicts; any per-key winner pick must be deterministic and
+  oracle-identical.
+
+Usage: python scripts/degenerate_sweep.py [empty|one|dup|conflict] [names_substring]
 """
 
 from __future__ import annotations
@@ -61,6 +67,37 @@ _ORDER_KEY = {
 }
 
 
+# conflict mode: the copy keeps every key/FK but perturbs payload
+# columns -- the retry-after-partial-update shape (a replayed batch
+# carrying CORRECTED values). Unlike dup's bit-identical copies, ties
+# here are REAL conflicts: any query that picks a per-key winner
+# (first/any_value/dropDuplicates/limit ties) must pick it
+# deterministically and identically to its oracle. Deltas are exactly
+# representable in binary (0.25, 2^-10) so value hashing stays exact.
+_CONFLICT_SELECT = {
+    "region": "r_regionkey, r_name || '~' AS r_name",
+    "nation": "n_nationkey, n_name || '~' AS n_name, n_regionkey",
+    "customer": "c_custkey, c_name || '~' AS c_name, c_nationkey, "
+    "c_acctbal + 0.25 AS c_acctbal, c_mktsegment",
+    "supplier": "s_suppkey, s_name || '~' AS s_name, s_nationkey, "
+    "s_acctbal + 0.25 AS s_acctbal",
+    "part": "p_partkey, p_name || '~' AS p_name, p_brand, p_type, "
+    "p_size, p_retailprice + 0.25 AS p_retailprice",
+    "orders": "o_orderkey, o_custkey, o_orderstatus, "
+    "o_totalprice + 0.25 AS o_totalprice, o_orderdate, o_orderpriority",
+    "lineitem": "l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+    "l_quantity + 0.25 AS l_quantity, "
+    "l_extendedprice + 0.25 AS l_extendedprice, l_discount, l_tax, "
+    "l_returnflag, l_linestatus, l_shipdate",
+    "events": "event_id, ts, user_id, event_type, "
+    "value + 0.25 AS value, props",
+    "documents": "doc_id, text || ' conflictmark' AS text, lang, "
+    "source, n_chars",
+    "embeddings": "vec_id, list_transform(embedding, "
+    "x -> CAST(x + 0.0009765625 AS FLOAT)) AS embedding, label",
+}
+
+
 def build_dir(mode: str) -> str:
     out = tempfile.mkdtemp(prefix=f"sf_degenerate_{mode}_")
     con = duckdb.connect()
@@ -76,6 +113,12 @@ def build_dir(mode: str) -> str:
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src}') UNION ALL "
                 f"SELECT * FROM read_parquet('{src}')) "
+                f"TO '{dst}' (FORMAT parquet)"
+            )
+        elif mode == "conflict":
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}') UNION ALL "
+                f"SELECT {_CONFLICT_SELECT[t]} FROM read_parquet('{src}')) "
                 f"TO '{dst}' (FORMAT parquet)"
             )
         else:
@@ -100,7 +143,7 @@ def norm(cols, rows):
 
 
 def main() -> int:
-    modes = ["empty", "one", "dup"]
+    modes = ["empty", "one", "dup", "conflict"]
     if len(sys.argv) > 1 and sys.argv[1] in modes:
         modes = [sys.argv[1]]
         only = sys.argv[2] if len(sys.argv) > 2 else ""
