@@ -912,9 +912,24 @@ def _merge_islands(hits: DataFrame) -> DataFrame:
     """Gaps-and-islands merge of (doc_id, start, end) window hits into
     maximal spans per doc: (doc_id, span_start, span_end, n_windows).
     Per-doc window functions over hit rows only (a small fraction of
-    the corpus), never over all windows."""
+    the corpus), never over all windows.
+
+    Hits are pre-aggregated to one row per (doc_id, start) carrying a
+    multiplicity count BEFORE the island windows run: duplicated input
+    rows (a replayed corpus duplicates every hit; keep-first emits one
+    hit per surviving occurrence) would otherwise tie the ``ORDER BY
+    start`` ROWS frames, and the two window passes (prev-end mark, then
+    the running island sum) may order tied peers DIFFERENTLY — a
+    newi=0 duplicate sorting ahead of its newi=1 twin lands in the
+    preceding island (or a phantom island 0 at the doc head). Caught by
+    the perturbed-config x conflicting-duplicate cross sweep; unique
+    (doc_id, start) keys make both passes total orders, and n_windows
+    keeps multiplicity via SUM(m)."""
     from pyspark.sql import Window
 
+    agg = hits.groupBy("doc_id", "start", "end").agg(
+        F.count(F.lit(1)).alias("m")
+    )
     w_prev = (
         Window.partitionBy("doc_id").orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -924,7 +939,7 @@ def _merge_islands(hits: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     isl = (
-        hits.withColumn("prev_end", F.max("end").over(w_prev))
+        agg.withColumn("prev_end", F.max("end").over(w_prev))
         .withColumn(
             "newi",
             F.when(
@@ -938,7 +953,7 @@ def _merge_islands(hits: DataFrame) -> DataFrame:
     return isl.groupBy("doc_id", "island").agg(
         F.min("start").alias("span_start"),
         F.max("end").alias("span_end"),
-        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("m").alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
 
 
@@ -1018,13 +1033,20 @@ _SPAN_TOKEN_CTES = f"""
              WHERE len(w) >= {SPAN_W})
 """
 
+# hagg dedups hits to one row per (doc_id, strt) with a multiplicity
+# count before the island windows: duplicate hit rows (replayed corpora)
+# would tie the ORDER BY strt ROWS frames, and the two window passes may
+# order tied peers differently -- the same phantom-island hazard the
+# Spark-side _merge_islands pre-aggregation removes.
 _SPAN_ISLAND_CTES = """
-    marked AS (SELECT doc_id, strt, e,
+    hagg AS (SELECT doc_id, strt, e, COUNT(*) AS m
+             FROM hits GROUP BY doc_id, strt, e),
+    marked AS (SELECT doc_id, strt, e, m,
         CASE WHEN strt > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY strt
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
              THEN 1 ELSE 0 END AS newi
-        FROM hits),
-    isl AS (SELECT doc_id, strt, e,
+        FROM hagg),
+    isl AS (SELECT doc_id, strt, e, m,
         SUM(newi) OVER (PARTITION BY doc_id ORDER BY strt
                         ROWS UNBOUNDED PRECEDING) AS island
         FROM marked)
@@ -1043,7 +1065,7 @@ _SPAN_ORACLE_CTES = f"""
 _SPAN_ORACLE = f"""
     WITH {_SPAN_ORACLE_CTES}
     SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
-           COUNT(*) AS n_windows
+           CAST(SUM(m) AS BIGINT) AS n_windows
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start
 """
@@ -1160,7 +1182,7 @@ def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM ranked WHERE n > 1 AND rn > 1),
     {_SPAN_ISLAND_CTES}
     SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
-           COUNT(*) AS n_windows
+           CAST(SUM(m) AS BIGINT) AS n_windows
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start
     """,
