@@ -152,13 +152,27 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # SPARK_GRAFT_PERTURB=1: run every mode under the hostile physical
+    # config of scripts/perturbed_sweep.py (odd worker count, 3 shuffle
+    # partitions, 64 KB splits, 7-row Arrow batches) -- the cross cell
+    # that caught the span island-merge tie bug (perturbed x conflict).
+    if os.environ.get("SPARK_GRAFT_PERTURB"):
+        builder = (
+            SparkSession.builder.master("local[5]")
+            .config("spark.sql.shuffle.partitions", "3")
+            .config("spark.sql.files.maxPartitionBytes", "65536")
+            .config("spark.sql.files.openCostInBytes", "0")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+        )
+    spark = builder.getOrCreate()
     import __spark_entry__ as entry
 
     qs, oracles = entry.queries(), entry.oracle_sql()
