@@ -72,6 +72,22 @@ def normalize_events(df: DataFrame) -> DataFrame:
 # same contract:
 FINITE_VALUE_SQL = "(value IS NULL OR isfinite(value))"
 
+# Ingestion contract for STREAMING event time (the sibling of the
+# finite-measurement contract, for the ts column): a clock-skewed
+# client row (negative-epoch 1969, or a far-future year-2098 ts) makes
+# watermark semantics BATCH-ORDER-DEPENDENT -- a future outlier
+# advances the watermark past the entire live corpus so every
+# subsequent batch's rows are dropped as late, and whether a pre-epoch
+# row survives depends on which micro-batch delivered it. Batch
+# processing is order-independent, so the bound applies only at the
+# STREAMING source (events_stream); every streaming oracle mirrors the
+# same predicate. Window chosen far outside any plausible corpus so it
+# never clips real data, only clock garbage.
+VALID_TS_SQL = (
+    "(ts >= TIMESTAMP '1990-01-01 00:00:00' "
+    "AND ts < TIMESTAMP '2090-01-01 00:00:00')"
+)
+
 
 def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
     """Drop rows whose measurement is NaN/+-Inf, keep NULLs -- the
@@ -87,6 +103,20 @@ def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
             & (c != F.lit(float("inf")))
             & (c != F.lit(float("-inf")))
         )
+    )
+
+
+def valid_event_times(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Drop rows whose event time falls outside the temporal validity
+    window -- the Spark half of VALID_TS_SQL, applied at the streaming
+    ingestion boundary (events_stream) where an out-of-window ts would
+    make watermark eviction depend on micro-batch layout."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    return df.filter(
+        (c >= F.lit("1990-01-01 00:00:00").cast("timestamp"))
+        & (c < F.lit("2090-01-01 00:00:00").cast("timestamp"))
     )
 
 

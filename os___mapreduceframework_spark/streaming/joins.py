@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from os___mapreduceframework_spark.queries import query
-from os___mapreduceframework_spark.sources import load_table
+from os___mapreduceframework_spark.sources import load_table, valid_event_times
 from os___mapreduceframework_spark.streaming.windows import (
     events_stream,
     run_to_completion,
@@ -37,6 +37,7 @@ from os___mapreduceframework_spark.streaming.windows import (
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.event_type = 'purchase'
+      AND e.ts >= TIMESTAMP '1990-01-01 00:00:00' AND e.ts < TIMESTAMP '2090-01-01 00:00:00'
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
@@ -67,6 +68,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND v.event_type = 'view' AND p.event_type = 'purchase'
      AND p.ts >= v.ts
      AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.ts >= TIMESTAMP '1990-01-01 00:00:00' AND v.ts < TIMESTAMP '2090-01-01 00:00:00'
+      AND p.ts >= TIMESTAMP '1990-01-01 00:00:00' AND p.ts < TIMESTAMP '2090-01-01 00:00:00'
     ORDER BY v.user_id, view_id, purchase_id
     """,
     doc="Stream-stream inner join with event-time bound: each view "
@@ -117,13 +120,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- filtered stream, so the overall corpus max (which may be a
       -- click/error event) is NOT the anchor
       SELECT LEAST(
-        (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
-        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS m
+        (SELECT MAX(ts) FROM events WHERE event_type = 'view' AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase' AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00')) AS m
     ),
     v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
-          FROM events WHERE event_type = 'view'),
+          FROM events WHERE event_type = 'view' AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'),
     p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
-          FROM events WHERE event_type = 'purchase'),
+          FROM events WHERE event_type = 'purchase' AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'),
     matched AS (
       SELECT v.user_id, v.view_id, p.purchase_id
       FROM v JOIN p ON v.user_id = p.user_id
@@ -189,7 +192,7 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type AS state, ts AS valid_from,
              LEAD(ts) OVER w AS valid_to,
              CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
-      FROM events WHERE event_type <> 'purchase'
+      FROM events WHERE event_type <> 'purchase' AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT f.event_id, f.user_id,
@@ -200,6 +203,7 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON d.user_id = f.user_id AND d.valid_from <= f.ts
      AND (d.valid_to IS NULL OR f.ts < d.valid_to)
     WHERE f.event_type = 'purchase'
+      AND f.ts >= TIMESTAMP '1990-01-01 00:00:00' AND f.ts < TIMESTAMP '2090-01-01 00:00:00'
     ORDER BY event_id
     """,
     doc="STREAMING point-in-time enrichment: the purchase stream joins "
@@ -216,7 +220,10 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev_static = load_table(spark, sf_dir, "events")
+    # the dim feed derives from the same event source as the fact
+    # stream: the temporal-validity ingestion contract applies to both
+    # halves or version numbers drift between them
+    ev_static = valid_event_times(load_table(spark, sf_dir, "events"))
     vw = W.partitionBy("user_id").orderBy("ts", "event_id")
     dim = (
         ev_static.filter(F.col("event_type") != "purchase")

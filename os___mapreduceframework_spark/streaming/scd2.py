@@ -148,7 +148,7 @@ def incremental_scd2(
                  PARTITION BY user_id, event_id
                  ORDER BY ts ASC NULLS FIRST, event_type ASC NULLS FIRST
                ) AS rn
-        FROM events) WHERE rn = 1
+        FROM events WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00') WHERE rn = 1
     )
     SELECT user_id, event_type AS state, ts AS valid_from,
            LEAD(ts) OVER w AS valid_to,

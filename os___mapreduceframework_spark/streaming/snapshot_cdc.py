@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.scratch import scratch_dir
 from os___mapreduceframework_spark.sinks.snapshot_table import SnapshotMergeTable
-from os___mapreduceframework_spark.sources import load_table
+from os___mapreduceframework_spark.sources import load_table, valid_event_times
 
 N_SOURCE_FILES = 4  # micro-batches driven per run (maxFilesPerTrigger=1)
 
@@ -54,7 +54,7 @@ def _keep_newest(existing: DataFrame, updates: DataFrame) -> DataFrame:
       SELECT user_id, event_type, ts,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
+      FROM events WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
     )
     SELECT user_id,
            event_type AS last_event_type,
@@ -72,7 +72,10 @@ def _keep_newest(existing: DataFrame, updates: DataFrame) -> DataFrame:
     "batch-independent global argmax the oracle computes.",
 )
 def q_stream_snapshot_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    # the landing files ARE the stream's feed -- the temporal-validity
+    # ingestion contract (sources.VALID_TS_SQL) applies where the feed
+    # is materialized, exactly as events_stream applies it at its source
+    ev = valid_event_times(load_table(spark, sf_dir, "events")).select(
         "user_id", "event_type", "ts", "event_id"
     )
     src = scratch_dir("snapshot_cdc_src")

@@ -121,7 +121,7 @@ if PROTOBUF_AVAILABLE:
         SELECT user_id, COUNT(*) AS n_events,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
                  AS total_value
-        FROM events
+        FROM events WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
         GROUP BY user_id
         ORDER BY user_id
         """,

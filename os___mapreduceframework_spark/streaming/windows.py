@@ -29,6 +29,7 @@ from os___mapreduceframework_spark.scratch import scratch_dir
 from os___mapreduceframework_spark.sources.registry import (
     finite_values,
     normalize_events,
+    valid_event_times,
 )
 
 _SINK_COUNTER = itertools.count()
@@ -47,7 +48,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explicit schema; rather than hardcoding one (fixtures have shipped
     ts as both int64-nanos and timestamp[us]), take it from a batch
     footer read of the same file, then share the batch reader's
-    ``normalize_events`` so stream and batch agree exactly."""
+    ``normalize_events`` so stream and batch agree exactly.
+
+    ``valid_event_times`` applies the temporal-validity ingestion
+    contract (sources.VALID_TS_SQL) at this boundary: a clock-skewed
+    row (pre-epoch 1969 or year-2098) makes watermark eviction depend
+    on which micro-batch delivered it -- a future outlier advances the
+    watermark past the whole live corpus. Every streaming oracle
+    mirrors the same predicate; batch readers are untouched (batch is
+    order-independent)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -57,7 +66,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # file source wants a dir
         .load(sf_dir)
     )
-    return normalize_events(raw)
+    return valid_event_times(normalize_events(raw))
 
 
 def run_to_completion(
@@ -108,6 +117,7 @@ def run_to_completion(
            COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM events WHERE (value IS NULL OR isfinite(value))
+      AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
@@ -145,6 +155,7 @@ def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS w_start,
              value
       FROM events WHERE (value IS NULL OR isfinite(value))
+      AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
     )
     SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n,
@@ -186,6 +197,7 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -227,7 +239,8 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_watermark",
     oracle="""
     SELECT event_type, COUNT(*) AS n
-    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    FROM (SELECT DISTINCT user_id, event_type FROM events
+          WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00')
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -252,6 +265,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM events WHERE (value IS NULL OR isfinite(value))
+      AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
     GROUP BY user_id
     ORDER BY user_id
     """,
@@ -309,6 +323,7 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS sum_value
     FROM events WHERE (value IS NULL OR isfinite(value))
+      AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -356,11 +371,12 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_tumbling_append",
     oracle="""
-    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    WITH mx AS (SELECT MAX(ts) AS m FROM events WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00')
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
              AS window_start,
            COUNT(*) AS n
     FROM events, mx
+    WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
     GROUP BY 1
     HAVING MAX(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR)
            <= (SELECT time_bucket(INTERVAL 1 HOUR, m) FROM mx)
@@ -392,7 +408,8 @@ def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_within_watermark",
     oracle="""
     SELECT event_type, COUNT(*) AS n
-    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    FROM (SELECT DISTINCT user_id, event_type FROM events
+          WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00')
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -432,6 +449,7 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
              o := COALESCE(value, '-infinity'::DOUBLE), v := value))).v, 4) AS DOUBLE)
              AS close
     FROM events WHERE (value IS NULL OR isfinite(value))
+      AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
@@ -500,6 +518,7 @@ def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              time_bucket(INTERVAL 1 HOUR, MAX(ts)) AS hi
       FROM events
       WHERE user_id % 10 = 0 AND (value IS NULL OR isfinite(value))
+        AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
       GROUP BY user_id
     ),
     grid AS (
@@ -512,6 +531,7 @@ def q_stream_ohlc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
       FROM events
       WHERE user_id % 10 = 0 AND (value IS NULL OR isfinite(value))
+        AND ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
       GROUP BY 1, 2
     )
     SELECT g.user_id,
@@ -592,6 +612,7 @@ def q_stream_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(CASE WHEN value IS NOT NULL AND NOT isfinite(value)
                            THEN 1 END) AS BIGINT) AS n_nonfinite_value
     FROM events
+    WHERE ts >= TIMESTAMP '1990-01-01 00:00:00' AND ts < TIMESTAMP '2090-01-01 00:00:00'
     """,
     doc="STREAMING in-flight metrics via observe() (the streaming twin "
     "of quality_observe_metrics): named counters attach to the event "

@@ -69,7 +69,19 @@ def build_adversarial_dir() -> str:
                     -- NULL text (round 6): a failed fetch/decode row;
                     -- split/explode/md5 must agree engine-to-engine on
                     -- skipping vs propagating it
-                    ((SELECT max(doc_id) + 7 FROM read_parquet('{src}')), NULL, 'en', 'src0', 0::BIGINT)
+                    ((SELECT max(doc_id) + 7 FROM read_parquet('{src}')), NULL, 'en', 'src0', 0::BIGINT),
+                    -- pathological docs (round 6 session 4): a LONG
+                    -- highly self-repetitive doc (1600 tokens, every
+                    -- span window duplicated hundreds of times -- the
+                    -- boilerplate page shape), a whitespace-run doc
+                    -- (split(' ') emits EMPTY tokens on both engines),
+                    -- and a single 5000-char token (no spaces at all)
+                    ((SELECT max(doc_id) + 8 FROM read_parquet('{src}')),
+                     trim(repeat('spam ham eggs bacon ', 400)), 'en', 'src1', 7999::BIGINT),
+                    ((SELECT max(doc_id) + 9 FROM read_parquet('{src}')),
+                     'a  b ' || chr(9) || ' c  ', 'en', 'src2', 9::BIGINT),
+                    ((SELECT max(doc_id) + 10 FROM read_parquet('{src}')),
+                     repeat('x', 5000), 'en', 'src0', 5000::BIGINT)
                   ) v(doc_id, text, lang, source, n_chars)
                 ) TO '{dst}' (FORMAT parquet)
                 """
@@ -120,6 +132,23 @@ def build_adversarial_dir() -> str:
                   SELECT (SELECT max(event_id) + 8 FROM read_parquet('{src}')), ts, user_id, event_type,
                          '-Infinity'::DOUBLE, props
                   FROM read_parquet('{src}') WHERE event_id = 7
+                  UNION ALL
+                  -- clock-skew rows (round 6 session 4): a NEGATIVE-
+                  -- epoch timestamp (pre-1970 client clock) and a
+                  -- far-future one. Negative epoch micros are where
+                  -- truncating vs flooring integer division, lpad'd
+                  -- string sort keys, and time-bucket anchors diverge
+                  -- between engines; the future row stretches every
+                  -- (min ts, max ts)-derived grid/origin
+                  SELECT (SELECT max(event_id) + 9 FROM read_parquet('{src}')),
+                         TIMESTAMP '1969-06-01 12:34:56', user_id,
+                         event_type, value, props
+                  FROM read_parquet('{src}') WHERE event_id = 8
+                  UNION ALL
+                  SELECT (SELECT max(event_id) + 10 FROM read_parquet('{src}')),
+                         TIMESTAMP '2098-07-04 08:00:00', user_id,
+                         event_type, value, props
+                  FROM read_parquet('{src}') WHERE event_id = 9
                 ) TO '{dst}' (FORMAT parquet)
                 """
             )
