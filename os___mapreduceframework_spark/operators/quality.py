@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import (
     FINITE_VALUE_SQL,
+    VALID_TS_SQL,
     finite_value_col,
     finite_values,
     load_table,
@@ -1418,4 +1419,65 @@ def q_quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         schema,
+    )
+
+
+@query(
+    "quality_clock_skew_audit",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '1990-01-01 00:00:00'
+                           THEN 1 END) AS BIGINT) AS n_before_validity,
+           CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2090-01-01 00:00:00'
+                           THEN 1 END) AS BIGINT) AS n_after_validity,
+           strftime(MIN(CASE WHEN {VALID_TS_SQL} THEN ts END),
+                    '%Y-%m-%d %H:%M:%S') AS min_valid_ts,
+           strftime(MAX(CASE WHEN {VALID_TS_SQL} THEN ts END),
+                    '%Y-%m-%d %H:%M:%S') AS max_valid_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type NULLS FIRST
+    """,
+    doc="Clock-skew audit: per event type, how many rows fall outside "
+    "the temporal validity window (sources.VALID_TS_SQL -- the SAME "
+    "contract string the streaming ingestion boundary enforces, "
+    "evaluated here via F.expr so the two surfaces cannot drift) plus "
+    "the valid-range extrema. The batch-side complement of the "
+    "streaming contract: batch pipelines AUDIT clock garbage instead "
+    "of dropping it, because batch results are order-independent and "
+    "the skewed rows may still matter to an investigation. One "
+    "scan-local conditional aggregate -- at 100 TB this rides the "
+    "same pass as any other events profile, no extra shuffle beyond "
+    "the bounded per-type rollup.",
+)
+def q_quality_clock_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    valid = F.expr(VALID_TS_SQL)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(
+                    F.col("ts")
+                    < F.lit("1990-01-01 00:00:00").cast("timestamp"),
+                    1,
+                )
+            ).alias("n_before_validity"),
+            F.count(
+                F.when(
+                    F.col("ts")
+                    >= F.lit("2090-01-01 00:00:00").cast("timestamp"),
+                    1,
+                )
+            ).alias("n_after_validity"),
+            F.date_format(
+                F.min(F.when(valid, F.col("ts"))), "yyyy-MM-dd HH:mm:ss"
+            ).alias("min_valid_ts"),
+            F.date_format(
+                F.max(F.when(valid, F.col("ts"))), "yyyy-MM-dd HH:mm:ss"
+            ).alias("max_valid_ts"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first())
     )
