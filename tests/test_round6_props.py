@@ -290,3 +290,69 @@ def test_property_keep_first_is_drop_all_minus_canonical(spark, run_len, off_a, 
     keep_first = _kf_spans(spark, [(1, a), (2, b)], w)
     assert keep_first == {s for s in drop_all if s[0] != 1}
     assert keep_first == {(2, off_b + 1, off_b + run_len, run_len - w + 1)}
+
+
+# ---------------------------------------------------------------------------
+# _merge_islands tie-proofing (perturbed x conflict cross-matrix find):
+# duplicate (doc_id, start) hit rows used to tie the ROWS-frame window
+# orders, and the two window passes could order tied peers differently,
+# splitting a phantom island. The fix pre-aggregates to unique keys; this
+# pins it against a pure-Python reference for arbitrary multisets of hits.
+# ---------------------------------------------------------------------------
+
+from os___mapreduceframework_spark.operators.dedup import (  # noqa: E402
+    _merge_islands,
+)
+
+
+def _ref_islands(hits):
+    """Pure-Python gaps-and-islands over a multiset of (doc, start, end)."""
+    from collections import Counter, defaultdict
+
+    per_doc = defaultdict(Counter)
+    for d, s, e in hits:
+        per_doc[d][(s, e)] += 1
+    out = []
+    for d, ctr in per_doc.items():
+        cur = None  # [span_start, span_end, n]
+        for (s, e), m in sorted(ctr.items()):
+            if cur is not None and s <= cur[1] + 1:
+                cur[1] = max(cur[1], e)
+                cur[2] += m
+            else:
+                if cur is not None:
+                    out.append((d, cur[0], cur[1], cur[2]))
+                cur = [s, e, m]
+        if cur is not None:
+            out.append((d, cur[0], cur[1], cur[2]))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # doc
+            st.integers(min_value=1, max_value=30),   # start
+            st.integers(min_value=1, max_value=3),    # multiplicity
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_property_merge_islands_handles_duplicate_hits(spark, raw):
+    w = 5
+    hits = [(d, s, s + w - 1) for d, s, m in raw for _ in range(m)]
+    df = spark.createDataFrame(
+        hits or [(0, 1, 1 + w - 1)][:0],
+        "doc_id long, start long, end long",
+    ) if hits else spark.createDataFrame([], "doc_id long, start long, end long")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in _merge_islands(df).collect()
+    )
+    assert got == _ref_islands(hits)
