@@ -407,6 +407,13 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms once per corpus vector, joined through: the candidate set is
     # ~800x the corpus on the fixtures, so norms-per-pair was 3x
     # redundant fold work (bit-identical arithmetic via _cosine_prenorm)
+    #
+    # shuffle_hash on the corpus sides, never merge: SMJ would sort the
+    # PAIR stream (candidates ~ corpus x bands x occupancy, 38.6M rows
+    # at the 30x fixture) twice -- once per corpus join -- while the
+    # hash build is per-partition corpus-sized and partition sizing
+    # bounds it at any scale. Measured at the 30x fixture: 66 -> 33 s
+    # warm-min. Never broadcast: the corpus side IS the fact at 100 TB.
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), _norm("e").alias("na")
     )
@@ -417,8 +424,8 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
     )
     return (
-        cand.join(a.hint("merge"), "vec_a")
-        .join(b.hint("merge"), "vec_b")
+        cand.join(a.hint("shuffle_hash"), "vec_a")
+        .join(b.hint("shuffle_hash"), "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_NEAR_THRESHOLD)
         .orderBy("vec_a", "vec_b")
@@ -1169,9 +1176,9 @@ def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_spans_keep_first",
-    oracle=f"""
+# keep-first detect chain -- shared by the batch query's oracle and the
+# streaming twin's (a one-batch stream IS the batch keep-first vote)
+_SPAN_KEEP_FIRST_ORACLE = f"""
     WITH {_SPAN_TOKEN_CTES},
     ranked AS (SELECT doc_id, strt,
                       COUNT(*) OVER (PARTITION BY h) AS n,
@@ -1185,7 +1192,12 @@ def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(m) AS BIGINT) AS n_windows
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start
-    """,
+    """
+
+
+@query(
+    "dedup_spans_keep_first",
+    oracle=_SPAN_KEEP_FIRST_ORACLE,
     doc="KEEP-FIRST policy for span-level dedup (the canonical-"
     "occurrence vote dedup_apply_spans' docstring points at): each "
     "duplicated 20-token window keeps its least-(doc_id, start) "

@@ -356,6 +356,134 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming span-level dedup: incremental window-hash registry
+# ---------------------------------------------------------------------------
+
+from os___mapreduceframework_spark.operators.dedup import (  # noqa: E402
+    SPAN_W,
+    _SPAN_KEEP_FIRST_ORACLE,
+    _merge_islands,
+    _span_window_hashes,
+)
+
+
+def incremental_span_dedup(
+    docs_stream: DataFrame, state_dir: str, w: int = SPAN_W
+) -> DataFrame:
+    """Streaming KEEP-FIRST span dedup: removal spans assigned at
+    arrival time via foreachBatch + a window-hash registry — the
+    span-level twin of ``incremental_minhash_dedup``.
+
+    Per micro-batch (all relational, no driver loops over rows):
+
+    1. hash every ``w``-token sliding window of the batch's documents
+       (operators.dedup._span_window_hashes — the batch detect stage);
+    2. a window occurrence is NON-CANONICAL (a removal hit) iff its
+       hash was registered by ANY earlier batch, or an earlier
+       occurrence exists in this batch (the same least-(doc_id, start)
+       vote as the batch keep-first query, scoped to the batch);
+    3. merge each doc's hits into maximal spans (gaps-and-islands —
+       documents are atomic within a batch, so the merge is complete
+       at arrival) and append them to the output;
+    4. append the batch's distinct window hashes to the registry.
+
+    First-seen-wins across batches: the canonical occurrence of every
+    duplicated substring is the first one to ARRIVE; later batches can
+    only add removal spans, never steal a canonical. State is one
+    32-char md5 per distinct window — the same rows the batch detect
+    stage shuffles; at 100 TB the registry is a Delta/Iceberg table
+    (step 2 a key semi-join against it, step 4 a MERGE), exactly the
+    online-assign / offline-table split of ``incremental_minhash_dedup``.
+
+    Returns the static spans frame
+    ``(doc_id, span_start, span_end, n_windows)`` after the stream
+    drains.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    registry_dir = os.path.join(state_dir, "window_registry")
+    out_dir = os.path.join(state_dir, "spans")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.take(1):
+            return
+        wins = _span_window_hashes(batch_df, w).cache()
+        wh = Window.partitionBy("h")
+        ranked = wins.withColumn("n", F.count(F.lit(1)).over(wh)).withColumn(
+            "rn",
+            F.row_number().over(
+                wh.orderBy(
+                    F.col("doc_id").asc_nulls_first(),
+                    F.col("start").asc_nulls_first(),
+                )
+            ),
+        )
+        try:
+            seen = spark.read.parquet(registry_dir).select("h").distinct()
+        except Exception:  # first batch: no registry yet
+            seen = None
+        if seen is not None:
+            # shuffle_hash: the registry is corpus-window-sized — never
+            # assume it broadcasts (same contract as the batch detect)
+            ranked = ranked.join(
+                seen.withColumn("_seen", F.lit(1)).hint("shuffle_hash"),
+                "h",
+                "left",
+            )
+        else:
+            ranked = ranked.withColumn("_seen", F.lit(None).cast("int"))
+        hits = ranked.filter(
+            F.col("_seen").isNotNull() | ((F.col("n") > 1) & (F.col("rn") > 1))
+        ).select("doc_id", "start", (F.col("start") + w - 1).alias("end"))
+        # spans first (the plan reads the OLD registry listing), then
+        # the registry append — never the reverse
+        _merge_islands(hits).write.mode("append").parquet(out_dir)
+        wins.select("h").distinct().write.mode("append").parquet(registry_dir)
+        wins.unpersist()
+
+    ckpt = tempfile.mkdtemp(prefix="inc_spans_ckpt_")
+    q = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    spark = docs_stream.sparkSession
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:  # empty stream or no duplicated windows at all
+        return spark.createDataFrame(
+            [], "doc_id long, span_start long, span_end long, n_windows long"
+        )
+
+
+@query(
+    "stream_incremental_spans",
+    oracle=_SPAN_KEEP_FIRST_ORACLE,
+    doc="Incremental KEEP-FIRST span dedup over the documents stream: "
+    "every 20-token window hash is registered as docs arrive "
+    "(foreachBatch + window-hash registry); occurrences of an already-"
+    "registered window — or a later occurrence within the batch — "
+    "become removal spans in their arrival batch, islands merged per "
+    "doc. The fixture arrives as one batch, so the oracle is the batch "
+    "keep-first vote (dedup_spans_keep_first); the cross-batch "
+    "first-arrival contract is pinned in "
+    "tests/test_streaming_incremental.py.",
+)
+def q_stream_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_dir = scratch_dir("inc_spans_state")
+    docs = documents_stream(spark, sf_dir).select("doc_id", "text")
+    out = incremental_span_dedup(docs, state_dir)
+    return out.orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
 # Streaming count-min sketch: mergeable frequency state as streaming agg
 # ---------------------------------------------------------------------------
 

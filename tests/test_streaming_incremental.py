@@ -262,6 +262,93 @@ def test_minhash_compact_every_preserves_assignments(spark):
 
 
 # ---------------------------------------------------------------------------
+# incremental span dedup: the cross-micro-batch first-arrival contract
+# ---------------------------------------------------------------------------
+
+
+def _run_spans_two_batches(spark, batch1: list[tuple], batch2: list[tuple]):
+    """Stream two parquet files of (doc_id, text) one per micro-batch
+    through incremental_span_dedup; return {doc_id: [(start, end, nw)]}."""
+    import shutil
+
+    from os___mapreduceframework_spark.streaming.incremental import (
+        incremental_span_dedup,
+    )
+
+    root = tempfile.mkdtemp(prefix="inc_spans_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    cols = ["doc_id", "text"]
+    pd.DataFrame(batch1, columns=cols).to_parquet(os.path.join(src, "b1.parquet"))
+    pd.DataFrame(batch2, columns=cols).to_parquet(os.path.join(src, "b2.parquet"))
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = incremental_span_dedup(docs, os.path.join(root, "state"))
+    got: dict[int, list[tuple]] = {}
+    for r in out.orderBy("doc_id", "span_start").collect():
+        got.setdefault(int(r.doc_id), []).append(
+            (int(r.span_start), int(r.span_end), int(r.n_windows))
+        )
+    shutil.rmtree(root, ignore_errors=True)
+    return got
+
+
+_T25 = " ".join(f"w{i}" for i in range(25))          # 25 tokens: 6 windows
+_U25 = " ".join(f"u{i}" for i in range(25))          # disjoint vocabulary
+_V25 = " ".join(f"v{i}" for i in range(25))
+
+
+def test_spans_first_arrival_wins_across_batches(spark):
+    # batch 1 registers doc 10's windows; batch 2's doc 3 repeats the
+    # exact text -- ALL its windows hit the registry, one merged span
+    # covering the whole doc. doc 10 keeps its canonical: no spans. A
+    # batch-window recompute would instead vote doc 3 (smaller id) the
+    # canonical and flag doc 10 -- the contract this test separates.
+    got = _run_spans_two_batches(
+        spark,
+        batch1=[(10, _T25), (20, _U25)],
+        batch2=[(3, _T25), (30, _V25)],
+    )
+    assert got == {3: [(1, 25, 6)]}
+
+
+def test_spans_keep_first_within_batch_and_canonical_survives(spark):
+    # within batch 1 the least (doc_id, start) occurrence is canonical:
+    # doc 5 keeps, doc 7 is flagged; a batch-2 replay (doc 9) is flagged
+    # against the registry, and doc 5's canonical is never stolen.
+    got = _run_spans_two_batches(
+        spark,
+        batch1=[(7, _T25), (5, _T25)],
+        batch2=[(9, _T25)],
+    )
+    assert got == {7: [(1, 25, 6)], 9: [(1, 25, 6)]}
+
+
+def test_spans_short_docs_have_no_windows(spark):
+    # docs under SPAN_W tokens contribute no windows: no spans, no
+    # registry entries, and the empty-output schema still reads back.
+    got = _run_spans_two_batches(
+        spark,
+        batch1=[(1, "hi there")],
+        batch2=[(2, "hi there")],
+    )
+    assert got == {}
+
+
+def test_spans_registered_query_matches_oracle(spark, duck):
+    from os___mapreduceframework_spark import queries as registry
+    from tests.conftest import TEST_SF_DIR, assert_matches_oracle
+
+    registry._load_all()
+    q = registry.REGISTRY["stream_incremental_spans"]
+    assert_matches_oracle(q.fn(spark, TEST_SF_DIR), duck, q.oracle)
+
+
+# ---------------------------------------------------------------------------
 # live Search pipeline: the dir watcher feeding the flagship aggregation
 # ---------------------------------------------------------------------------
 
