@@ -907,8 +907,7 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=False)
     # undirected capped candidates (hot-bucket guard: a degenerate
-    # bucket yields O(n * cap) pairs, not O(n^2)), expanded to both
-    # directions -- same shape as the oracle's UNION over ecand
+    # bucket yields O(n * cap) pairs, not O(n^2))
     cand = bucket_pairs(
         embedding_band_buckets(
             emb,
@@ -917,37 +916,46 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_id", ("band", "bucket")
     )
-    pairs = cand.select(
-        F.col("id_a").alias("v"), F.col("id_b").alias("n")
-    ).unionByName(
-        cand.select(F.col("id_b").alias("v"), F.col("id_a").alias("n"))
-    )
     # norms once per corpus vector (one fold each), joined through the
     # candidate pairs: per-pair verify is then a single dot fold --
     # bit-identical to _cosine, 3x less interpreted-lambda work on the
     # ~800-candidates-per-vector verify join
     a = emb.select(
-        F.col("vec_id").alias("v"), F.col("e").alias("ea"), _norm("e").alias("na")
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), _norm("e").alias("na")
     )
     b = emb.select(
-        F.col("vec_id").alias("n"), F.col("e").alias("eb"), _norm("e").alias("nb")
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), _norm("e").alias("nb")
     )
-    scored = (
-        # shuffle_hash on the corpus sides: SMJ would sort the pair
-        # stream twice (38.6M rows at the 30x fixture); the hash build
-        # is per-partition corpus-sized. Measured 66 -> 33 s warm-min
-        # on the dedup_embedding_near twin. Never broadcast: corpus-sized.
-        pairs.join(a.hint("shuffle_hash"), "v")
-        .join(b.hint("shuffle_hash"), "n")
+    # score each UNDIRECTED pair once, then expand to both directions on
+    # the narrow (v, n, cs) rows: cosine is direction-symmetric down to
+    # the bit (elementwise zip_with products, commutative na*nb), so
+    # this halves the fat-array join/shuffle volume AND the fold work
+    # vs unioning the pair stream first (the oracle's per-direction
+    # scores are the same symmetric values). shuffle_hash on the corpus
+    # sides: SMJ would sort the pair stream twice; the hash build is
+    # per-partition corpus-sized. Never broadcast: corpus-sized.
+    scored_once = (
+        cand.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .select(
-            "v",
-            "n",
+            "id_a",
+            "id_b",
             F.round(
                 _cosine_prenorm(
                     F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
                 ),
                 4,
             ).alias("cs"),
+        )
+        # two consumers (the direction union) would re-run the whole
+        # verify join; materialize the scored pairs once at first action
+        .localCheckpoint(eager=False)
+    )
+    scored = scored_once.select(
+        F.col("id_a").alias("v"), F.col("id_b").alias("n"), "cs"
+    ).unionByName(
+        scored_once.select(
+            F.col("id_b").alias("v"), F.col("id_a").alias("n"), "cs"
         )
     )
     # argmax per vector: lexicographic (cs, -n) struct -- max cosine,
