@@ -356,3 +356,79 @@ def test_property_merge_islands_handles_duplicate_hits(spark, raw):
         for r in _merge_islands(df).collect()
     )
     assert got == _ref_islands(hits)
+
+
+# ---------------------------------------------------------------------------
+# kNN direction symmetry: the undirected-scoring rewrite's load-bearing claim
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=-9, max_value=9).map(float),
+                # adversarial magnitudes: mixed 1e6 / 1e-6 components are
+                # where float dot products are most order-sensitive
+                st.sampled_from([1e6, -1e6, 1e-6, -1e-6, 0.0, 0.1]),
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_property_cosine_is_direction_symmetric_bitwise(spark, vecs):
+    """ann_knn_join_all scores each undirected pair ONCE and reuses the
+    value for both directions. That is sound only if the verify
+    expression is bit-identical under argument swap: zip_with products
+    are elementwise (x*y == y*x per slot), the fold order follows the
+    ARRAY slot order (unchanged by the swap), and the denominator
+    na*nb is one commutative multiply. Pin it on hostile magnitudes."""
+    import pyspark.sql.functions as F
+
+    from os___mapreduceframework_spark.operators.minhash import (
+        _cosine_prenorm,
+        _norm,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("e").alias("ea"), _norm("e").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("e").alias("eb"), _norm("e").alias("nb")
+    )
+    both = a.crossJoin(b).select(
+        "ia",
+        "ib",
+        _cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias(
+            "fwd"
+        ),
+        _cosine_prenorm(F.col("eb"), F.col("ea"), F.col("nb"), F.col("na")).alias(
+            "rev"
+        ),
+    )
+    import math
+
+    for r in both.collect():
+        if r.fwd is None:
+            assert r.rev is None, (r.ia, r.ib)
+        else:
+            # bitwise equality, not approx: the rewrite substitutes one
+            # for the other inside a round()-then-hash comparison
+            assert math.isnan(r.fwd) == math.isnan(r.rev)
+            if not math.isnan(r.fwd):
+                assert r.fwd == r.rev and str(r.fwd) == str(r.rev), (
+                    r.ia,
+                    r.ib,
+                    r.fwd,
+                    r.rev,
+                )
