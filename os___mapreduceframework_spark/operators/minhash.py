@@ -371,13 +371,17 @@ def emb_adaptive_bits(n_vectors: int) -> int:
 
 
 def _emb_plane_index(band: int, j: int) -> int:
-    """Global plane index for bit ``j`` of ``band``: base bits keep
-    their historical indices (6*band + j); extension bits (j >= 6) use
-    planes numbered after EMB_N_PLANES, so small corpora hash exactly
-    as before the adaptive widening existed."""
-    if j < EMB_PLANES_PER_BAND:
-        return EMB_PLANES_PER_BAND * band + j
-    return EMB_N_PLANES + EMB_PLANES_PER_BAND * band + (j - EMB_PLANES_PER_BAND)
+    """Global plane index for bit ``j`` of ``band``, laid out in BLOCKS
+    of EMB_N_PLANES: block b = j // 6 holds bits 6b..6b+5 of every band
+    at index ``EMB_N_PLANES * b + 6 * band + (j % 6)``. Block 0 is the
+    historical base layout (6*band + j) and block 1 the round-6
+    extension planes BIT-FOR-BIT, so small corpora hash exactly as
+    before the adaptive widening existed; further blocks are what a
+    future bits-uncap (ROADMAP round-7 candidate 3) would use — the
+    SQL ecodes shift ``(p % 6) + 6 * (p // EMB_N_PLANES)`` already
+    inverts this layout for ANY block count."""
+    block, bit = divmod(j, EMB_PLANES_PER_BAND)
+    return EMB_N_PLANES * block + EMB_PLANES_PER_BAND * band + bit
 
 
 _EMB_BANDS_SQL = f"""

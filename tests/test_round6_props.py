@@ -432,3 +432,38 @@ def test_property_cosine_is_direction_symmetric_bitwise(spark, vecs):
                     r.fwd,
                     r.rev,
                 )
+
+
+def test_plane_index_layout_is_block_general_and_backward_exact():
+    """The plane-index layout is the Python<->SQL bridge for the banded
+    hyperplane LSH: the SQL ecodes CTE inverts it as
+    band = (p % EMB_N_PLANES) // 6, bit = (p % 6) + 6 * (p // EMB_N_PLANES).
+    Pin (a) bit-for-bit backward compatibility with the historical
+    piecewise form over every (band, bit) in use today, and (b) exact
+    round-tripping through the SQL inversion for THREE blocks -- the
+    precondition for the round-7 bits-uncap to be a constants change."""
+    from os___mapreduceframework_spark.operators.minhash import (
+        EMB_BANDS,
+        EMB_N_PLANES,
+        EMB_PLANES_PER_BAND,
+        _emb_plane_index,
+    )
+
+    def historical(band, j):
+        if j < EMB_PLANES_PER_BAND:
+            return EMB_PLANES_PER_BAND * band + j
+        return EMB_N_PLANES + EMB_PLANES_PER_BAND * band + (j - EMB_PLANES_PER_BAND)
+
+    seen = set()
+    for band in range(EMB_BANDS):
+        for j in range(3 * EMB_PLANES_PER_BAND):  # three blocks
+            p = _emb_plane_index(band, j)
+            if j < 2 * EMB_PLANES_PER_BAND:  # the blocks in use today
+                assert p == historical(band, j), (band, j)
+            # SQL inversion (ecodes CTE arithmetic)
+            assert (p % EMB_N_PLANES) // EMB_PLANES_PER_BAND == band, (band, j)
+            assert (p % EMB_PLANES_PER_BAND) + EMB_PLANES_PER_BAND * (
+                p // EMB_N_PLANES
+            ) == j, (band, j)
+            assert p not in seen  # injective: no plane reused
+            seen.add(p)
