@@ -94,11 +94,38 @@ HEADLINE = [
     "dedup_exact_spans",          # span-level exact-substring dedup (detect)
     "dedup_apply_spans",          # span dedup apply: cleaned-corpus rewrite
     "dedup_simhash_hamming",      # exact hamming-range join (pigeonhole bands)
+    # round-7 additions
+    "dedup_apply_spans_keep_first",  # keep-first span dedup end-to-end
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _load_avg_1m() -> float:
+    """1-minute load average -- the shared-box noise signal (VERDICT r6
+    item 5: round-over-round deltas were unadjudicable without it)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
+
+
+def _calibration_sec(spark) -> float:
+    """Fixed-cost calibration: a constant 2e8-row whole-stage-codegen
+    arithmetic loop, data-independent and plan-trivial, min of 3. Its
+    round-over-round drift measures the BOX (CPU contention, JVM/JIT
+    state), not the engine -- a headline delta that tracks the
+    calibration delta is load, one that doesn't is a plan change."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2 + id % 7) as s"
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
 
 
 def _run_one(name: str) -> None:
@@ -127,6 +154,8 @@ def _main_isolated() -> None:
     shared-session mode stays the driver-facing fast path."""
     import subprocess
 
+    cal_spark = get_session(app_name="bench_calibration")
+    load_start, calib_start = _load_avg_1m(), _calibration_sec(cal_spark)
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -159,6 +188,11 @@ def _main_isolated() -> None:
                 # sf* dir present, so cross-round comparability needs the
                 # choice recorded in the output (ADVICE r4)
                 "sf_dir": SF_DIR,
+                "load_avg_1m": {"start": load_start, "end": _load_avg_1m()},
+                "calibration_sec": {
+                    "start": calib_start,
+                    "end": _calibration_sec(cal_spark),
+                },
             }
         )
     )
@@ -175,7 +209,8 @@ def main() -> None:
     materialize(region)
     materialize(region.mapInPandas(lambda it: it, schema=region.schema))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    load_start, calib_start = _load_avg_1m(), _calibration_sec(spark)
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -223,6 +258,16 @@ def main() -> None:
                 # sf* dir present, so cross-round comparability needs the
                 # choice recorded in the output (ADVICE r4)
                 "sf_dir": SF_DIR,
+                # shared-box noise adjudication (VERDICT r6 item 5): the
+                # calibration loop is data-independent, so a headline
+                # delta that tracks calibration/load drift is the box,
+                # one that doesn't is a plan change
+                "runs_per_query": n_runs,
+                "load_avg_1m": {"start": load_start, "end": _load_avg_1m()},
+                "calibration_sec": {
+                    "start": calib_start,
+                    "end": _calibration_sec(spark),
+                },
             }
         )
     )

@@ -1079,34 +1079,10 @@ _SPAN_ORACLE_CTES = f"""
     {_SPAN_ISLAND_CTES}
 """
 
-_SPAN_ORACLE = f"""
-    WITH {_SPAN_ORACLE_CTES}
-    SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
-           CAST(SUM(m) AS BIGINT) AS n_windows
-    FROM isl GROUP BY doc_id, island
-    ORDER BY doc_id, span_start
-"""
-
-
-@query(
-    "dedup_exact_spans",
-    oracle=_SPAN_ORACLE,
-    doc="Span-level exact-substring dedup (Lee et al. 2022): maximal "
-    "token spans whose every 20-token window repeats somewhere in the "
-    "corpus. Complements the document-level exact/MinHash/SimHash "
-    "family: it removes shared boilerplate INSIDE otherwise-unique "
-    "docs. One hash-groupBy shuffle of (doc_id, start, md5) rows; "
-    "island merge windows over duplicated hits only.",
-)
-def q_dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_span_duplicates(docs).orderBy("doc_id", "span_start")
-
-
-@query(
-    "dedup_apply_spans",
-    oracle=f"""
-    WITH {_SPAN_ORACLE_CTES},
+# apply-stage tail shared by both policies' APPLY oracles: collapse the
+# island spans per doc, left-join to the token arrays, higher-order
+# filter out in-span tokens (1-based positions)
+_SPAN_APPLY_ORACLE_TAIL = """
     spans AS (
       SELECT doc_id, MIN(strt) AS s, MAX(e) AS e
       FROM isl GROUP BY doc_id, island
@@ -1130,28 +1106,24 @@ def q_dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks t LEFT JOIN per_doc p USING (doc_id)
     ) f
     ORDER BY doc_id
-    """,
-    doc="APPLY stage of span-level dedup: materialize the cleaned "
-    "corpus with every duplicated span removed (drop-all policy -- the "
-    "conservative decontamination form; keep-first needs a canonical-"
-    "occurrence vote and is composable on top). Spans collapse to one "
-    "small array per affected doc (broadcast-joinable), and token "
-    "removal is a scan-local higher-order filter over the token array "
-    "-- no explode, no range join, no Python: at 100 TB the cost is "
-    "the detect stage plus one column rewrite pass.",
-)
-def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    spans_per_doc = (
-        exact_span_duplicates(docs)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
-                )
-            ).alias("sp")
-        )
+"""
+
+
+def apply_removal_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Rewrite the corpus with every (doc_id, span_start, span_end) of
+    ``spans`` removed: (doc_id, n_tokens, n_removed, cleaned_text).
+
+    Spans collapse to ONE small array per affected doc and token
+    removal is a scan-local higher-order filter over the token array --
+    no explode, no range join, no Python: at 100 TB the cost is the
+    detect stage plus one column rewrite pass. SQL twin:
+    ``_SPAN_APPLY_ORACLE_TAIL``."""
+    spans_per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("sp")
     )
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     # shuffle_hash: spans_per_doc holds every AFFECTED doc -- a heavily
@@ -1185,11 +1157,55 @@ def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+_SPAN_ORACLE = f"""
+    WITH {_SPAN_ORACLE_CTES}
+    SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
+           CAST(SUM(m) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""
 
-# keep-first detect chain -- shared by the batch query's oracle and the
-# streaming twin's (a one-batch stream IS the batch keep-first vote)
-_SPAN_KEEP_FIRST_ORACLE = f"""
-    WITH {_SPAN_TOKEN_CTES},
+
+@query(
+    "dedup_exact_spans",
+    oracle=_SPAN_ORACLE,
+    doc="Span-level exact-substring dedup (Lee et al. 2022): maximal "
+    "token spans whose every 20-token window repeats somewhere in the "
+    "corpus. Complements the document-level exact/MinHash/SimHash "
+    "family: it removes shared boilerplate INSIDE otherwise-unique "
+    "docs. One hash-groupBy shuffle of (doc_id, start, md5) rows; "
+    "island merge windows over duplicated hits only.",
+)
+def q_dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_span_duplicates(docs).orderBy("doc_id", "span_start")
+
+
+@query(
+    "dedup_apply_spans",
+    oracle=f"""
+    WITH {_SPAN_ORACLE_CTES},
+    {_SPAN_APPLY_ORACLE_TAIL}
+    """,
+    doc="APPLY stage of span-level dedup: materialize the cleaned "
+    "corpus with every duplicated span removed (drop-all policy -- the "
+    "conservative decontamination form; dedup_apply_spans_keep_first "
+    "is the canonical-occurrence-vote composition). Spans collapse to "
+    "one small array per affected doc (broadcast-joinable), and token "
+    "removal is a scan-local higher-order filter over the token array "
+    "-- no explode, no range join, no Python: at 100 TB the cost is "
+    "the detect stage plus one column rewrite pass.",
+)
+def q_dedup_apply_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_removal_spans(docs, exact_span_duplicates(docs))
+
+
+# keep-first detect chain (through isl) -- shared by the batch query's
+# oracle, the streaming twin's (a one-batch stream IS the batch
+# keep-first vote), and the keep-first APPLY oracle
+_SPAN_KEEP_FIRST_CTES = f"""
+    {_SPAN_TOKEN_CTES},
     ranked AS (SELECT doc_id, strt,
                       COUNT(*) OVER (PARTITION BY h) AS n,
                       ROW_NUMBER() OVER (PARTITION BY h
@@ -1198,6 +1214,10 @@ _SPAN_KEEP_FIRST_ORACLE = f"""
     hits AS (SELECT doc_id, strt, strt + {SPAN_W - 1} AS e
              FROM ranked WHERE n > 1 AND rn > 1),
     {_SPAN_ISLAND_CTES}
+"""
+
+_SPAN_KEEP_FIRST_ORACLE = f"""
+    WITH {_SPAN_KEEP_FIRST_CTES}
     SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
            CAST(SUM(m) AS BIGINT) AS n_windows
     FROM isl GROUP BY doc_id, island
@@ -1221,3 +1241,24 @@ _SPAN_KEEP_FIRST_ORACLE = f"""
 def q_dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return keep_first_span_duplicates(docs).orderBy("doc_id", "span_start")
+
+
+@query(
+    "dedup_apply_spans_keep_first",
+    oracle=f"""
+    WITH {_SPAN_KEEP_FIRST_CTES},
+    {_SPAN_APPLY_ORACLE_TAIL}
+    """,
+    doc="Keep-first span dedup END-TO-END (Lee et al. 2022's actual "
+    "policy): the canonical-occurrence vote (least (doc_id, start) per "
+    "duplicated window survives) composed with the cleaned-corpus "
+    "rewrite, so the corpus retains EXACTLY ONE copy of every "
+    "duplicated substring -- vs dedup_apply_spans' drop-all scrub. "
+    "Same dataflow cost: one window-hash shuffle for the vote, island "
+    "merge over the (strictly smaller) non-canonical hit set, one "
+    "scan-local higher-order rewrite pass. The exactly-one-survivor "
+    "property is pinned in tests/test_round7_props.py.",
+)
+def q_dedup_apply_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_removal_spans(docs, keep_first_span_duplicates(docs))

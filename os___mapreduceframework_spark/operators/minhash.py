@@ -348,12 +348,43 @@ def _cosine_prenorm(a, b, na, nb):
 # float log -- bit-exact across engines), up to EMB_MAX_PLANES_PER_BAND.
 # Corpora <= EMB_ADAPT_REF (every driver fixture) keep the historical
 # 6-bit buckets BIT-FOR-BIT: extension planes are numbered AFTER the
-# original EMB_N_PLANES and masked off by `code & ((1 << nbits) - 1)`.
+# original EMB_N_PLANES and excluded from the bucket when j >= nbits.
+#
+# JOINT BITS+BANDS GROWTH (round-7 scaling fix): round 6 capped bits at
+# 12 because each added bit alone costs recall; the 300x measurement
+# (SCALE_r06_300x.json) showed the cap regime is real -- past ~131k
+# vectors candidates/vec grow LINEARLY with corpus size (1149 -> 2713
+# at 200k -> 600k) and the verify shuffle goes quadratic in aggregate.
+# The fix holds recall while bits keep growing: each bit past
+# EMB_CAP_BITS multiplies the per-band candidate-collision probability
+# at the calibration threshold (cos = 0.45) by
+# p = 1 - acos(0.45)/pi ~= 0.6486, so the band count grows to the
+# MINIMAL L with 1 - (1 - p^bits)^L >= the 12-bit/32-band recall --
+# precomputed below as EMB_BANDS_BY_EXTRA_BITS (ceil arithmetic,
+# re-derived and pinned by tests/test_round7_props.py). Extension
+# bands (band >= 32) draw planes from their own index region, so every
+# base-band bucket -- and thus every result at or below the 12-bit
+# scale -- is bit-for-bit unchanged; below EMB_CAP_BITS the extension
+# bands do not exist at all. Per-octave candidate growth past the old
+# cap drops from 2x (capped) to ~p * (L(b+1)/L(b)) ~= 1.55x -- the
+# classic rho ~= 0.62 LSH sublinearity at this deliberately hard
+# threshold.
 EMB_PLANES_PER_BAND = 6         # base bits; behavior-identical floor
-EMB_MAX_PLANES_PER_BAND = 12
-EMB_BANDS = 32
+EMB_MAX_PLANES_PER_BAND = 18    # supports corpora to ~8.4M vectors
+EMB_CAP_BITS = 12               # round-6 cap: band growth starts here
+EMB_BANDS = 32                  # base bands (nbits <= EMB_CAP_BITS)
+# minimal band count holding recall at each bit width past the cap:
+# index = nbits - EMB_CAP_BITS -> bands for 12, 13, ..., 18 bits
+EMB_BANDS_BY_EXTRA_BITS = (32, 50, 77, 118, 182, 280, 432)
 EMB_N_PLANES = EMB_PLANES_PER_BAND * EMB_BANDS          # base planes
-EMB_N_PLANES_TOTAL = EMB_MAX_PLANES_PER_BAND * EMB_BANDS
+# base region: blocks of EMB_N_PLANES covering bands 0..31 for every
+# bit up to the max; extension bands follow, contiguous per band
+EMB_EXT_PLANE_BASE = EMB_N_PLANES * (
+    EMB_MAX_PLANES_PER_BAND // EMB_PLANES_PER_BAND
+)
+EMB_N_PLANES_TOTAL = EMB_EXT_PLANE_BASE + (
+    EMB_BANDS_BY_EXTRA_BITS[-1] - EMB_BANDS
+) * EMB_MAX_PLANES_PER_BAND
 EMB_ADAPT_REF = 2048  # largest corpus that keeps the 6-bit floor
 _EMB_WEIGHT_DIMS = 256  # weight-table d range; covers any fixture dim
 
@@ -370,19 +401,67 @@ def emb_adaptive_bits(n_vectors: int) -> int:
     return EMB_PLANES_PER_BAND + extra
 
 
+def emb_adaptive_bands(n_vectors: int) -> int:
+    """Band count for an ``n_vectors`` corpus: 32 while bits are at or
+    below the round-6 cap (every fixture scale -- bit-identical), then
+    the minimal recall-holding count per added bit
+    (EMB_BANDS_BY_EXTRA_BITS). Mirrored by the SQL ``nb`` CTE's CASE."""
+    extra = max(0, emb_adaptive_bits(n_vectors) - EMB_CAP_BITS)
+    return EMB_BANDS_BY_EXTRA_BITS[extra]
+
+
 def _emb_plane_index(band: int, j: int) -> int:
-    """Global plane index for bit ``j`` of ``band``, laid out in BLOCKS
-    of EMB_N_PLANES: block b = j // 6 holds bits 6b..6b+5 of every band
-    at index ``EMB_N_PLANES * b + 6 * band + (j % 6)``. Block 0 is the
+    """Global plane index for bit ``j`` of ``band``.
+
+    Base bands (band < 32) are laid out in BLOCKS of EMB_N_PLANES:
+    block b = j // 6 holds bits 6b..6b+5 of every band at index
+    ``EMB_N_PLANES * b + 6 * band + (j % 6)``. Block 0 is the
     historical base layout (6*band + j) and block 1 the round-6
     extension planes BIT-FOR-BIT, so small corpora hash exactly as
-    before the adaptive widening existed; further blocks are what a
-    future bits-uncap (ROADMAP round-7 candidate 3) would use — the
-    SQL ecodes shift ``(p % 6) + 6 * (p // EMB_N_PLANES)`` already
-    inverts this layout for ANY block count."""
-    block, bit = divmod(j, EMB_PLANES_PER_BAND)
-    return EMB_N_PLANES * block + EMB_PLANES_PER_BAND * band + bit
+    before the adaptive widening existed. Extension bands (band >= 32,
+    round-7 joint bits+bands growth) occupy their own contiguous
+    region after EMB_EXT_PLANE_BASE -- no index ever collides with a
+    base-band plane, so base buckets are unchanged at ANY width. The
+    SQL ``planes`` CTE inverts both regions."""
+    if band < EMB_BANDS:
+        block, bit = divmod(j, EMB_PLANES_PER_BAND)
+        return EMB_N_PLANES * block + EMB_PLANES_PER_BAND * band + bit
+    return (
+        EMB_EXT_PLANE_BASE
+        + (band - EMB_BANDS) * EMB_MAX_PLANES_PER_BAND
+        + j
+    )
 
+
+# nbits: 6 + one per corpus doubling past EMB_ADAPT_REF (verbatim
+# emb_adaptive_bits); nbands: the pinned recall-holding table keyed on
+# nbits (verbatim emb_adaptive_bands) -- integer arithmetic only
+_NBITS_EXPR = f"{EMB_PLANES_PER_BAND}" + "".join(
+    f" + (CASE WHEN n > {EMB_ADAPT_REF << k} THEN 1 ELSE 0 END)"
+    for k in range(EMB_MAX_PLANES_PER_BAND - EMB_PLANES_PER_BAND)
+)
+_NBANDS_EXPR = (
+    "CASE "
+    + " ".join(
+        f"WHEN nbits <= {EMB_CAP_BITS + i} THEN {bands}"
+        for i, bands in enumerate(EMB_BANDS_BY_EXTRA_BITS[:-1])
+    )
+    + f" ELSE {EMB_BANDS_BY_EXTRA_BITS[-1]} END"
+)
+# (band, bit) decode inverting _emb_plane_index for both regions: base
+# bands (p < EMB_EXT_PLANE_BASE) use the block layout, extension bands
+# are contiguous per band after it
+_PLANE_BAND_EXPR = (
+    f"CASE WHEN p < {EMB_EXT_PLANE_BASE}"
+    f" THEN (p % {EMB_N_PLANES}) // {EMB_PLANES_PER_BAND}"
+    f" ELSE {EMB_BANDS} + (p - {EMB_EXT_PLANE_BASE}) // {EMB_MAX_PLANES_PER_BAND} END"
+)
+_PLANE_BIT_EXPR = (
+    f"CASE WHEN p < {EMB_EXT_PLANE_BASE}"
+    f" THEN (p % {EMB_PLANES_PER_BAND})"
+    f" + {EMB_PLANES_PER_BAND} * (p // {EMB_N_PLANES})"
+    f" ELSE (p - {EMB_EXT_PLANE_BASE}) % {EMB_MAX_PLANES_PER_BAND} END"
+)
 
 _EMB_BANDS_SQL = f"""
     -- canonical vector per id: replayed/conflicting duplicate rows
@@ -392,47 +471,61 @@ _EMB_BANDS_SQL = f"""
     -- duplicate vec_id would let the plane sums mix copies here while
     -- the engine bands each row separately -- structurally divergent,
     -- and every per-id winner join downstream would be ambiguous.
+    -- window form of MIN(embedding) GROUP BY vec_id (proven row-
+    -- identical incl. NULL/empty/conflicting duplicates): DuckDB's
+    -- list-MIN aggregate allocates ~90 KB of state PER GROUP (measured
+    -- 11 GB / 5 s on a 131k-id corpus, x4 once the CTE inlines into
+    -- its consumers -- OOM'd the extension-region parity run); the
+    -- ROW_NUMBER pick is 0.1 s / 95 MB on the same corpus
     cemb AS (
-      SELECT vec_id, MIN(embedding) AS embedding
-      FROM embeddings GROUP BY vec_id
-    ),
-    w AS (
-      SELECT p, d,
-             (('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
-              % 2001) - 1000 AS wt
-      FROM range(0, {EMB_N_PLANES_TOTAL}) r1(p), range(0, {_EMB_WEIGHT_DIMS}) r2(d)
-    ),
-    dims AS (
-      SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
-      FROM cemb, unnest(range(0, len(embedding))) AS u(i)
-    ),
-    psums AS (
-      SELECT vec_id, p, SUM(wt * val) AS s
-      FROM dims JOIN w USING (d) GROUP BY vec_id, p
-    ),
-    -- band(p) and bit j(p) invert _emb_plane_index: base planes are
-    -- p < {EMB_N_PLANES} (j = p %% 6), extension planes follow with the
-    -- same per-band layout (j = 6 + (p - {EMB_N_PLANES}) %% 6)
-    ecodes AS (
-      SELECT vec_id, (p % {EMB_N_PLANES}) // {EMB_PLANES_PER_BAND} AS band,
-             SUM(CASE WHEN s >= 0
-                      THEN (1::BIGINT << ((p % {EMB_PLANES_PER_BAND})
-                            + {EMB_PLANES_PER_BAND} * (p // {EMB_N_PLANES})))
-                      ELSE 0 END) AS code
-      FROM psums GROUP BY vec_id, (p % {EMB_N_PLANES}) // {EMB_PLANES_PER_BAND}
+      SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY embedding ASC NULLS LAST) AS _rn
+        FROM embeddings) WHERE _rn = 1
     ),
     nb AS (
-      SELECT {EMB_PLANES_PER_BAND}
-    """ + "".join(
-    f" + (CASE WHEN n > {EMB_ADAPT_REF << k} THEN 1 ELSE 0 END)"
-    for k in range(EMB_MAX_PLANES_PER_BAND - EMB_PLANES_PER_BAND)
-) + """ AS nbits
-      FROM (SELECT COUNT(*) AS n FROM cemb)
+      SELECT nbits, {_NBANDS_EXPR} AS nbands
+      FROM (SELECT {_NBITS_EXPR} AS nbits
+            FROM (SELECT COUNT(*) AS n FROM cemb))
+    ),
+    -- ACTIVE planes only (bit < nbits, band < nbands), decoded by
+    -- inverting _emb_plane_index; inactive planes contribute nothing
+    -- to any bucket, so filtering them here is exactly the Spark
+    -- side's adaptive W matrix (and was the old code's `& mask`)
+    planes AS (
+      SELECT p, band, bit FROM (
+        SELECT p, {_PLANE_BAND_EXPR} AS band, {_PLANE_BIT_EXPR} AS bit,
+               nbits, nbands
+        FROM range(0, {EMB_N_PLANES_TOTAL}) r1(p), nb
+      ) WHERE bit < nbits AND band < nbands
+    ),
+    w AS (
+      SELECT p, band, bit, d,
+             (('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+              % 2001) - 1000 AS wt
+      FROM planes, range(0, {_EMB_WEIGHT_DIMS}) r2(d)
+    ),
+    -- NULL/empty embeddings unnest to zero dim rows, so filtering them
+    -- BEFORE the lateral is a semantic no-op -- but DuckDB's unnest
+    -- lateral costs ~50 KB per INPUT row even when it emits nothing
+    -- (measured: 7 GB / 6 s over a 131k-row mostly-empty corpus), and
+    -- the CTE inlines into several consumers, so the filter is what
+    -- keeps the oracle runnable on sparse-embedding corpora
+    dims AS (
+      SELECT vec_id, i AS d, (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS val
+      FROM (SELECT vec_id, embedding FROM cemb WHERE len(embedding) > 0) ce,
+           unnest(range(0, len(embedding))) AS u(i)
+    ),
+    psums AS (
+      SELECT vec_id, band, bit, SUM(wt * val) AS s
+      FROM dims JOIN w USING (d) GROUP BY vec_id, band, bit
     ),
     ebands AS (
       SELECT vec_id, band,
-             code & ((1::BIGINT << nbits) - 1) AS bucket
-      FROM ecodes, nb
+             CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << bit)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM psums GROUP BY vec_id, band
     ),
 """ + _capped_pairs_sql(
     "ebands", "vec_id", ("band", "bucket"), ("vec_a", "vec_b"), "ecand"
@@ -481,7 +574,9 @@ def embedding_band_buckets(
     oracle (SQL md5 weight table) agrees bit-for-bit -- pinned by the
     parity sweep.
 
-    Bucket width adapts to corpus size (``emb_adaptive_bits``): pass
+    Bucket width AND band count adapt to corpus size
+    (``emb_adaptive_bits`` / ``emb_adaptive_bands``: joint growth past
+    the 12-bit cap holds recall while candidates stay sublinear): pass
     ``n_vectors`` when a memoized count is available (registered
     queries use ``sources.embedding_count``); None falls back to one
     ``emb.count()`` job at construction.
@@ -496,7 +591,7 @@ def embedding_band_buckets(
     if n_vectors is None:
         n_vectors = emb.count()
     nbits = emb_adaptive_bits(n_vectors)
-    n_bands = EMB_BANDS
+    n_bands = emb_adaptive_bands(n_vectors)
     # weight rows ordered (band, j): base planes keep historical
     # indices, so nbits == 6 reproduces the pre-adaptive buckets exactly
     W = np.array(

@@ -1,0 +1,216 @@
+"""Round-7 property tests: the joint bits+bands LSH knob.
+
+Round 6 capped hyperplane bits at 12 because each added bit alone
+costs recall; SCALE_r06_300x.json measured the cap regime (linear
+candidate growth past ~131k vectors). Round 7 uncaps bits to 18 and
+grows the band count to the minimal recall-holding value per added
+bit. These tests pin the three load-bearing invariants:
+
+1. the band table IS the minimal recall-holding schedule (re-derived
+   from first principles here, byte-compared to the pinned constants
+   that both engines embed);
+2. every fixture-scale corpus (n <= 131072) keeps the round-6
+   behavior bit-for-bit -- 32 bands, <= 12 bits, identical plane
+   indices, identical buckets;
+3. extension planes/bands are INVISIBLE below threshold: widening
+   nbits only prepends high bits (mask-off identity), and extension
+   bands draw from a disjoint plane-index region (injectivity), so no
+   base bucket can change at any width.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from os___mapreduceframework_spark.operators.minhash import (
+    EMB_ADAPT_REF,
+    EMB_BANDS,
+    EMB_BANDS_BY_EXTRA_BITS,
+    EMB_CAP_BITS,
+    EMB_EXT_PLANE_BASE,
+    EMB_MAX_PLANES_PER_BAND,
+    EMB_N_PLANES,
+    EMB_N_PLANES_TOTAL,
+    EMB_PLANES_PER_BAND,
+    _emb_plane_index,
+    _plane_weights,
+    emb_adaptive_bands,
+    emb_adaptive_bits,
+    embedding_band_buckets,
+)
+
+# the banding calibration threshold (dedup.COSINE_NEAR_THRESHOLD);
+# restated literally here so this file re-derives the schedule without
+# importing (and registering) the dedup query family
+CALIBRATION_THRESHOLD = 0.45
+
+
+def test_band_table_is_minimal_recall_holding_schedule():
+    """EMB_BANDS_BY_EXTRA_BITS must equal the minimal L(b) with
+    recall(b, L) >= recall(12, 32) at the calibration threshold, where
+    per-band collision probability is p^bits, p = 1 - acos(s)/pi (the
+    random-hyperplane collision probability). Re-derive and compare."""
+    p = 1 - math.acos(CALIBRATION_THRESHOLD) / math.pi
+    base_recall = 1 - (1 - p**EMB_CAP_BITS) ** EMB_BANDS
+    derived = [EMB_BANDS]
+    for bits in range(EMB_CAP_BITS + 1, EMB_MAX_PLANES_PER_BAND + 1):
+        q = p**bits
+        L = math.ceil(math.log(1 - base_recall) / math.log(1 - q))
+        derived.append(L)
+    assert tuple(derived) == EMB_BANDS_BY_EXTRA_BITS
+    # and each entry actually holds the recall floor
+    for i, L in enumerate(EMB_BANDS_BY_EXTRA_BITS):
+        bits = EMB_CAP_BITS + i
+        recall = 1 - (1 - p**bits) ** L
+        assert recall >= base_recall, (bits, L, recall, base_recall)
+        # minimality: one fewer band would drop below the floor
+        # (except the base entry, which defines the floor)
+        if i > 0:
+            assert 1 - (1 - p**bits) ** (L - 1) < base_recall, (bits, L)
+
+
+def test_fixture_scale_corpora_keep_round6_parameters():
+    """Every corpus size any driver fixture or sub-cap scale fixture
+    reaches must keep 32 bands and the round-6 bit widths -- the
+    bit-identity guarantee that lets the extension ship without
+    touching a single green CORRECTNESS row."""
+    round6_bits = lambda n: EMB_PLANES_PER_BAND + sum(  # noqa: E731
+        1 for k in range(12 - EMB_PLANES_PER_BAND) if n > (EMB_ADAPT_REF << k)
+    )
+    for n in (0, 1, 200, 2048, 2049, 4096, 20000, 65536, 65537, 131072):
+        assert emb_adaptive_bands(n) == EMB_BANDS, n
+        assert emb_adaptive_bits(n) == round6_bits(n) <= EMB_CAP_BITS, n
+    # first corpus past the cap: joint growth engages
+    assert emb_adaptive_bits(131073) == 13
+    assert emb_adaptive_bands(131073) == EMB_BANDS_BY_EXTRA_BITS[1]
+    # the 300x fixture (600k vectors): 15 bits / 118 bands
+    assert emb_adaptive_bits(600_000) == 15
+    assert emb_adaptive_bands(600_000) == EMB_BANDS_BY_EXTRA_BITS[3]
+    # monotone, capped
+    prev_bits, prev_bands = 0, 0
+    for exp in range(1, 24):
+        n = 1 << exp
+        bits, bands = emb_adaptive_bits(n), emb_adaptive_bands(n)
+        assert bits >= prev_bits and bands >= prev_bands
+        prev_bits, prev_bands = bits, bands
+    assert prev_bits == EMB_MAX_PLANES_PER_BAND
+    assert prev_bands == EMB_BANDS_BY_EXTRA_BITS[-1]
+
+
+def test_plane_index_regions_are_disjoint_and_sql_invertible():
+    """Injectivity over the FULL (band, bit) domain -- a collision
+    would silently correlate two bits -- plus exact round-trip through
+    the SQL ``planes`` CTE decode for both regions."""
+    max_bands = EMB_BANDS_BY_EXTRA_BITS[-1]
+
+    def sql_band(p: int) -> int:  # _PLANE_BAND_EXPR verbatim
+        if p < EMB_EXT_PLANE_BASE:
+            return (p % EMB_N_PLANES) // EMB_PLANES_PER_BAND
+        return EMB_BANDS + (p - EMB_EXT_PLANE_BASE) // EMB_MAX_PLANES_PER_BAND
+
+    def sql_bit(p: int) -> int:  # _PLANE_BIT_EXPR verbatim
+        if p < EMB_EXT_PLANE_BASE:
+            return (p % EMB_PLANES_PER_BAND) + EMB_PLANES_PER_BAND * (
+                p // EMB_N_PLANES
+            )
+        return (p - EMB_EXT_PLANE_BASE) % EMB_MAX_PLANES_PER_BAND
+
+    seen: set[int] = set()
+    for band in range(max_bands):
+        for j in range(EMB_MAX_PLANES_PER_BAND):
+            p = _emb_plane_index(band, j)
+            assert 0 <= p < EMB_N_PLANES_TOTAL, (band, j, p)
+            assert p not in seen, (band, j, p)
+            seen.add(p)
+            assert sql_band(p) == band, (band, j, p)
+            assert sql_bit(p) == j, (band, j, p)
+            if band < EMB_BANDS and j < EMB_PLANES_PER_BAND:
+                # historical base layout, bit-for-bit
+                assert p == EMB_PLANES_PER_BAND * band + j
+
+
+def test_planes_cte_decode_matches_python_in_duckdb():
+    """Run the actual SQL decode arithmetic (_PLANE_BAND_EXPR /
+    _PLANE_BIT_EXPR inside _EMB_BANDS_SQL) in DuckDB over every plane
+    index and compare to the Python layout -- the Python<->SQL bridge
+    for the extension region, checked in the engine that executes it."""
+    duckdb = pytest.importorskip("duckdb")
+    from os___mapreduceframework_spark.operators.minhash import (
+        _PLANE_BAND_EXPR,
+        _PLANE_BIT_EXPR,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT p, {_PLANE_BAND_EXPR} AS band, {_PLANE_BIT_EXPR} AS bit"
+        f" FROM range(0, {EMB_N_PLANES_TOTAL}) r(p) ORDER BY p"
+    ).fetchall()
+    assert len(rows) == EMB_N_PLANES_TOTAL
+    for p, band, bit in rows:
+        assert _emb_plane_index(band, bit) == p, (p, band, bit)
+
+
+def test_widening_only_prepends_high_bits_mask_off_identity(spark):
+    """The extension is INVISIBLE below its threshold: for base bands,
+    a bucket computed at any wider nbits, masked to the lower width,
+    equals the narrow bucket exactly -- extension planes only add high
+    bits. Forced via the n_vectors parameter on real Spark dataflows
+    (the corpus itself stays tiny)."""
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)],
+        "vec_id long, e array<double>",
+    )
+
+    def buckets(n_vectors: int) -> dict:
+        rows = embedding_band_buckets(df, dim=dim, n_vectors=n_vectors).collect()
+        return {(r["vec_id"], r["band"]): r["bucket"] for r in rows}
+
+    b6 = buckets(100)        # 6 bits, 32 bands (fixture scale)
+    b12 = buckets(131072)    # 12 bits, 32 bands (round-6 cap)
+    b13 = buckets(131073)    # 13 bits, 50 bands (first extension step)
+    b15 = buckets(600_000)   # 15 bits, 118 bands (the 300x fixture)
+
+    assert len(b6) == 40 * 32
+    assert len(b13) == 40 * 50
+    assert len(b15) == 40 * 118
+    for key, v6 in b6.items():
+        assert b12[key] & 63 == v6, key
+        assert b13[key] & 63 == v6, key
+        assert b15[key] & 63 == v6, key
+    for key, v12 in b12.items():
+        assert b13[key] & ((1 << 12) - 1) == v12, key
+        assert b15[key] & ((1 << 12) - 1) == v12, key
+    # extension-band buckets agree across widths on their shared bits
+    # too (same planes, same region)
+    for (vid, band), v13 in b13.items():
+        if band >= EMB_BANDS:
+            assert b15[(vid, band)] & ((1 << 13) - 1) == v13
+
+
+def test_extension_band_buckets_match_pure_python_reference(spark):
+    """Extension-band signatures (band >= 32) against an independent
+    pure-Python recomputation from _plane_weights -- the same weights
+    the DuckDB oracle derives in SQL."""
+    vecs = {1: [0.5, -0.25, 1.0, 0.125], 2: [-1.0, 2.0, -0.5, 0.75]}
+    dim = 4
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, e array<double>"
+    )
+    n_forced = 131073  # 13 bits / 50 bands
+    rows = embedding_band_buckets(df, dim=dim, n_vectors=n_forced).collect()
+    got = {(r["vec_id"], r["band"]): r["bucket"] for r in rows}
+    assert len(got) == 2 * 50
+    for vid, v in vecs.items():
+        for band in range(50):
+            expect = 0
+            for j in range(13):
+                w = _plane_weights(_emb_plane_index(band, j), dim)
+                s = sum(wi * xi for wi, xi in zip(w, v))
+                if s >= 0:
+                    expect |= 1 << j
+            assert got[(vid, band)] == expect, (vid, band)
