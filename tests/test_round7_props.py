@@ -214,3 +214,64 @@ def test_extension_band_buckets_match_pure_python_reference(spark):
                 if s >= 0:
                     expect |= 1 << j
             assert got[(vid, band)] == expect, (vid, band)
+
+
+# ---------------------------------------------------------------------------
+# keep-first span APPLY: exactly one survivor per duplicated span
+# ---------------------------------------------------------------------------
+
+
+def test_keep_first_apply_leaves_exactly_one_span_occurrence(spark):
+    """End-to-end keep-first (VERDICT r6 item 7): plant the same token
+    run in several docs (and twice within one doc); after
+    apply_removal_spans(keep_first_span_duplicates(...)), EXACTLY ONE
+    occurrence of each planted span survives in the cleaned corpus --
+    the least-(doc_id, start) one -- while the drop-all apply removes
+    every occurrence. Non-duplicated tokens are untouched."""
+    from os___mapreduceframework_spark.operators.dedup import (
+        apply_removal_spans,
+        exact_span_duplicates,
+        keep_first_span_duplicates,
+    )
+
+    w = 5
+    span_x = [f"x{i}" for i in range(7)]   # cross-doc duplicated run
+    span_y = [f"y{i}" for i in range(6)]   # within-doc duplicated run
+    docs = [
+        # doc 1: canonical home of span_x
+        (1, [f"a{i}" for i in range(5)] + span_x + [f"A{i}" for i in range(5)]),
+        # doc 2: second copy of span_x + both copies of span_y
+        (2, span_y + [f"b{i}" for i in range(5)] + span_x
+            + [f"B{i}" for i in range(5)] + span_y),
+        # doc 3: third copy of span_x, plus unique filler
+        (3, [f"c{i}" for i in range(6)] + span_x + [f"C{i}" for i in range(6)]),
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
+    )
+
+    def occurrences(cleaned: dict, span: list) -> int:
+        needle = " ".join(span)
+        return sum(t.count(needle) for t in cleaned.values())
+
+    kept = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in apply_removal_spans(df, keep_first_span_duplicates(df, w=w))
+        .collect()
+    }
+    assert occurrences(kept, span_x) == 1
+    assert occurrences(kept, span_y) == 1
+    # the survivor is the least-(doc_id, start) occurrence
+    assert " ".join(span_x) in kept[1]
+    assert kept[2].startswith(" ".join(span_y))
+    # non-duplicated tokens all survive, order intact
+    assert kept[3] == " ".join([f"c{i}" for i in range(6)]
+                               + [f"C{i}" for i in range(6)])
+
+    dropped = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in apply_removal_spans(df, exact_span_duplicates(df, w=w))
+        .collect()
+    }
+    assert occurrences(dropped, span_x) == 0
+    assert occurrences(dropped, span_y) == 0
