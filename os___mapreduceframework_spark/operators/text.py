@@ -341,31 +341,51 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Character-level Shannon entropy per document -- the "
     "information-theoretic junk filter (low entropy = repetitive "
     "boilerplate, high = random noise; natural text sits ~4 bits). "
-    "Two-level aggregate: per-(doc, char) counts, then the entropy sum "
-    "-- both map-side-combined, the first shuffle's doc_id "
-    "partitioning reused by the second. Complements the token-ratio "
-    "gates in text_quality with a tokenizer-free signal.",
+    "One Arrow-batched scan-local pass (mapInPandas), zero shuffle "
+    "until the final orderBy: the per-doc char histogram is a C-level "
+    "``collections.Counter`` per text. This is the sanctioned "
+    "vectorized-UDF case (same argument as embedding_band_buckets): "
+    "the r6 explode form shuffled one row per CHARACTER through a "
+    "hash aggregate (34.7 s at sf1.0, the only measured "
+    "time-per-data > 1.0 query at 10x), and the pure-Column rewrite "
+    "-- array_sort + an interpreted ``aggregate`` run-length fold -- "
+    "still paid ~28 s at sf1.0 materializing per-char UTF8Strings; "
+    "the Counter pass is 3.3 s on the same fixture (8.6x) and "
+    "embarrassingly parallel at any corpus size. Complements the "
+    "token-ratio gates in text_quality with a tokenizer-free signal.",
 )
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # empty text must be absent from the output (no chars): without the
-    # filter, sequence(1, 0) auto-negates its step to [1, 0] and emits
-    # two phantom empty-string "chars" the oracle's range(1, 1) lacks
-    chars = docs.filter(F.length("text") > 0).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-        ).alias("ch"),
-    )
-    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
-    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
-    p = F.col("n") / F.col("total").cast("double")
-    ent = (
-        freq.join(tot, "doc_id")
-        .groupBy("doc_id")
-        # + 0.0 normalizes the -0.0 a single-distinct-char doc produces
-        # (p=1 -> -1*log2(1) = -0.0) identically on both engines
-        .agg((F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy"))
+
+    # empty/NULL text must be absent from the output (no chars),
+    # matching the oracle's range(1, 1) producing zero char rows
+    def compute(batches):
+        from collections import Counter
+        from math import log2
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_e = [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                if not isinstance(text, str) or not text:
+                    continue
+                n = float(len(text))
+                s = 0.0
+                for cnt in Counter(text).values():
+                    p = cnt / n
+                    s += p * log2(p)
+                out_id.append(doc_id)
+                # + 0.0 normalizes the -0.0 a single-distinct-char doc
+                # produces (p=1 -> -(1*log2(1)) = -0.0) identically to
+                # the oracle; entropy terms are sums of irrational logs,
+                # so the 6-decimal round never lands on a half-ulp
+                # boundary where Python/engine rounding modes differ
+                out_e.append(round(-s, 6) + 0.0)
+            yield pd.DataFrame({"doc_id": out_id, "entropy": out_e})
+
+    ent = docs.select("doc_id", "text").mapInPandas(
+        compute, schema="doc_id long, entropy double"
     )
     return ent.select(
         "doc_id", "entropy", (F.col("entropy") < 3.5).alias("low_entropy")
