@@ -111,13 +111,29 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=10)
     ap.add_argument("--out", default="SCALE_r07_stream.json")
+    ap.add_argument(
+        "--rocksdb",
+        action="store_true",
+        help="run the state-store streams on the RocksDB provider (the "
+        "100 TB backend; config-only switch, tests/test_rocksdb_state.py)",
+    )
     args = ap.parse_args()
 
     spark = get_session(app_name="stream_scale_bench")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if args.rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
-    report: dict = {"files_per_source": args.files, "scales": {}}
+    report: dict = {
+        "files_per_source": args.files,
+        "state_store": "rocksdb" if args.rocksdb else "default",
+        "scales": {},
+    }
     shutil.rmtree(WORK, ignore_errors=True)
     for label, src in SCALES.items():
         docs_dir = os.path.join(WORK, label, "documents")
