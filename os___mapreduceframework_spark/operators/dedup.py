@@ -50,6 +50,7 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     _plane_weights,
     canonical_embeddings,
     embedding_band_buckets,
+    embedding_scored_pairs,
 )
 from os___mapreduceframework_spark.queries import REGISTRY, query
 from os___mapreduceframework_spark.sources import (
@@ -395,53 +396,33 @@ def embedding_near_exact(emb: DataFrame, threshold: float) -> DataFrame:
 )
 def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical vector per id (duplicate-replay contract; cemb twin);
-    # three consumers (banding + both verify sides) share one lazy
-    # localCheckpoint instead of re-shuffling the corpus per consumer
+    # several consumers (banding + corpus/bridge vector sides) share one
+    # lazy localCheckpoint instead of re-shuffling the corpus each time
     emb = canonical_embeddings(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     ).localCheckpoint(eager=False)
-    # band rows are corpus x 32; bucket_pairs merge-hints both self-join
-    # sides (no fact broadcast) and caps per-bucket pair fan-out so a
-    # near-constant embedding corpus cannot go quadratic (hot-bucket
-    # guard, VERDICT r4 item 4)
-    cand = bucket_pairs(
-        embedding_band_buckets(
-            emb,
-            dim=embedding_dim(spark, sf_dir),
-            n_vectors=embedding_count(spark, sf_dir),
-        ),
-        "vec_id", ("band", "bucket")
-    ).select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
-    # norms once per corpus vector, joined through: the candidate set is
-    # ~800x the corpus on the fixtures, so norms-per-pair was 3x
-    # redundant fold work (bit-identical arithmetic via _cosine_prenorm)
-    #
-    # shuffle_hash on the corpus sides, never merge: SMJ would sort the
-    # PAIR stream (candidates ~ corpus x bands x occupancy, 38.6M rows
-    # at the 30x fixture) twice -- once per corpus join -- while the
-    # hash build is per-partition corpus-sized and partition sizing
-    # bounds it at any scale. Measured at the 30x fixture: 66 -> 33 s
-    # warm-min. Never broadcast: the corpus side IS the fact at 100 TB.
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), _norm("e").alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), _norm("e").alias("nb")
-    )
-    cos = F.round(
-        _cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
+    # candidates + exact cosine in ONE pass: vectors ride the band rows
+    # and the bucket self-join emits narrow (id, id, cs) rows directly
+    # (embedding_scored_pairs) -- the r6 verify composition shuffled the
+    # second corpus join's input with the first side's vector attached,
+    # ~pairs x 550 B, which DNF'd this box's disk at the 600k-vector
+    # fixture; pair set and cosine values are bit-identical
+    scored = embedding_scored_pairs(
+        emb,
+        dim=embedding_dim(spark, sf_dir),
+        n_vectors=embedding_count(spark, sf_dir),
     )
     return (
-        cand.join(a.hint("shuffle_hash"), "vec_a")
-        .join(b.hint("shuffle_hash"), "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        scored.select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.col("cs").alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= COSINE_NEAR_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
-
-
 # Above this many (symmetric, deduped) edges the CC runs distributed;
 # at or below it the edge list is provably driver-sized and an exact
 # union-find beats 4-6 rounds of joins+checkpoints+convergence counts.

@@ -68,6 +68,30 @@ def _capped_pairs_sql(
     """
 
 
+def _salted_rows(
+    sigs: DataFrame, id_col: str, k1: str, k2: str, cap: int
+) -> DataFrame:
+    """Salted bucket rows shared by ``bucket_pairs`` and
+    ``embedding_scored_pairs`` -- ONE definition so the capped
+    candidate-pair set is identical by construction in both: a
+    row_number window (same shuffle key as the downstream self-join)
+    assigns each bucket member a contiguous sub-bucket (``_salt``) of
+    at most ``cap``."""
+    w = Window.partitionBy(k1, k2).orderBy(id_col)
+    return (
+        sigs.select(id_col, k1, k2)
+        .withColumn("_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn("_salt", F.floor(F.col("_rn") / cap))
+        # three consumers (both self-join sides + the bridge window)
+        # would each recompute the signature lineage AND the row_number
+        # sort; a lazy localCheckpoint materializes the salted rows
+        # ONCE at first action (no job at construction) -- measured 2x
+        # on ann_knn_join_all at sf0.1, and at 100 TB this is the
+        # standard signature-materialization step anyway
+        .localCheckpoint(eager=False)
+    )
+
+
 def bucket_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -87,19 +111,7 @@ def bucket_pairs(
     engines); DuckDB mirror in ``_capped_pairs_sql``.
     """
     k1, k2 = key_cols
-    w = Window.partitionBy(k1, k2).orderBy(id_col)
-    s = (
-        sigs.select(id_col, k1, k2)
-        .withColumn("_rn", F.row_number().over(w) - F.lit(1))
-        .withColumn("_salt", F.floor(F.col("_rn") / cap))
-        # three consumers below (both self-join sides + the bridge
-        # window) would each recompute the signature lineage AND the
-        # row_number sort; a lazy localCheckpoint materializes the
-        # salted rows ONCE at first action (no job at construction) --
-        # measured 2x on ann_knn_join_all at sf0.1, and at 100 TB this
-        # is the standard signature-materialization step anyway
-        .localCheckpoint(eager=False)
-    )
+    s = _salted_rows(sigs, id_col, k1, k2, cap)
     x, y = s.alias("x"), s.alias("y")
     # shuffle_hash, not merge: the checkpointed rows arrive unsorted, so
     # SMJ would pay two per-side sorts the hash join skips (measured
@@ -639,3 +651,110 @@ def embedding_band_buckets(
             )
 
     return emb.mapInPandas(compute, schema="vec_id long, band long, bucket long")
+
+
+def embedding_scored_pairs(
+    emb: DataFrame,
+    dim: int | None = None,
+    n_vectors: int | None = None,
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """(id_a, id_b, cs): exactly ``bucket_pairs`` over the embedding
+    band rows, with each pair's rounded cosine scored INSIDE the bucket
+    self-join -- the scale fix for the verify stage's fat pair stream.
+
+    The r6 verify composition (candidate pairs -> join corpus side a ->
+    join corpus side b -> cosine) shuffles the SECOND join's input with
+    the first side's vector already attached: at 600k vectors / 1.22G
+    candidate pairs that stream is ~pairs x (pair + 512 B vector) ~=
+    670 GB raw -- it DNF'd this box's disk in rounds 6 AND 7 (lz4 and
+    zstd, SCALE_r06_300x / SCALE_r07). This version never puts a vector
+    on a pair row: vectors ride the BAND rows (one copy per band
+    membership, corpus x nbands rows ~= 36 GB at 600k -- 18x less), the
+    bucket self-join emits narrow (id_a, id_b, cs) directly, and every
+    downstream exchange (dedup groupBy, threshold filter, top-k) is
+    id+double-sized. Pair set and cosine values are bit-identical to
+    bucket_pairs + _cosine_prenorm verify by construction: the salting
+    is the shared ``_salted_rows``, the join condition and the bridge
+    window are verbatim, and the score expression is the same fold on
+    the same operand order (x = smaller vec_id = side 'a'; symmetry
+    pinned bitwise in round 6). Duplicate (a, b) occurrences across
+    bands carry equal cs, so the de-dup is ``max`` instead of
+    DISTINCT-then-score -- scoring dupes costs ~1% extra folds on the
+    measured fixtures (distinct/candidates was 0.99 at 200k).
+
+    The fat band rows are repartitioned to an explicit count derived
+    from ``n_vectors`` (~128 MB each) so the self-join's shuffle-hash
+    build stays per-partition bounded at any corpus size (32 fixed
+    partitions would put the whole 36 GB in concurrent builds); the
+    explicit repartition is also the single exchange both self-join
+    sides reuse. Oracles are unchanged: DuckDB still scores the ecand
+    pairs against cemb -- same pairs, same values.
+    """
+    import math
+
+    if n_vectors is None:
+        n_vectors = emb.count()
+    bands = embedding_band_buckets(emb, dim=dim, n_vectors=n_vectors)
+    s = _salted_rows(bands, "vec_id", "band", "bucket", cap)
+    corpus = emb.select("vec_id", "e", _norm("e").alias("nv"))
+    nbands = emb_adaptive_bands(n_vectors)
+    # ~600 B per fat band row (64 float64 + keys + row overhead)
+    nparts = max(32, math.ceil(n_vectors * nbands * 600 / (128 << 20)))
+    fat = (
+        s.join(corpus.hint("shuffle_hash"), "vec_id")
+        .repartition(nparts, F.col("band"), F.col("bucket"), F.col("_salt"))
+        # materialize the fat band rows ONCE: both self-join sides read
+        # the same blocks, and the preserved (band, bucket, _salt)
+        # partitioning means the join needs NO further exchange -- the
+        # corpus's vectors cross exactly one shuffle in the whole pass
+        .localCheckpoint(eager=False)
+    )
+
+    def _cs4(ea, eb, na, nb):
+        return F.round(_cosine_prenorm(ea, eb, na, nb), 4)
+
+    x, y = fat.alias("x"), fat.alias("y")
+    within = x.hint("shuffle_hash").join(
+        y.hint("shuffle_hash"),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x._salt") == F.col("y._salt"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("id_a"),
+        F.col("y.vec_id").alias("id_b"),
+        _cs4(
+            F.col("x.e"), F.col("y.e"), F.col("x.nv"), F.col("y.nv")
+        ).alias("cs"),
+    )
+    # bridge pairs (sub-bucket boundary members, bucket_pairs verbatim)
+    # are ~rows/cap -- narrow id joins fetch their two vectors; corpus
+    # sides hash-build, never broadcast (they are corpus-derived)
+    wl = Window.partitionBy("band", "bucket").orderBy("_salt")
+    bridge_ids = (
+        s.filter(F.col("_rn") % cap == 0)
+        .withColumn("_prev", F.lag("vec_id").over(wl))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col("vec_id").alias("id_b"))
+    )
+    ca = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nv").alias("na")
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nv").alias("nb")
+    )
+    bridges = (
+        bridge_ids.join(ca.hint("shuffle_hash"), "id_a")
+        .join(cb.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _cs4(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cs"),
+        )
+    )
+    return (
+        within.unionByName(bridges)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cs").alias("cs"))
+    )

@@ -28,6 +28,7 @@ from os___mapreduceframework_spark.operators.minhash import (
     bucket_pairs,
     canonical_embeddings,
     embedding_band_buckets,
+    embedding_scored_pairs,
 )
 from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import (
@@ -906,51 +907,22 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     ).localCheckpoint(eager=False)
-    # undirected capped candidates (hot-bucket guard: a degenerate
-    # bucket yields O(n * cap) pairs, not O(n^2))
-    cand = bucket_pairs(
-        embedding_band_buckets(
-            emb,
-            dim=embedding_dim(spark, sf_dir),
-            n_vectors=embedding_count(spark, sf_dir),
-        ),
-        "vec_id", ("band", "bucket")
-    )
-    # norms once per corpus vector (one fold each), joined through the
-    # candidate pairs: per-pair verify is then a single dot fold --
-    # bit-identical to _cosine, 3x less interpreted-lambda work on the
-    # ~800-candidates-per-vector verify join
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), _norm("e").alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), _norm("e").alias("nb")
-    )
-    # score each UNDIRECTED pair once, then expand to both directions on
+    # undirected capped candidates WITH their exact cosine, scored
+    # inside the bucket self-join (embedding_scored_pairs): vectors ride
+    # the band rows, so no exchange ever carries a pair+vector fat row
+    # -- the r6 composition's second corpus join shuffled ~pairs x 550 B
+    # and DNF'd this box's disk at the 600k-vector fixture. Each
+    # UNDIRECTED pair is scored once and expanded to both directions on
     # the narrow (v, n, cs) rows: cosine is direction-symmetric down to
-    # the bit (elementwise zip_with products, commutative na*nb), so
-    # this halves the fat-array join/shuffle volume AND the fold work
-    # vs unioning the pair stream first (the oracle's per-direction
-    # scores are the same symmetric values). shuffle_hash on the corpus
-    # sides: SMJ would sort the pair stream twice; the hash build is
-    # per-partition corpus-sized. Never broadcast: corpus-sized.
-    scored_once = (
-        cand.join(a.hint("shuffle_hash"), "id_a")
-        .join(b.hint("shuffle_hash"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                _cosine_prenorm(
-                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-                ),
-                4,
-            ).alias("cs"),
-        )
+    # the bit (elementwise zip_with products, commutative na*nb).
+    scored_once = embedding_scored_pairs(
+        emb,
+        dim=embedding_dim(spark, sf_dir),
+        n_vectors=embedding_count(spark, sf_dir),
         # two consumers (the direction union) would re-run the whole
-        # verify join; materialize the scored pairs once at first action
-        .localCheckpoint(eager=False)
-    )
+        # scored self-join; materialize the narrow pairs once at first
+        # action
+    ).localCheckpoint(eager=False)
     scored = scored_once.select(
         F.col("id_a").alias("v"), F.col("id_b").alias("n"), "cs"
     ).unionByName(

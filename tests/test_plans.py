@@ -306,7 +306,7 @@ EXPECTED_MAX_SHUFFLES = {
     "feature_quantile_bucketize": 3,  # boundary agg (1-row broadcast) + cell agg + sort
     "dedup_embedding_clusters": 2,    # post-checkpoint: label join + sort (CC iterations checkpointed)
     "window_moving_zscore": 2,        # per-series window + class agg
-    "ann_knn_join_all": 13,           # hot-bucket-guarded band self-join (salt window + salted SHJ + bridges) + pair distinct + cos joins + argmax
+    "ann_knn_join_all": 3,            # post-checkpoint (scored pairs materialize in embedding_scored_pairs): direction union agg + left join + sort
 }
 
 

@@ -275,3 +275,82 @@ def test_keep_first_apply_leaves_exactly_one_span_occurrence(spark):
     }
     assert occurrences(dropped, span_x) == 0
     assert occurrences(dropped, span_y) == 0
+
+
+def test_scored_pairs_match_bucket_pairs_plus_verify(spark):
+    """embedding_scored_pairs (score-in-bucket, the r7 verify-shuffle
+    fix) must reproduce EXACTLY the pairs and rounded cosines of the
+    r6 composition it replaced: bucket_pairs over the band rows, then
+    per-pair _cosine_prenorm against the corpus. A small cap forces
+    hot-bucket salting AND bridge pairs through both paths; zero
+    vectors pin the NULL-cosine guard."""
+    import pyspark.sql.functions as F
+
+    from os___mapreduceframework_spark.operators.minhash import (
+        _cosine_prenorm,
+        _norm,
+        bucket_pairs,
+        embedding_band_buckets,
+        embedding_scored_pairs,
+    )
+
+    dim, cap = 8, 4
+    rows = []
+    # a hot block: 30 near-identical vectors (same signs everywhere)
+    # -> one bucket per band with 30 members >> cap
+    for i in range(30):
+        rows.append((i, [1.0 + 0.001 * i * (d + 1) for d in range(dim)]))
+    # scattered vectors + two zero vectors (cosine NULL guard)
+    for i in range(30, 60):
+        rows.append(
+            (i, [((i * 31 + d * 17) % 7 - 3) * 1.0 for d in range(dim)])
+        )
+    rows.append((60, [0.0] * dim))
+    rows.append((61, [0.0] * dim))
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    n = len(rows)
+
+    scored = {
+        (r["id_a"], r["id_b"]): r["cs"]
+        for r in embedding_scored_pairs(
+            emb, dim=dim, n_vectors=n, cap=cap
+        ).collect()
+    }
+
+    bands = embedding_band_buckets(emb, dim=dim, n_vectors=n)
+    cand = bucket_pairs(bands, "vec_id", ("band", "bucket"), cap=cap)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        _norm("e").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        _norm("e").alias("nb"),
+    )
+    ref = {
+        (r["id_a"], r["id_b"]): r["cs"]
+        for r in cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _cosine_prenorm(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                4,
+            ).alias("cs"),
+        )
+        .collect()
+    }
+    assert scored == ref
+    # the hot block actually exercised the guard: some pair of its
+    # members must be bridge-connected rather than all-pairs
+    hot = [(x, y) for (x, y) in ref if x < 30 and y < 30]
+    assert len(hot) < 30 * 29 // 2 and len(hot) > 0
+    # zero vectors banded together and scored NULL
+    assert any(
+        v is None for (x, y), v in ref.items() if x == 60 and y == 61
+    )
