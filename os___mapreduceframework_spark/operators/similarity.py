@@ -919,17 +919,28 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         dim=embedding_dim(spark, sf_dir),
         n_vectors=embedding_count(spark, sf_dir),
-        # two consumers (the direction union) would re-run the whole
-        # scored self-join; materialize the narrow pairs once at first
-        # action
-    ).localCheckpoint(eager=False)
-    scored = scored_once.select(
-        F.col("id_a").alias("v"), F.col("id_b").alias("n"), "cs"
-    ).unionByName(
-        scored_once.select(
-            F.col("id_b").alias("v"), F.col("id_a").alias("n"), "cs"
-        )
     )
+    # both directions from ONE pass over the scored pairs (explode of a
+    # 2-struct array), not a self-union: a union would either re-run
+    # the whole scored self-join per branch or need a localCheckpoint
+    # of the pair stream -- and materializing ~cand-set rows on top of
+    # the band-row checkpoint OOM-crashed the 200k-vector point
+    scored = scored_once.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("v"),
+                    F.col("id_b").alias("n"),
+                    F.col("cs"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("v"),
+                    F.col("id_a").alias("n"),
+                    F.col("cs"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.v", "d.n", "d.cs")
     # argmax per vector: lexicographic (cs, -n) struct -- max cosine,
     # ties to the smallest neighbor id; NULL cs sorts below any value
     # in struct comparison, matching the oracle's NULLS LAST
