@@ -695,20 +695,35 @@ def embedding_scored_pairs(
 
     if n_vectors is None:
         n_vectors = emb.count()
+    from pyspark.storagelevel import StorageLevel
+
     bands = embedding_band_buckets(emb, dim=dim, n_vectors=n_vectors)
     s = _salted_rows(bands, "vec_id", "band", "bucket", cap)
     corpus = emb.select("vec_id", "e", _norm("e").alias("nv"))
     nbands = emb_adaptive_bands(n_vectors)
-    # ~600 B per fat band row (64 float64 + keys + row overhead)
-    nparts = max(32, math.ceil(n_vectors * nbands * 600 / (128 << 20)))
+    # ~600 B per fat band row (64 float64 + keys + row overhead);
+    # ~32 MB partitions keep the shuffled-hash build small: SHJ builds
+    # cannot spill, and at 128 MB the 600k-vector point's concurrent
+    # builds exhausted execution memory (SparkOutOfMemoryError)
+    fat_bytes = n_vectors * nbands * 600
+    nparts = max(32, math.ceil(fat_bytes / (32 << 20)))
+    # materialize the fat band rows ONCE: both self-join sides read the
+    # same blocks, and the preserved (band, bucket, _salt) partitioning
+    # means the join needs NO further exchange -- the corpus's vectors
+    # cross exactly one shuffle in the whole pass. Past ~2 GiB the
+    # blocks go DISK_ONLY: deserialized MEMORY_AND_DISK blocks (~2x the
+    # on-wire size) competed with the self-join's (non-spillable)
+    # shuffled-hash builds for unified memory and OOM'd the
+    # 600k-vector point; small corpora keep the in-memory level
+    level = (
+        StorageLevel.DISK_ONLY
+        if fat_bytes > (2 << 30)
+        else StorageLevel.MEMORY_AND_DISK
+    )
     fat = (
         s.join(corpus.hint("shuffle_hash"), "vec_id")
         .repartition(nparts, F.col("band"), F.col("bucket"), F.col("_salt"))
-        # materialize the fat band rows ONCE: both self-join sides read
-        # the same blocks, and the preserved (band, bucket, _salt)
-        # partitioning means the join needs NO further exchange -- the
-        # corpus's vectors cross exactly one shuffle in the whole pass
-        .localCheckpoint(eager=False)
+        .persist(level)
     )
 
     def _cs4(ea, eb, na, nb):
