@@ -658,6 +658,7 @@ def embedding_scored_pairs(
     dim: int | None = None,
     n_vectors: int | None = None,
     cap: int = LSH_BUCKET_CAP,
+    dedup: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, cs): exactly ``bucket_pairs`` over the embedding
     band rows, with each pair's rounded cosine scored INSIDE the bucket
@@ -768,8 +769,13 @@ def embedding_scored_pairs(
             _cs4(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cs"),
         )
     )
-    return (
-        within.unionByName(bridges)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("cs").alias("cs"))
-    )
+    occurrences = within.unionByName(bridges)
+    if not dedup:
+        # duplicate (a, b) occurrences (same pair colliding in several
+        # bands) carry EQUAL cs, so consumers whose reduction is
+        # dup-invariant (per-vector argmax: identical rows cannot
+        # change a max_by) skip this aggregate -- at 600k vectors it is
+        # a ~1.2G-GROUP hash aggregate (nearly every pair is unique)
+        # whose spill-merge OOM'd the kNN point, for zero benefit there
+        return occurrences
+    return occurrences.groupBy("id_a", "id_b").agg(F.max("cs").alias("cs"))

@@ -915,10 +915,15 @@ def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UNDIRECTED pair is scored once and expanded to both directions on
     # the narrow (v, n, cs) rows: cosine is direction-symmetric down to
     # the bit (elementwise zip_with products, commutative na*nb).
+    # dedup=False: the per-vector argmax below is invariant to the same
+    # pair colliding in several bands (identical (v, n, cs) rows cannot
+    # change a max_by), and the pair-level de-dup is a ~candidate-set-
+    # GROUP aggregate that OOM'd the 600k-vector point for no benefit
     scored_once = embedding_scored_pairs(
         emb,
         dim=embedding_dim(spark, sf_dir),
         n_vectors=embedding_count(spark, sf_dir),
+        dedup=False,
     )
     # both directions from ONE pass over the scored pairs (explode of a
     # 2-struct array), not a self-union: a union would either re-run
