@@ -925,9 +925,16 @@ def _merge_islands(hits: DataFrame) -> DataFrame:
     keeps multiplicity via SUM(m)."""
     from pyspark.sql import Window
 
-    agg = hits.groupBy("doc_id", "start", "end").agg(
-        F.count(F.lit(1)).alias("m")
-    )
+    # callers may pre-count multiplicity (keep-first's canonical vote
+    # must subtract per window hash, before positions merge): sum it
+    if "m" in hits.columns:
+        agg = hits.groupBy("doc_id", "start", "end").agg(
+            F.sum("m").alias("m")
+        )
+    else:
+        agg = hits.groupBy("doc_id", "start", "end").agg(
+            F.count(F.lit(1)).alias("m")
+        )
     w_prev = (
         Window.partitionBy("doc_id").orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -991,32 +998,55 @@ def keep_first_span_duplicates(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     scrubbing them everywhere (the drop-all decontamination form of
     ``dedup_exact_spans``).
 
-    100 TB shape: ONE shuffle, by window hash — the per-hash occurrence
-    count and the canonical vote (row_number over (doc_id, start)) are
-    two frames over the same exchange+sort, so the cost equals the
-    drop-all detect stage; islands then merge per doc over the (strictly
-    smaller) non-canonical hit set."""
-    from pyspark.sql import Window
+    100 TB shape: the same hash-agg + shuffle-hash-join dataflow as
+    :func:`exact_span_duplicates`, with the canonical occurrence riding
+    the per-hash aggregate as ``min(struct(doc_id, start))`` (struct
+    ordering is field-lexicographic with NULLs first — the same vote as
+    ``row_number() over (partition by h order by doc_id NULLS FIRST,
+    start NULLS FIRST)``, which the DuckDB oracle still spells). The
+    r6 formulation computed that vote with two window frames over one
+    exchange — correct, but WindowExec buffers EVERY corpus window per
+    hash partition and sort-spills: measured 20.2x time at the 10x
+    fixture (SCALE_r07.json) where this form and drop-all detect are
+    ~5x. Tungsten hash aggregation needs no partition-wide buffering.
 
-    wh = Window.partitionBy("h")
-    ranked = (
-        _span_window_hashes(docs, w)
-        # NULLS FIRST on both sides of the vote: Spark's asc default,
-        # pinned explicitly so the DuckDB oracle can mirror it (the
-        # cross-engine window-sort contract, ROADMAP r6 item 9)
-        .withColumn("n", F.count(F.lit(1)).over(wh))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                wh.orderBy(
-                    F.col("doc_id").asc_nulls_first(),
-                    F.col("start").asc_nulls_first(),
-                )
-            ),
-        )
+    A position's hit multiplicity must subtract the canonical copy PER
+    WINDOW HASH: conflicting duplicate doc rows (same doc_id, different
+    text — the perturbed x conflicting-duplicate sweep's regime) can
+    put two hashes at one (doc_id, start), each with its own vote, and
+    tied copies of the canonical (replayed corpora) lose exactly ONE
+    row, not all — ``count - countDistinct(h if canonical)`` says both
+    at once. Islands then merge per doc over the (strictly smaller)
+    non-canonical hit multiset."""
+    wins = _span_window_hashes(docs, w)
+    pos = F.struct(F.col("doc_id"), F.col("start"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(pos).alias("can"))
+        .filter(F.col("n") > 1)
+        .select("h", "can")
     )
-    hits = ranked.filter((F.col("n") > 1) & (F.col("rn") > 1)).select(
-        "doc_id", "start", (F.col("start") + w - 1).alias("end")
+    # shuffle_hash for the same reason as exact_span_duplicates: the
+    # duplicated-hash set is corpus-dependent, never assumed broadcast
+    hits = (
+        wins.join(dup.hint("shuffle_hash"), "h")
+        .select(
+            "doc_id",
+            "start",
+            "h",
+            pos.eqNullSafe(F.col("can")).alias("is_can"),
+        )
+        .groupBy("doc_id", "start")
+        .agg(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.when(F.col("is_can"), F.col("h")))
+            ).alias("m")
+        )
+        .filter(F.col("m") > 0)
+        .select(
+            "doc_id", "start", (F.col("start") + w - 1).alias("end"), "m"
+        )
     )
     return _merge_islands(hits)
 
@@ -1215,9 +1245,11 @@ _SPAN_KEEP_FIRST_ORACLE = f"""
     "occurrence and marks only the others for removal, so exactly one "
     "copy of every duplicated substring survives — Lee et al. 2022's "
     "actual removal rule, vs dedup_exact_spans' conservative drop-all. "
-    "Same single shuffle by window hash (occurrence count + canonical "
-    "row_number are two frames over one exchange+sort); island merge "
-    "runs on the strictly smaller non-canonical hit set.",
+    "Same hash-agg + shuffle-hash-join dataflow as the drop-all detect "
+    "(the canonical vote rides the per-hash aggregate as min(struct)); "
+    "the r6 window-frame form buffered every corpus window per hash "
+    "partition and went 20x at the 10x fixture. Island merge runs on "
+    "the strictly smaller non-canonical hit multiset.",
 )
 def q_dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
