@@ -341,51 +341,72 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Character-level Shannon entropy per document -- the "
     "information-theoretic junk filter (low entropy = repetitive "
     "boilerplate, high = random noise; natural text sits ~4 bits). "
-    "One Arrow-batched scan-local pass (mapInPandas), zero shuffle "
-    "until the final orderBy: the per-doc char histogram is a C-level "
-    "``collections.Counter`` per text. This is the sanctioned "
-    "vectorized-UDF case (same argument as embedding_band_buckets): "
-    "the r6 explode form shuffled one row per CHARACTER through a "
-    "hash aggregate (34.7 s at sf1.0, the only measured "
-    "time-per-data > 1.0 query at 10x), and the pure-Column rewrite "
-    "-- array_sort + an interpreted ``aggregate`` run-length fold -- "
-    "still paid ~28 s at sf1.0 materializing per-char UTF8Strings; "
-    "the Counter pass is 3.3 s on the same fixture (8.6x) and "
-    "embarrassingly parallel at any corpus size. Complements the "
-    "token-ratio gates in text_quality with a tokenizer-free signal.",
+    "The char histogram is a C-level ``collections.Counter`` per text "
+    "in one Arrow-batched scan (the sanctioned vectorized-UDF case, "
+    "same argument as embedding_band_buckets): the r6 explode form "
+    "pushed one row per CHARACTER through a hash aggregate (34.7 s at "
+    "sf1.0, the only measured time-per-data > 1.0 query at 10x), and "
+    "the pure-Column rewrite (array_sort + interpreted aggregate fold) "
+    "still paid ~28 s materializing per-char UTF8Strings; the Counter "
+    "scan is ~3 s on the same fixture. The scan emits per-(doc, "
+    "distinct char) PARTIALS -- ~2% of corpus bytes -- merged by a "
+    "(doc_id, ch) hash agg + per-doc window, because the oracle's "
+    "GROUP BY doc_id folds duplicate doc rows into one histogram "
+    "(caught by the duplicate-row sweep: a per-row entropy emitted "
+    "2x rows on a replayed corpus). Complements the token-ratio "
+    "gates in text_quality with a tokenizer-free signal.",
 )
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
 
     # empty/NULL text must be absent from the output (no chars),
-    # matching the oracle's range(1, 1) producing zero char rows
-    def compute(batches):
+    # matching the oracle's range(1, 1) producing zero char rows.
+    # The scan emits per-(row, distinct char) PARTIAL counts, not the
+    # finished per-row entropy: the oracle's GROUP BY doc_id merges
+    # duplicate doc rows (a replayed corpus has ONE histogram per
+    # doc_id, counts doubled; a conflicting duplicate contributes both
+    # texts' chars to one histogram), so the entropy must be computed
+    # AFTER a doc_id merge -- per-row entropy diverged 1000 vs 500 rows
+    # in the duplicate-row sweep. Partial rows are ~distinct-chars per
+    # doc (vs one row per CHARACTER in the r6 explode form), so the
+    # merge shuffles ~2% of the corpus bytes.
+    def histogram(batches):
         from collections import Counter
-        from math import log2
 
         import pandas as pd
 
         for pdf in batches:
-            out_id, out_e = [], []
+            ids, chs, ns = [], [], []
             for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
                 if not isinstance(text, str) or not text:
                     continue
-                n = float(len(text))
-                s = 0.0
-                for cnt in Counter(text).values():
-                    p = cnt / n
-                    s += p * log2(p)
-                out_id.append(doc_id)
-                # + 0.0 normalizes the -0.0 a single-distinct-char doc
-                # produces (p=1 -> -(1*log2(1)) = -0.0) identically to
-                # the oracle; entropy terms are sums of irrational logs,
-                # so the 6-decimal round never lands on a half-ulp
-                # boundary where Python/engine rounding modes differ
-                out_e.append(round(-s, 6) + 0.0)
-            yield pd.DataFrame({"doc_id": out_id, "entropy": out_e})
+                for ch, cnt in Counter(text).items():
+                    ids.append(doc_id)
+                    chs.append(ch)
+                    ns.append(cnt)
+            yield pd.DataFrame({"doc_id": ids, "ch": chs, "n": ns})
 
-    ent = docs.select("doc_id", "text").mapInPandas(
-        compute, schema="doc_id long, entropy double"
+    freq = (
+        docs.select("doc_id", "text")
+        .mapInPandas(histogram, schema="doc_id long, ch string, n long")
+        .groupBy("doc_id", "ch")
+        .agg(F.sum("n").alias("n"))
+    )
+    # per-doc total via a window over freq rows (bounded by the doc's
+    # char alphabet, ~100 rows per partition key at any corpus size):
+    # one lineage pass, no self-join recomputing the Python scan
+    total = F.sum("n").over(Window.partitionBy("doc_id"))
+    p = F.col("n") / F.col("total").cast("double")
+    ent = (
+        freq.withColumn("total", total)
+        .groupBy("doc_id")
+        # + 0.0 normalizes the -0.0 a single-distinct-char doc produces
+        # (p=1 -> -(1*log2(1)) = -0.0) identically to the oracle;
+        # entropy terms are sums of irrational logs, so the 6-decimal
+        # round never lands on a half-ulp boundary where engine float
+        # summation orders differ
+        .agg((F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy"))
     )
     return ent.select(
         "doc_id", "entropy", (F.col("entropy") < 3.5).alias("low_entropy")

@@ -289,7 +289,7 @@ EXPECTED_MAX_SHUFFLES = {
     "dedup_containment": 14,       # banded candidates + shingle joins (mirrors ngram_jaccard)
     "text_keywords_per_doc": 8,    # tf + df aggs + term join + doc window
     "events_transition_matrix": 3, # user window + pair agg + sort
-    "text_char_entropy": 1,        # scan-local Counter pass; sort only
+    "text_char_entropy": 3,        # Counter partials: (doc,ch) merge + doc window + sort
     "curation_pipeline_v2": 8,     # contamination semi + dedup keeper + source rollup
     "dedup_keep_canonical": 4,     # post-checkpoint: merge-hinted membership join (both sides shuffle) + cluster agg + sort
     "training_shuffle_order": 2,   # per-shard window + (shard,pos) sort
