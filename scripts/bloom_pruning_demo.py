@@ -132,7 +132,8 @@ def main() -> int:
     )
     table.merge(delta)
     feed_path = os.path.join(WORK, "feed")
-    table.changes(1, 2).write.mode("overwrite").parquet(feed_path)
+    # versions are 0-based: overwrite seeds v0, the merge lands v1
+    table.changes(0, 1).write.mode("overwrite").parquet(feed_path)
     # InjectRuntimeFilter only fires when the creation side is a
     # SELECTIVE filter over a scan -- keep the change-type predicate
     # visible to the optimizer (an IN counts; localCheckpoint wouldn't)
