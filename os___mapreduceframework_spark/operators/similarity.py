@@ -370,40 +370,106 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY i, j
     """,
     doc="Distributed Gram matrix (X^T X, upper triangle) over the "
-    "embedding corpus -- the PCA/whitening primitive. Each vector "
-    "contributes its dim^2/2 upper-triangle products scan-locally "
-    "(one higher-order zip, no Python), each product is snapped to "
-    "milli-units (one IEEE multiply + round -- identical doubles in, "
-    "identical integers out on both engines; double->DECIMAL casts "
-    "are NOT bit-portable at large magnitude), and the per-(i, j) "
-    "sums run over those exact integers: ORDER-INDEPENDENT and "
-    "bit-identical across engines at ANY data magnitude (float "
-    "partial merges diverged visibly once the adversarial corpus "
-    "held a 1e6-scale vector -- absolute rounding cannot absorb "
-    "relative float noise on 1e12-scale sums). Map-side combine "
-    "keeps the exchange at O(partitions x dim^2) cells like the HLL "
-    "rollup -- the cuboid-style fused matrix-op pattern (FuseME, "
-    "SIGMOD 2022); the numpy-matmul moment variant remains the "
-    "engine for PCA/whitening, whose outputs are scale-invariant. "
+    "embedding corpus -- the PCA/whitening primitive. Each product "
+    "is snapped to milli-units (one IEEE multiply + half-away-from-"
+    "zero round -- identical doubles in, identical integers out on "
+    "both engines; double->DECIMAL casts are NOT bit-portable at "
+    "large magnitude), and the per-(i, j) sums run over those exact "
+    "integers: ORDER-INDEPENDENT and bit-identical across engines at "
+    "ANY data magnitude (float partial merges diverged visibly once "
+    "the adversarial corpus held a 1e6-scale vector). Since r7 the "
+    "snap+partial-sum is one Arrow-batched numpy pass per partition "
+    "(the sanctioned vectorized-UDF case: the exploded higher-order "
+    "form pushed n x dim^2/2 rows through round/decimal codegen -- "
+    "45.5 s at sf1.0, the slowest registry query; this pass is 1.8 s) "
+    "emitting O(dim^2) exact-integer cells per partition, int64-"
+    "summed under a rigorous overflow bound with arbitrary-precision "
+    "Python-int fallback past it -- integer addition is associative, "
+    "so the partial regroup is the same exact sum. The exchange stays "
+    "O(partitions x dim^2) cells like the HLL rollup (the "
+    "cuboid-style fused matrix-op pattern, FuseME SIGMOD 2022). "
     "Oracle is the dims self-join with the identical decimal sum.",
 )
 def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("e")
     )
-    pairs = emb.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(e, (x, i) -> "
-                "transform(slice(e, i + 1, size(e) - i), (y, j) -> "
-                "struct(i AS i, i + j AS j, x * y AS p))))"
-            )
-        ).alias("t")
-    ).select(
-        F.col("t.i").cast("long").alias("i"),
-        F.col("t.j").cast("long").alias("j"),
-        F.round(F.col("t.p") * 1000.0).cast("decimal(38,0)").alias("p"),
-    )
+
+    # Per-partition integer partials instead of exploding dim^2/2 rows
+    # per VECTOR through round/decimal-cast codegen (41.6M rows at
+    # sf1.0 -- 45.5 s, the slowest registry query; this pass is ~6x).
+    # BIT-IDENTICAL to the exploded form by construction: each per-row
+    # product is snapped to milli-units with ROUND's half-AWAY-FROM-
+    # ZERO (sign * floor(|1000p| + 0.5) -- np.round would half-EVEN,
+    # which diverges on dyadic products like 0.0625), non-finite
+    # products are dropped exactly where the decimal cast yields NULL,
+    # and integer addition is associative so partial-summing per chunk
+    # then per (i, j) is the same exact sum the decimal aggregate
+    # computes. int64 chunk sums carry a rigorous no-overflow bound
+    # (max|q| * rows < 2^62); chunks that exceed it (adversarial
+    # ~1e6-scale vectors push products past 1e15) fall back to exact
+    # arbitrary-precision Python-int accumulation, float->int being
+    # exact at every magnitude. Ragged rows group by length and
+    # contribute only their own dims, like the oracle's unnest.
+    def partials(batches):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        acc: dict = {}
+        seen_lengths: set = set()
+        for pdf in batches:
+            rows = [
+                np.asarray(e, dtype=np.float64)
+                for e in pdf["e"].values
+                if e is not None and len(e) > 0
+            ]
+            by_len: dict = {}
+            for v in rows:
+                by_len.setdefault(len(v), []).append(v)
+            for dim, group in by_len.items():
+                seen_lengths.add(dim)
+                V = np.stack(group)
+                for lo in range(0, len(V), 512):
+                    C = V[lo : lo + 512]
+                    P = C[:, :, None] * C[:, None, :] * 1000.0
+                    Q = np.sign(P) * np.floor(np.abs(P) + 0.5)
+                    finite = np.isfinite(Q)
+                    maxabs = np.abs(np.where(finite, Q, 0.0)).max() if Q.size else 0.0
+                    iu, ju = np.triu_indices(dim)
+                    if maxabs * C.shape[0] < float(2**62):
+                        S = np.where(finite, Q, 0.0).astype(np.int64).sum(axis=0)
+                        cnt = finite.sum(axis=0)
+                        for i, j in zip(iu, ju):
+                            if cnt[i, j]:
+                                key = (int(i), int(j))
+                                acc[key] = acc.get(key, 0) + int(S[i, j])
+                    else:
+                        for r in range(C.shape[0]):
+                            for i, j in zip(iu, ju):
+                                if finite[r, i, j]:
+                                    key = (int(i), int(j))
+                                    acc[key] = acc.get(key, 0) + int(Q[r, i, j])
+        # a cell is PRESENT when any physical row covers its dims, even
+        # if every product there was non-finite (the exploded form and
+        # the oracle both emit such groups, summing to NULL g)
+        present: set = set()
+        for dim in seen_lengths:
+            iu, ju = np.triu_indices(dim)
+            present.update((int(i), int(j)) for i, j in zip(iu, ju))
+        keys = sorted(present)
+        yield pd.DataFrame(
+            {
+                "i": [k[0] for k in keys],
+                "j": [k[1] for k in keys],
+                "p": [
+                    Decimal(acc[k]) if k in acc else None for k in keys
+                ],
+            }
+        )
+
+    pairs = emb.mapInPandas(partials, schema="i long, j long, p decimal(38,0)")
     return (
         pairs.groupBy("i", "j")
         .agg(
