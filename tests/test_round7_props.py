@@ -354,3 +354,70 @@ def test_scored_pairs_match_bucket_pairs_plus_verify(spark):
     assert any(
         v is None for (x, y), v in ref.items() if x == 60 and y == 61
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram-matrix vectorized snap: the arbitrary-precision fallback branch.
+# The r7 Arrow-batched rewrite int64-sums each chunk under a rigorous
+# max|q| * rows < 2^62 bound; vectors past ~1e6 magnitude (products over
+# ~4.6e18 milli-units) must take the exact Python-int path instead. No
+# fixture reaches that regime, so this test pins it directly, alongside
+# ragged rows, NaN products, duplicates, and an all-dims-NULL cell.
+def test_gram_matrix_fallback_matches_exact_integer_reference(
+    spark, tmp_path
+):
+    import math
+
+    import pandas as pd
+
+    rows = [
+        [2.0e9, -3.0e9, 1.5],          # products to 9e18: fallback regime
+        [2.0e9, -3.0e9, 1.5],          # duplicate row counts twice
+        # dim 3 exists ONLY here and only as NaN: its cells must still
+        # appear in the output, as NULL g (all products dropped)
+        [1.25, -0.75, float("nan"), float("nan")],
+        [0.0625, 1.0],                 # ragged; 0.0625*1000 = 62.5 exactly
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(rows)), "embedding": rows}
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/embeddings.parquet")
+
+    from os___mapreduceframework_spark.operators.similarity import (
+        q_embedding_gram_matrix,
+    )
+
+    got = {
+        (r["i"], r["j"]): r["g"]
+        for r in q_embedding_gram_matrix(spark, sf_dir).collect()
+    }
+
+    # exact integer reference: per-row snap (half away from zero), skip
+    # non-finite, arbitrary-precision sum, then the same /1000 round
+    acc: dict = {}
+    cells = set()
+    for v in rows:
+        for i in range(len(v)):
+            for j in range(i, len(v)):
+                cells.add((i, j))
+                p = v[i] * v[j] * 1000.0
+                if not math.isfinite(p):
+                    continue
+                q = int(math.copysign(math.floor(abs(p) + 0.5), p))
+                acc[(i, j)] = acc.get((i, j), 0) + q
+    ref = {
+        c: (round(float(acc[c]) / 1000.0, 3) if c in acc else None)
+        for c in cells
+    }
+    assert got == ref
+    # the fallback regime actually produced a > int64 cell
+    assert any(abs(x) > 2**62 for x in acc.values())
+    # the all-non-finite cell is present with NULL g, not absent
+    assert (3, 3) in got and got[(3, 3)] is None
+    # the half-away-from-zero case is exercised: the ragged row's
+    # 0.0625 * 1.0 product lands on exactly 62.5 milli-units (a dyadic
+    # rational), which ROUND takes to 63 and numpy's half-even to 62 --
+    # its cell also carries -937.5 from the NaN row's finite dims, so
+    # the exact tail is (2*-6e21) - 938 + 63
+    assert acc[(0, 1)] % 1000 == (-938 + 63) % 1000
