@@ -300,19 +300,38 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, top_bigram_count, n_bigrams, n_tokens, n_uniq): the
     within-document repetition statistics (Gopher-style gate inputs),
     one map-side-combinable aggregation path over the bigram explode.
-    Docs with < 2 tokens have no bigrams (absent from the result)."""
+    Docs with < 2 tokens have no bigrams (absent from the result).
+
+    PLAN-SHAPE NOTE (round-7 fix, 4-14x at the 10x fixture): columns
+    selected ALONGSIDE an explode land in the Project ABOVE the
+    Generate, so they are re-evaluated once per GENERATED row -- the
+    original shape recomputed size(array_distinct(w)) (and, after
+    CollapseProject inlines ``w``, the split itself) per BIGRAM, which
+    is quadratic-ish work and allocation per doc and degraded further
+    under GC pressure (23 -> 89 s back-to-back at sf1.0). The per-doc
+    stats therefore ride INSIDE the generator expression: a 1-element
+    array(struct(nt, nu)) binds them once per input row (the SQL
+    scoped-LET idiom), the inner transform attaches them to every
+    bigram struct, and the post-Generate project only extracts fields.
+    Row set and values are identical; 6 s stable at sf1.0."""
     t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    gen = F.expr(
+        """
+        flatten(transform(
+          array(struct(size(w) AS nt, size(array_distinct(w)) AS nu)),
+          s -> transform(sequence(1, size(w) - 1),
+            i -> struct(concat(w[i - 1], ' ', w[i]) AS bigram,
+                        s.nt AS nt, s.nu AS nu))))
+        """
+    )
     bg = (
         t.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(gen).alias("e"))
         .select(
             "doc_id",
-            F.size("w").alias("n_tokens"),
-            F.size(F.array_distinct("w")).alias("n_uniq"),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1), i -> concat(w[i - 1], ' ', w[i]))"
-                )
-            ).alias("bigram"),
+            F.col("e.nt").alias("n_tokens"),
+            F.col("e.nu").alias("n_uniq"),
+            F.col("e.bigram").alias("bigram"),
         )
     )
     return (
