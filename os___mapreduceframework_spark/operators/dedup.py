@@ -45,10 +45,13 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     EMB_BANDS,
     EMB_N_PLANES,
     EMB_PLANES_PER_BAND,
+    EMB_STRICT_THRESHOLD,
     _EMB_BANDS_SQL,
+    _EMB_BANDS_STRICT_SQL,
     _EMB_WEIGHT_DIMS,
     _plane_weights,
     canonical_embeddings,
+    emb_strict_bands,
     embedding_band_buckets,
     embedding_scored_pairs,
 )
@@ -421,6 +424,79 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cs").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= COSINE_NEAR_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# audit floor of the strict detector's output: scored candidates below
+# the production threshold but above this floor are REPORTED (flagged
+# false), because (a) real curation runs audit the just-under-threshold
+# band before committing a delete set, and (b) the synthetic fixture
+# space tops out near cos 0.6, so the floor is what keeps the driver's
+# oracle row exercising the strict band table with real values instead
+# of comparing empty sets (planted >= 0.9 pairs are covered by
+# tests/test_round7_props.py::test_strict_near_dup_detects_planted_pairs)
+EMB_STRICT_REPORT_FLOOR = 0.30
+
+
+@query(
+    "dedup_embedding_near_strict",
+    oracle=f"""
+    WITH {_EMB_BANDS_STRICT_SQL}
+    SELECT vec_a, vec_b, cos_sim,
+           CASE WHEN cos_sim >= {EMB_STRICT_THRESHOLD} THEN 1 ELSE 0 END
+             AS is_near_dup
+    FROM (
+      SELECT c.vec_a, c.vec_b,
+             CASE WHEN list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 OR list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0 THEN NULL ELSE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) END AS cos_sim
+      FROM ecand c
+      JOIN cemb a ON a.vec_id = c.vec_a
+      JOIN cemb b ON b.vec_id = c.vec_b
+    )
+    WHERE cos_sim >= {EMB_STRICT_REPORT_FLOOR}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding near-dup detection at the PRODUCTION threshold (cos "
+    ">= 0.90, the SemDeDup regime) with threshold-tuned banding: the "
+    "same adaptive bit widths as dedup_embedding_near, but the band "
+    "count comes from the strict pinned table (minimal L holding >= "
+    "95% collision probability AT 0.90 -- 6 bands at fixture scale vs "
+    "the calibration family's 32, 35 vs 182 at 2M vectors), because a "
+    "higher threshold means a higher per-bit agreement probability and "
+    "therefore far fewer bands for the same recall. This is the knob "
+    "that makes web-scale semantic dedup tractable: ~10x fewer "
+    "candidates at 2M vectors than the 0.45 calibration banding. "
+    "Output: strict-banded scored candidates at or above the audit "
+    "floor with the production-threshold flag -- the floor keeps the "
+    "just-under-threshold audit band visible (and the fixture-scale "
+    "oracle row non-vacuous); planted >= 0.9 pairs are pinned by a "
+    "property test. The oracle mirrors the strict band table over the "
+    "same plane pool and decode.",
+)
+def q_dedup_embedding_near_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = canonical_embeddings(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).localCheckpoint(eager=False)
+    n = embedding_count(spark, sf_dir)
+    scored = embedding_scored_pairs(
+        emb,
+        dim=embedding_dim(spark, sf_dir),
+        n_vectors=n,
+        nbands=emb_strict_bands(n),
+    )
+    return (
+        scored.select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.col("cs").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMB_STRICT_REPORT_FLOOR)
+        .withColumn(
+            "is_near_dup",
+            F.when(F.col("cos_sim") >= EMB_STRICT_THRESHOLD, 1).otherwise(0),
+        )
         .orderBy("vec_a", "vec_b")
     )
 # Above this many (symmetric, deduped) edges the CC runs distributed;

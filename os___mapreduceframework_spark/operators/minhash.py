@@ -460,6 +460,58 @@ _NBANDS_EXPR = (
     )
     + f" ELSE {EMB_BANDS_BY_EXTRA_BITS[-1]} END"
 )
+
+
+# PRODUCTION-THRESHOLD BANDING (round-7): real near-dup dedup runs at
+# cos >= ~0.9 (the SemDeDup/embedding-near-dup regime), where the
+# per-bit collision probability p = 1 - acos(0.9)/pi ~= 0.8564 is far
+# higher than the deliberately hard calibration threshold's 0.6486 --
+# so the SAME adaptive bit widths hold recall with FAR fewer bands.
+# EMB_STRICT_BANDS_BY_NBITS pins, for each width 6..18, the minimal L
+# with 1 - (1 - p^nbits)^L >= EMB_STRICT_RECALL at cos =
+# EMB_STRICT_THRESHOLD (ceil arithmetic, re-derived and pinned by
+# tests/test_round7_props.py). Candidate volume per vector at the
+# width-transition corpus sizes grows only ~1.17x per octave
+# (192 -> 1536 cand/vec from 2k to 8.4M vectors) vs the 0.45 table's
+# 1.45x -- the rho-sublinearity payoff of an easier threshold.
+EMB_STRICT_THRESHOLD = 0.90
+EMB_STRICT_RECALL = 0.95
+EMB_STRICT_BANDS_BY_NBITS = (6, 8, 9, 11, 13, 15, 18, 21, 25, 30, 35, 41, 48)
+
+
+def emb_bands_for_threshold(
+    threshold: float, nbits: int, target_recall: float
+) -> int:
+    """Minimal band count L with banded-collision probability
+    ``1 - (1 - p^nbits)^L >= target_recall`` at the given cosine
+    threshold, where ``p = 1 - acos(threshold)/pi`` is the hyperplane
+    per-bit agreement probability. The closed form behind BOTH pinned
+    band tables (0.45 calibration and 0.90 strict)."""
+    import math
+
+    p = 1.0 - math.acos(threshold) / math.pi
+    return math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - p**nbits)
+    )
+
+
+def emb_strict_bands(n_vectors: int) -> int:
+    """Band count for the production-threshold (0.90) banding at an
+    ``n_vectors`` corpus: same adaptive bit width as the calibration
+    family, strict band table. Mirrored by the SQL strict ``nb`` CTE."""
+    return EMB_STRICT_BANDS_BY_NBITS[
+        emb_adaptive_bits(n_vectors) - EMB_PLANES_PER_BAND
+    ]
+
+
+_NBANDS_STRICT_EXPR = (
+    "CASE "
+    + " ".join(
+        f"WHEN nbits <= {EMB_PLANES_PER_BAND + i} THEN {bands}"
+        for i, bands in enumerate(EMB_STRICT_BANDS_BY_NBITS[:-1])
+    )
+    + f" ELSE {EMB_STRICT_BANDS_BY_NBITS[-1]} END"
+)
 # (band, bit) decode inverting _emb_plane_index for both regions: base
 # bands (p < EMB_EXT_PLANE_BASE) use the block layout, extension bands
 # are contiguous per band after it
@@ -475,7 +527,12 @@ _PLANE_BIT_EXPR = (
     f" ELSE (p - {EMB_EXT_PLANE_BASE}) % {EMB_MAX_PLANES_PER_BAND} END"
 )
 
-_EMB_BANDS_SQL = f"""
+def _emb_bands_sql(nbands_expr: str) -> str:
+    """The shared DuckDB banding SQL (cemb/nb/planes/w/dims/psums/
+    ebands/ecand CTE chain), parameterized on the band-count expression
+    so the calibration (0.45) and strict (0.90) families mirror their
+    own pinned tables over the SAME plane pool and decode."""
+    return f"""
     -- canonical vector per id: replayed/conflicting duplicate rows
     -- resolve to the lexicographically-minimal embedding BEFORE any
     -- signature math (MIN over lists is identical in both engines;
@@ -497,7 +554,7 @@ _EMB_BANDS_SQL = f"""
         FROM embeddings) WHERE _rn = 1
     ),
     nb AS (
-      SELECT nbits, {_NBANDS_EXPR} AS nbands
+      SELECT nbits, {nbands_expr} AS nbands
       FROM (SELECT {_NBITS_EXPR} AS nbits
             FROM (SELECT COUNT(*) AS n FROM cemb))
     ),
@@ -540,8 +597,12 @@ _EMB_BANDS_SQL = f"""
       FROM psums GROUP BY vec_id, band
     ),
 """ + _capped_pairs_sql(
-    "ebands", "vec_id", ("band", "bucket"), ("vec_a", "vec_b"), "ecand"
-)
+        "ebands", "vec_id", ("band", "bucket"), ("vec_a", "vec_b"), "ecand"
+    )
+
+
+_EMB_BANDS_SQL = _emb_bands_sql(_NBANDS_EXPR)
+_EMB_BANDS_STRICT_SQL = _emb_bands_sql(_NBANDS_STRICT_EXPR)
 
 
 def _plane_weights(p: int, dim: int) -> list[int]:
@@ -570,7 +631,10 @@ def canonical_embeddings(emb: DataFrame) -> DataFrame:
 
 
 def embedding_band_buckets(
-    emb: DataFrame, dim: int | None = None, n_vectors: int | None = None
+    emb: DataFrame,
+    dim: int | None = None,
+    n_vectors: int | None = None,
+    nbands: int | None = None,
 ) -> DataFrame:
     """(vec_id, band, bucket): banded hyperplane signatures in ONE
     scan-local Arrow-batched pass -- zero shuffle.
@@ -603,7 +667,10 @@ def embedding_band_buckets(
     if n_vectors is None:
         n_vectors = emb.count()
     nbits = emb_adaptive_bits(n_vectors)
-    n_bands = emb_adaptive_bands(n_vectors)
+    # nbands override: the production-threshold family passes its own
+    # recall-holding band count (emb_strict_bands); None keeps the
+    # calibration table. Bit width always follows corpus size.
+    n_bands = nbands if nbands is not None else emb_adaptive_bands(n_vectors)
     # weight rows ordered (band, j): base planes keep historical
     # indices, so nbits == 6 reproduces the pre-adaptive buckets exactly
     W = np.array(
@@ -659,6 +726,7 @@ def embedding_scored_pairs(
     n_vectors: int | None = None,
     cap: int = LSH_BUCKET_CAP,
     dedup: bool = True,
+    nbands: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cs): exactly ``bucket_pairs`` over the embedding
     band rows, with each pair's rounded cosine scored INSIDE the bucket
@@ -698,10 +766,13 @@ def embedding_scored_pairs(
         n_vectors = emb.count()
     from pyspark.storagelevel import StorageLevel
 
-    bands = embedding_band_buckets(emb, dim=dim, n_vectors=n_vectors)
+    bands = embedding_band_buckets(
+        emb, dim=dim, n_vectors=n_vectors, nbands=nbands
+    )
     s = _salted_rows(bands, "vec_id", "band", "bucket", cap)
     corpus = emb.select("vec_id", "e", _norm("e").alias("nv"))
-    nbands = emb_adaptive_bands(n_vectors)
+    if nbands is None:
+        nbands = emb_adaptive_bands(n_vectors)
     # ~600 B per fat band row (64 float64 + keys + row overhead);
     # ~32 MB partitions keep the shuffled-hash build small: SHJ builds
     # cannot spill, and at 128 MB the 600k-vector point's concurrent

@@ -421,3 +421,80 @@ def test_gram_matrix_fallback_matches_exact_integer_reference(
     # its cell also carries -937.5 from the NaN row's finite dims, so
     # the exact tail is (2*-6e21) - 938 + 63
     assert acc[(0, 1)] % 1000 == (-938 + 63) % 1000
+
+
+# --- production-threshold (strict) banding: round-7 session-3 family ---
+
+from os___mapreduceframework_spark.operators.minhash import (  # noqa: E402
+    EMB_STRICT_BANDS_BY_NBITS,
+    EMB_STRICT_RECALL,
+    EMB_STRICT_THRESHOLD,
+    emb_bands_for_threshold,
+    emb_strict_bands,
+    embedding_scored_pairs,
+)
+
+
+def test_strict_band_table_is_minimal_recall_holding_schedule():
+    """EMB_STRICT_BANDS_BY_NBITS must equal the minimal L(nbits) with
+    banded collision probability >= EMB_STRICT_RECALL at cos =
+    EMB_STRICT_THRESHOLD for every adaptive width 6..18 -- re-derived
+    from the hyperplane collision probability, compared to the pinned
+    constants both engines embed, and minimality-checked (L-1 bands
+    must NOT reach the recall target)."""
+    p = 1 - math.acos(EMB_STRICT_THRESHOLD) / math.pi
+    assert len(EMB_STRICT_BANDS_BY_NBITS) == (
+        EMB_MAX_PLANES_PER_BAND - EMB_PLANES_PER_BAND + 1
+    )
+    for i, bands in enumerate(EMB_STRICT_BANDS_BY_NBITS):
+        nbits = EMB_PLANES_PER_BAND + i
+        q = p**nbits
+        assert bands == emb_bands_for_threshold(
+            EMB_STRICT_THRESHOLD, nbits, EMB_STRICT_RECALL
+        )
+        assert 1 - (1 - q) ** bands >= EMB_STRICT_RECALL
+        assert 1 - (1 - q) ** (bands - 1) < EMB_STRICT_RECALL
+    # the strict family never exceeds the plane pool's band budget
+    # (max band count the extension region can serve at full width)
+    assert max(EMB_STRICT_BANDS_BY_NBITS) <= EMB_BANDS + (
+        EMB_N_PLANES_TOTAL - EMB_EXT_PLANE_BASE
+    ) // EMB_MAX_PLANES_PER_BAND
+    # table ties to the corpus-size knob through the same bit widths
+    assert emb_strict_bands(2000) == EMB_STRICT_BANDS_BY_NBITS[0]
+    assert emb_strict_bands(2_000_000) == EMB_STRICT_BANDS_BY_NBITS[10]
+
+
+def test_strict_near_dup_detects_planted_pairs(spark):
+    """Plant 0.999-cosine twins in a random corpus; the strict-banded
+    detector (6 bands at this scale) must flag EXACTLY the planted
+    pairs at the 0.90 production threshold. Deterministic: fixed RNG
+    seed, md5-derived planes -- the banding outcome is a pure function
+    of the corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    rows, planted = [], set()
+    vid = 0
+    for i in range(40):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        rows.append((vid, v.tolist()))
+        a = vid
+        vid += 1
+        if i % 4 == 0:  # every 4th vector gets a near-identical twin
+            t = v + rng.normal(size=dim) * 0.01
+            t /= np.linalg.norm(t)
+            rows.append((vid, t.tolist()))
+            planted.add((a, vid))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    scored = embedding_scored_pairs(
+        emb, dim=dim, n_vectors=len(rows), nbands=emb_strict_bands(len(rows))
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in scored.filter(F.col("cs") >= EMB_STRICT_THRESHOLD).collect()
+    }
+    assert got == planted
