@@ -18,8 +18,13 @@ parameters (emb_adaptive_bits / emb_adaptive_bands) and reports:
     union's de-dup) when the candidate volume is small enough to
     count directly; null when skipped.
 
+``--family strict`` bands the same corpus with the production-threshold
+(cos >= 0.90) strict table instead — the SemDeDup-regime candidate
+curve, ~5-10x fewer candidates at the same adaptive bit widths.
+
 Usage:
     python scripts/lsh_cand_diag.py --dirs DIR... --out SCALE_r07_cands.json
+    python scripts/lsh_cand_diag.py --family strict --out SCALE_r07_strict_cands.json
 """
 
 from __future__ import annotations
@@ -40,6 +45,7 @@ from os___mapreduceframework_spark.operators.minhash import (
     canonical_embeddings,
     emb_adaptive_bands,
     emb_adaptive_bits,
+    emb_strict_bands,
     embedding_band_buckets,
 )
 from os___mapreduceframework_spark.session import get_session
@@ -63,11 +69,22 @@ def main() -> int:
         help="materialize the distinct pair count only when the "
         "arithmetic candidate volume is at or below this",
     )
+    ap.add_argument(
+        "--family",
+        choices=["calibration", "strict"],
+        default="calibration",
+        help="band table: the 0.45-threshold calibration table "
+        "(emb_adaptive_bands) or the 0.90 production-threshold strict "
+        "table (emb_strict_bands)",
+    )
     args = ap.parse_args()
 
     spark = get_session(app_name="lsh_cand_diag")
     cap = LSH_BUCKET_CAP
-    report = {"cap": cap, "dirs": {}}
+    bands_for = (
+        emb_strict_bands if args.family == "strict" else emb_adaptive_bands
+    )
+    report = {"cap": cap, "family": args.family, "dirs": {}}
     for d in args.dirs:
         t0 = time.perf_counter()
         emb = canonical_embeddings(
@@ -78,7 +95,12 @@ def main() -> int:
         n = emb.count()
         head = emb.select("e").filter(F.size("e") > 0).head()
         dim = len(head["e"]) if head else 0
-        bands = embedding_band_buckets(emb, dim=dim, n_vectors=n)
+        bands = embedding_band_buckets(
+            emb,
+            dim=dim,
+            n_vectors=n,
+            nbands=None if args.family == "calibration" else bands_for(n),
+        )
         # exact capped-pairs arithmetic from bucket sizes: per bucket of
         # size m, (m // cap) full sub-buckets of C(cap,2) pairs, the
         # remainder's C(m % cap, 2), and ceil(m/cap) - 1 bridges
@@ -102,7 +124,7 @@ def main() -> int:
             "n": n,
             "dim": dim,
             "nbits": emb_adaptive_bits(n),
-            "nbands": emb_adaptive_bands(n),
+            "nbands": bands_for(n),
             "candidates": cands,
             "uncapped_pairs": int(row["uncapped"]),
             "n_buckets": int(row["n_buckets"]),
