@@ -416,6 +416,10 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         dim=embedding_dim(spark, sf_dir),
         n_vectors=embedding_count(spark, sf_dir),
+        # threshold pushed below the pair de-dup (equal-cs invariant:
+        # bit-identical output; the de-dup exchange carries survivors
+        # only -- the 2M-vector completes-on-one-box fix)
+        min_cs=COSINE_NEAR_THRESHOLD,
     )
     return (
         scored.select(
@@ -485,6 +489,9 @@ def q_dedup_embedding_near_strict(spark: SparkSession, sf_dir: str) -> DataFrame
         dim=embedding_dim(spark, sf_dir),
         n_vectors=n,
         nbands=emb_strict_bands(n),
+        # audit floor pushed below the pair de-dup (equal-cs invariant:
+        # bit-identical; survivors-only de-dup exchange)
+        min_cs=EMB_STRICT_REPORT_FLOOR,
     )
     return (
         scored.select(

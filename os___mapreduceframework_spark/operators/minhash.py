@@ -727,6 +727,7 @@ def embedding_scored_pairs(
     cap: int = LSH_BUCKET_CAP,
     dedup: bool = True,
     nbands: int | None = None,
+    min_cs: float | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cs): exactly ``bucket_pairs`` over the embedding
     band rows, with each pair's rounded cosine scored INSIDE the bucket
@@ -759,6 +760,20 @@ def embedding_scored_pairs(
     explicit repartition is also the single exchange both self-join
     sides reuse. Oracles are unchanged: DuckDB still scores the ecand
     pairs against cemb -- same pairs, same values.
+
+    ``min_cs``: consumers that threshold the scored stream (near-dup at
+    0.45, the strict family's 0.30 audit floor) pass that threshold
+    here so the filter runs BELOW the pair de-dup, map-side inside the
+    self-join stage. Bit-identical by the equal-cs invariant above:
+    every occurrence of a pair carries the same cs, so either all pass
+    the filter or none do, and max-after-filter == filter-after-max
+    (a fully filtered pair would be dropped by the consumer's own
+    threshold anyway). The win is the de-dup exchange: without the
+    pushdown it carries EVERY candidate pair (~2.16G rows / ~30 GB of
+    shuffle at 2M vectors -- measured as the component that ran this
+    box out of disk); with it, only the survivors (~1% of pairs at the
+    0.30 floor on decorrelated corpora) cross the wire. Consumers that
+    need the full stream (kNN top-k) leave it None.
     """
     import math
 
@@ -841,6 +856,11 @@ def embedding_scored_pairs(
         )
     )
     occurrences = within.unionByName(bridges)
+    if min_cs is not None:
+        # pushed below the de-dup (see docstring): NULL cs (zero-norm
+        # sides) fails the predicate, matching the consumer's own
+        # threshold filter, which would drop the NULL row post-de-dup
+        occurrences = occurrences.filter(F.col("cs") >= F.lit(min_cs))
     if not dedup:
         # duplicate (a, b) occurrences (same pair colliding in several
         # bands) carry EQUAL cs, so consumers whose reduction is

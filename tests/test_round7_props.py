@@ -354,6 +354,26 @@ def test_scored_pairs_match_bucket_pairs_plus_verify(spark):
     assert any(
         v is None for (x, y), v in ref.items() if x == 60 and y == 61
     )
+    # min_cs pushdown identity (the 2M-vector disk fix): filtering
+    # BELOW the pair de-dup must equal filtering the de-duped stream --
+    # every occurrence of a pair carries equal cs, so max-after-filter
+    # == filter-after-max. Same hostile corpus: hot block (salted +
+    # bridge paths), scattered vectors, zero vectors (NULL cs must be
+    # dropped by the pushed filter exactly as the consumer's own
+    # threshold would drop the NULL row).
+    for floor in (0.30, 0.90):
+        pushed = {
+            (r["id_a"], r["id_b"]): r["cs"]
+            for r in embedding_scored_pairs(
+                emb, dim=dim, n_vectors=n, cap=cap, min_cs=floor
+            ).collect()
+        }
+        post = {
+            k: v
+            for k, v in scored.items()
+            if v is not None and v >= floor
+        }
+        assert pushed == post
 
 
 # ---------------------------------------------------------------------------
