@@ -112,20 +112,65 @@ def _load_avg_1m() -> float:
         return -1.0
 
 
-def _calibration_sec(spark) -> float:
+def _calibration_sec(spark, runs: int = 3) -> float:
     """Fixed-cost calibration: a constant 2e8-row whole-stage-codegen
-    arithmetic loop, data-independent and plan-trivial, min of 3. Its
-    round-over-round drift measures the BOX (CPU contention, JVM/JIT
+    arithmetic loop, data-independent and plan-trivial, min of ``runs``.
+    Its round-over-round drift measures the BOX (CPU contention, JVM/JIT
     state), not the engine -- a headline delta that tracks the
     calibration delta is load, one that doesn't is a plan change."""
     samples = []
-    for _ in range(3):
+    for _ in range(runs):
         t0 = time.perf_counter()
         spark.range(200_000_000).selectExpr(
             "sum(id * 2 + id % 7) as s"
         ).write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
     return round(min(samples), 3)
+
+
+# interleave one single-sample calibration loop every N timed queries:
+# r7's committed bench recorded calibration only at suite start/end, so
+# a mid-run steal window (stream_tumbling_agg, 3.2x baseline) was
+# unclassifiable from the artifact alone and took a judge-side re-run
+# to clear (VERDICT r7 item 3)
+CAL_EVERY = 8
+# a query whose own samples spread past this ratio is flagged as
+# steal-suspect: its names + per-query load land in the committed
+# sidecar, and only the COUNT rides the stdout line (the driver
+# tail-captures 2000 chars; r7's line was already 1544 bytes)
+FLAG_SPREAD = 1.5
+
+
+def _flagged(dispersion: dict[str, list[float]]) -> list[str]:
+    """Names of queries whose own samples spread past FLAG_SPREAD --
+    the in-run steal signature (a plan is deterministic; only the box
+    moves between back-to-back samples)."""
+    return [
+        name
+        for name, samples in dispersion.items()
+        if len(samples) > 1 and samples[-1] > FLAG_SPREAD * samples[0]
+    ]
+
+
+def _noise_fields(
+    dispersion: dict[str, list[float]],
+    cal_timeline: list[dict],
+) -> dict:
+    """The self-adjudication summary for the stdout artifact. SIZE
+    CONSTRAINT: the driver tail-captures only the last 2000 chars of
+    stdout and parses the final JSON line from it -- r7's line was
+    already 1544 bytes, so this block must stay ~100 bytes. The
+    interleaved calibration samples (box-speed timeline) and the COUNT
+    of spread-flagged queries ride inline; the per-query
+    {samples, load_1m} detail + flagged names land in the committed
+    sidecar (.spark_graft_bench_samples.json), which is what a reader
+    classifying a +/-20% delta opens: a spike whose neighbors'
+    calibration also moved is box steal, one whose calibration stayed
+    flat is a plan change."""
+    return {
+        "cal_interleaved": [c["sec"] for c in cal_timeline],
+        "n_spread_flagged": len(_flagged(dispersion)),
+    }
 
 
 def _run_one(name: str) -> None:
@@ -158,7 +203,9 @@ def _main_isolated() -> None:
     load_start, calib_start = _load_avg_1m(), _calibration_sec(cal_spark)
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    per_query_load: dict[str, float] = {}
+    cal_timeline: list[dict] = []
+    for i, name in enumerate(HEADLINE):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
             capture_output=True,
@@ -169,11 +216,20 @@ def _main_isolated() -> None:
         samples = rec["samples"]
         timings[name] = min(samples)
         dispersion[name] = sorted(samples)
+        per_query_load[name] = _load_avg_1m()
+        if (i + 1) % CAL_EVERY == 0:
+            cal_timeline.append(
+                {"after": i, "sec": _calibration_sec(cal_spark, runs=1),
+                 "load_1m": per_query_load[name]}
+            )
         print(f"# {name}: {timings[name]:.3f}s (isolated)", file=sys.stderr)
     with open(".spark_graft_bench_samples.json", "w") as f:
         json.dump(
             {"runs_per_query": len(next(iter(dispersion.values()), [])),
-             "stat": "min", "isolated": True, "samples": dispersion}, f
+             "stat": "min", "isolated": True, "samples": dispersion,
+             "per_query_load_1m": per_query_load,
+             "cal_timeline": cal_timeline,
+             "spread_flagged": _flagged(dispersion)}, f
         )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -193,6 +249,7 @@ def _main_isolated() -> None:
                     "start": calib_start,
                     "end": _calibration_sec(cal_spark),
                 },
+                "noise": _noise_fields(dispersion, cal_timeline),
             }
         )
     )
@@ -213,7 +270,9 @@ def main() -> None:
     load_start, calib_start = _load_avg_1m(), _calibration_sec(spark)
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    per_query_load: dict[str, float] = {}
+    cal_timeline: list[dict] = []
+    for i, name in enumerate(HEADLINE):
         samples = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -224,6 +283,12 @@ def main() -> None:
         # (load-avg spikes), while per-query mins reproduce within ~15%
         timings[name] = round(min(samples), 3)
         dispersion[name] = sorted(round(s, 3) for s in samples)
+        per_query_load[name] = _load_avg_1m()
+        if (i + 1) % CAL_EVERY == 0:
+            cal_timeline.append(
+                {"after": i, "sec": _calibration_sec(spark, runs=1),
+                 "load_1m": per_query_load[name]}
+            )
         spread = (
             f" (median {sorted(samples)[len(samples) // 2]:.3f}"
             f" max {max(samples):.3f})"
@@ -244,7 +309,10 @@ def main() -> None:
     # because the ~3.5 KB samples payload got truncated mid-object
     with open(".spark_graft_bench_samples.json", "w") as f:
         json.dump(
-            {"runs_per_query": n_runs, "stat": "min", "samples": dispersion}, f
+            {"runs_per_query": n_runs, "stat": "min", "samples": dispersion,
+             "per_query_load_1m": per_query_load,
+             "cal_timeline": cal_timeline,
+             "spread_flagged": _flagged(dispersion)}, f
         )
     print(
         json.dumps(
@@ -268,6 +336,12 @@ def main() -> None:
                     "start": calib_start,
                     "end": _calibration_sec(spark),
                 },
+                # self-adjudication (VERDICT r7 item 3): interleaved
+                # calibration/load timeline + full noise context for any
+                # query whose samples spread >1.5x -- a spike whose
+                # neighbors' calibration also moved is box steal, one
+                # whose calibration stayed flat is a plan change
+                "noise": _noise_fields(dispersion, cal_timeline),
             }
         )
     )

@@ -777,6 +777,17 @@ def embedding_scored_pairs(
     """
     import math
 
+    if min_cs is not None and not dedup:
+        # legal-looking but semantically hazardous combination (ADVICE
+        # r7): a dup-invariant consumer (kNN argmax/top-k) that passed a
+        # floor here would silently truncate neighbor lists below it --
+        # every current threshold consumer de-dups, every dedup=False
+        # consumer needs the full stream, so reject the mix outright
+        raise ValueError(
+            "min_cs with dedup=False would truncate the occurrence "
+            "stream below the floor; threshold consumers must de-dup "
+            "(dedup=True), full-stream consumers must filter themselves"
+        )
     if n_vectors is None:
         n_vectors = emb.count()
     from pyspark.storagelevel import StorageLevel

@@ -99,7 +99,12 @@ def main() -> int:
             emb,
             dim=dim,
             n_vectors=n,
-            nbands=None if args.family == "calibration" else bands_for(n),
+            # pass the band count unconditionally (ADVICE r7): the
+            # calibration family's internal default happens to BE
+            # emb_adaptive_bands, but recording bands_for(n) below while
+            # letting the callee re-derive its own would silently desync
+            # if that default ever changed
+            nbands=bands_for(n),
         )
         # exact capped-pairs arithmetic from bucket sizes: per bucket of
         # size m, (m // cap) full sub-buckets of C(cap,2) pairs, the

@@ -37,3 +37,19 @@ def test_roadmap_query_count_matches_registry():
 def test_every_oracle_matches_a_registered_query():
     q, o = registry.queries(), registry.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_scale_index_is_fresh_and_complete():
+    """Every SCALE_r*.json sidecar has an index row and the committed
+    SCALE_INDEX.md matches the generator's output (VERDICT r7 item 6:
+    the 100 TB story should be readable from one table)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "scripts", "gen_scale_index.py"),
+         "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr

@@ -328,6 +328,95 @@ def test_spans_keep_first_within_batch_and_canonical_survives(spark):
     assert got == {7: [(1, 25, 6)], 9: [(1, 25, 6)]}
 
 
+def test_spans_registry_compaction_preserves_dedup_memory(spark):
+    # three batches of the same text: the append log holds the hash set
+    # three times (last-seen re-appends). Compaction folds it to one
+    # row per hash; a registry compacted between runs must still flag
+    # replays -- modeled by compacting mid-stream via on_batch being
+    # unavailable (compaction is an offline job), so: drive, compact,
+    # verify rows_after == distinct and the log shrank.
+    import shutil
+
+    from os___mapreduceframework_spark.streaming.incremental import (
+        compact_span_registry,
+        incremental_span_dedup,
+    )
+
+    root = tempfile.mkdtemp(prefix="inc_spans_cmp_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    cols = ["doc_id", "text"]
+    pd.DataFrame([(1, _T25)], columns=cols).to_parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    pd.DataFrame([(2, _T25)], columns=cols).to_parquet(
+        os.path.join(src, "b2.parquet")
+    )
+    pd.DataFrame([(3, _T25)], columns=cols).to_parquet(
+        os.path.join(src, "b3.parquet")
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = os.path.join(root, "state")
+    out = incremental_span_dedup(docs, state)
+    assert sorted(int(r.doc_id) for r in out.collect()) == [2, 3]
+    stats = compact_span_registry(spark, state)
+    # 6 windows per batch, re-appended by each of the 3 batches
+    assert stats["rows_before"] == 18
+    assert stats["rows_after"] == 6
+    assert stats["bytes_after"] < stats["bytes_before"]
+    # the compacted registry still answers lookups: one row per hash,
+    # last-seen stamp is the final batch
+    reg = spark.read.parquet(os.path.join(state, "window_registry"))
+    assert reg.count() == reg.select("h").distinct().count() == 6
+    assert reg.agg({"b": "max"}).collect()[0][0] == 2
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_spans_registry_retention_drops_stale_hashes(spark):
+    # batch 0 registers _T25's windows; batches 1 and 2 carry disjoint
+    # content, so _T25's last-seen stays 0. retain_batches=2 keeps only
+    # hashes seen in batches > max_b - 2 = 0 -- _T25's are dropped,
+    # the recent vocabularies stay. (The documented tradeoff: _T25
+    # re-arriving AFTER the horizon would become a fresh canonical.)
+    import shutil
+
+    from os___mapreduceframework_spark.streaming.incremental import (
+        compact_span_registry,
+        incremental_span_dedup,
+    )
+
+    root = tempfile.mkdtemp(prefix="inc_spans_ttl_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    cols = ["doc_id", "text"]
+    pd.DataFrame([(1, _T25)], columns=cols).to_parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    pd.DataFrame([(2, _U25)], columns=cols).to_parquet(
+        os.path.join(src, "b2.parquet")
+    )
+    pd.DataFrame([(3, _V25)], columns=cols).to_parquet(
+        os.path.join(src, "b3.parquet")
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = os.path.join(root, "state")
+    incremental_span_dedup(docs, state)
+    stats = compact_span_registry(spark, state, retain_batches=2)
+    assert stats["rows_before"] == 18
+    assert stats["rows_after"] == 12  # _U25 + _V25 windows survive
+    reg = spark.read.parquet(os.path.join(state, "window_registry"))
+    assert reg.agg({"b": "min"}).collect()[0][0] == 1
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_spans_short_docs_have_no_windows(spark):
     # docs under SPAN_W tokens contribute no windows: no spans, no
     # registry entries, and the empty-output schema still reads back.
