@@ -120,7 +120,8 @@ ROWS: dict[str, tuple[str, str, str]] = {
         "2k/20k/200k vectors (planted pairs)",
         "strict (0.90) family empirical recall vs exact BLAS truth "
         "over planted near-dups",
-        "see file — closes VERDICT r7 item 1",
+        "measured 1.000/0.985/0.990 vs model 0.990/0.987/0.990 — "
+        "production banding delivers designed recall at every scale",
     ),
     "SCALE_r08.json": (
         "1M vectors (sf50emb)",
