@@ -134,21 +134,26 @@ def _calibration_sec(spark, runs: int = 3) -> float:
 # unclassifiable from the artifact alone and took a judge-side re-run
 # to clear (VERDICT r7 item 3)
 CAL_EVERY = 8
-# a query whose own samples spread past this ratio is flagged as
-# steal-suspect: its names + per-query load land in the committed
-# sidecar, and only the COUNT rides the stdout line (the driver
-# tail-captures 2000 chars; r7's line was already 1544 bytes)
+# a query whose median sample spreads past this ratio over its min is
+# flagged as steal-suspect: the names + per-query load land in the
+# committed sidecar, and only the COUNT rides the stdout line (the
+# driver tail-captures 2000 chars; r7's line was already 1544 bytes)
 FLAG_SPREAD = 1.5
 
 
 def _flagged(dispersion: dict[str, list[float]]) -> list[str]:
-    """Names of queries whose own samples spread past FLAG_SPREAD --
-    the in-run steal signature (a plan is deterministic; only the box
-    moves between back-to-back samples)."""
+    """Names of queries whose MEDIAN sample spreads past FLAG_SPREAD
+    over their min -- the in-run steal signature. Median-vs-min, not
+    max-vs-min: the first run of every query carries its codegen/JIT
+    compile (routinely 1.5-3x the min, 29/45 queries on a QUIET box),
+    which a max rule flags every time; a steal window inflates several
+    consecutive samples and moves the median, a one-off cold run does
+    not."""
     return [
         name
         for name, samples in dispersion.items()
-        if len(samples) > 1 and samples[-1] > FLAG_SPREAD * samples[0]
+        if len(samples) > 1
+        and samples[len(samples) // 2] > FLAG_SPREAD * samples[0]
     ]
 
 
