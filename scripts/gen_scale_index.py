@@ -124,10 +124,11 @@ ROWS: dict[str, tuple[str, str, str]] = {
         "production banding delivers designed recall at every scale",
     ),
     "SCALE_r08.json": (
-        "1M vectors (sf50emb)",
-        "calibration-family one-box ceiling probe between 600k and 2M",
-        "COMPLETES: 4289s, 73.7 GB peak vs 76 GB free — 1M at 0.45 IS "
-        "the one-box disk ceiling; 1.27 µs/candidate, flat",
+        "1M vectors (sf50emb), both families",
+        "one-box envelope at 1M: calibration ceiling probe + strict "
+        "fill-in point",
+        "both COMPLETE: 0.45 family 4289s/73.7 GB peak (the disk "
+        "ceiling), 0.90 family 1448s/20 GB; 1.27 µs/candidate flat",
     ),
     "SCALE_r08_stream_spans.json": (
         "1x/30x documents (10 micro-batches each)",
