@@ -249,6 +249,11 @@ def _main_isolated() -> None:
                 # sf* dir present, so cross-round comparability needs the
                 # choice recorded in the output (ADVICE r4)
                 "sf_dir": SF_DIR,
+                # isolated (fresh JVM per query) has different warmth
+                # economics than shared-session; BASELINE.md was measured
+                # shared, so a silent mode switch would shift every ratio
+                # (VERDICT r8 item 5)
+                "mode": "isolated",
                 "load_avg_1m": {"start": load_start, "end": _load_avg_1m()},
                 "calibration_sec": {
                     "start": calib_start,
@@ -331,6 +336,9 @@ def main() -> None:
                 # sf* dir present, so cross-round comparability needs the
                 # choice recorded in the output (ADVICE r4)
                 "sf_dir": SF_DIR,
+                # shared-session is the BASELINE.md-comparable mode; the
+                # isolated twin stamps "isolated" (VERDICT r8 item 5)
+                "mode": "shared",
                 # shared-box noise adjudication (VERDICT r6 item 5): the
                 # calibration loop is data-independent, so a headline
                 # delta that tracks calibration/load drift is the box,

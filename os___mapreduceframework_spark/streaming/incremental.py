@@ -367,11 +367,33 @@ from os___mapreduceframework_spark.operators.dedup import (  # noqa: E402
 )
 
 
+def _recover_span_registry(registry_dir: str) -> None:
+    """Roll the registry swap forward/back after a crash (see
+    ``compact_span_registry``): a half-finished compaction leaves
+    ``._compact`` (incomplete write — discard) and/or ``._old`` (the
+    pre-swap registry). If the live dir is missing but ``._old``
+    exists, the crash hit between the two renames — restore the old
+    registry (losing only the compaction, never the dedup memory).
+    If both exist, the swap completed — drop the leftover."""
+    import shutil
+
+    tmp_dir = registry_dir + "._compact"
+    old_dir = registry_dir + "._old"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    if os.path.isdir(old_dir):
+        if os.path.isdir(registry_dir):
+            shutil.rmtree(old_dir)
+        else:
+            os.rename(old_dir, registry_dir)
+
+
 def incremental_span_dedup(
     docs_stream: DataFrame,
     state_dir: str,
     w: int = SPAN_W,
     on_batch=None,
+    fresh: bool = True,
 ) -> DataFrame:
     """Streaming KEEP-FIRST span dedup: removal spans assigned at
     arrival time via foreachBatch + a window-hash registry — the
@@ -420,6 +442,19 @@ def incremental_span_dedup(
     micro-batch commits (spans written, registry appended) — the scale
     bench uses it to sample registry bytes per batch.
 
+    ``fresh``: ``True`` (default) wipes ``state_dir`` and starts with
+    an empty registry — each call is an independent session (what every
+    registered query wants). ``False`` RESUMES against the existing
+    registry: the spans output is still per-session (old spans
+    removed), but the window-hash memory — possibly compacted by
+    ``compact_span_registry`` between sessions — seeds step 2, so
+    content first seen in an earlier session still dedups (ADVICE r8:
+    without this, the retention policy could never carry memory across
+    sessions). Batch stamps continue from the registry's max(b)+1 so
+    ``retain_batches`` horizons stay monotone across sessions; a
+    half-finished compaction swap is rolled forward/back first
+    (``_recover_span_registry``).
+
     Returns the static spans frame
     ``(doc_id, span_start, span_end, n_windows)`` after the stream
     drains.
@@ -431,7 +466,17 @@ def incremental_span_dedup(
 
     registry_dir = os.path.join(state_dir, "window_registry")
     out_dir = os.path.join(state_dir, "spans")
-    shutil.rmtree(state_dir, ignore_errors=True)
+    batch_base = 0
+    if fresh:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    else:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        _recover_span_registry(registry_dir)
+        if os.path.isdir(registry_dir):
+            prior = docs_stream.sparkSession.read.parquet(registry_dir)
+            if "b" in prior.columns:
+                prev_max = prior.agg(F.max("b")).collect()[0][0]
+                batch_base = (prev_max if prev_max is not None else -1) + 1
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -448,9 +493,14 @@ def incremental_span_dedup(
                 )
             ),
         )
-        try:
+        # Missing-path ONLY means "no memory yet" (first batch of a
+        # fresh session). Any other read failure must raise: swallowing
+        # it would silently forget every registered window (ADVICE r8 —
+        # a crashed compaction used to present exactly this way; the
+        # swap is now recovered at session start instead).
+        if os.path.isdir(registry_dir):
             seen = spark.read.parquet(registry_dir).select("h").distinct()
-        except Exception:  # first batch: no registry yet
+        else:
             seen = None
         if seen is not None:
             # shuffle_hash: the registry is corpus-window-sized — never
@@ -472,7 +522,7 @@ def incremental_span_dedup(
         # retention compaction keys on.
         _merge_islands(hits).write.mode("append").parquet(out_dir)
         wins.select("h").distinct().withColumn(
-            "b", F.lit(batch_id).cast("long")
+            "b", F.lit(batch_base + batch_id).cast("long")
         ).write.mode("append").parquet(registry_dir)
         wins.unpersist()
         if on_batch is not None:
@@ -508,19 +558,26 @@ def compact_span_registry(
     grows with TRAFFIC while the distinct state grows only with novel
     windows. Compaction folds the log back to the state: max(b) per h
     is the last-seen stamp, the retention filter drops the horizon's
-    tail, and the rewrite is an atomic swap (new listing, then move) —
-    the same overwrite discipline as ``compact_state``. Dropping a
-    hash re-admits its NEXT occurrence as a fresh canonical; it never
-    un-removes spans already emitted. At 100 TB this is the registry
-    table's MERGE+VACUUM maintenance job, run between streaming
-    sessions (never concurrent with one — same contract as
-    ``compact_state``).
+    tail, and the rewrite is a crash-safe swap: the new listing is
+    written aside (``._compact``), the live dir renamed to ``._old``,
+    the new dir renamed in, THEN ``._old`` is removed — at every crash
+    point a complete registry exists on disk under ``registry`` or
+    ``._old``, and ``_recover_span_registry`` (run at the next
+    compaction or resumed session) rolls the swap forward or back
+    (ADVICE r8: the old rmtree-then-rename order had a window with NO
+    registry, which the read path would have treated as first-batch,
+    silently losing all dedup memory). Dropping a hash re-admits its
+    NEXT occurrence as a fresh canonical; it never un-removes spans
+    already emitted. At 100 TB this is the registry table's
+    MERGE+VACUUM maintenance job, run between streaming sessions
+    (never concurrent with one — same contract as ``compact_state``).
 
     Returns {"rows_before", "rows_after", "bytes_before", "bytes_after"}.
     """
     import shutil
 
     registry_dir = os.path.join(state_dir, "window_registry")
+    _recover_span_registry(registry_dir)
 
     def _dir_bytes(d: str) -> int:
         return sum(
@@ -538,13 +595,15 @@ def compact_span_registry(
         horizon = log.agg(F.max("b")).collect()[0][0] or 0
         state = state.filter(F.col("b") > horizon - retain_batches)
     tmp_dir = registry_dir + "._compact"
+    old_dir = registry_dir + "._old"
     state.write.mode("overwrite").parquet(tmp_dir)
     rows_after, bytes_after = (
         spark.read.parquet(tmp_dir).count(),
         _dir_bytes(tmp_dir),
     )
-    shutil.rmtree(registry_dir)
+    os.rename(registry_dir, old_dir)
     os.rename(tmp_dir, registry_dir)
+    shutil.rmtree(old_dir)
     return {
         "rows_before": rows_before,
         "rows_after": rows_after,

@@ -156,10 +156,12 @@ sidecars; `SCALING.md` carries the design arguments they test.*
 
 
 def render() -> str:
+    # No existence filter here: main() errors on a row whose sidecar is
+    # missing (a curated row for a deleted file must fail loudly, not
+    # silently drop out of the table — ADVICE r8).
     lines = [HEADER]
     for name, (scope, what, headline) in ROWS.items():
-        if os.path.exists(os.path.join(_ROOT, name)):
-            lines.append(f"| `{name}` | {scope} | {what} | {headline} |\n")
+        lines.append(f"| `{name}` | {scope} | {what} | {headline} |\n")
     return "".join(lines)
 
 
@@ -171,6 +173,11 @@ def main() -> int:
     unlisted = sorted(on_disk - set(ROWS))
     if unlisted:
         print(f"ERROR: sidecars with no index row: {unlisted}", file=sys.stderr)
+        return 1
+    stale = sorted(set(ROWS) - on_disk)
+    if stale:
+        print(f"ERROR: index rows whose sidecar file is missing: {stale}",
+              file=sys.stderr)
         return 1
     text = render()
     out = os.path.join(_ROOT, "SCALE_INDEX.md")

@@ -417,6 +417,109 @@ def test_spans_registry_retention_drops_stale_hashes(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def _spans_session(spark, root: str, name: str, rows: list[tuple], fresh: bool):
+    """Run one complete streaming session (its own source dir + stream)
+    against the shared state dir; return the session's spans frame."""
+    from os___mapreduceframework_spark.streaming.incremental import (
+        incremental_span_dedup,
+    )
+
+    src = os.path.join(root, f"src_{name}")
+    os.makedirs(src)
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return incremental_span_dedup(docs, os.path.join(root, "state"), fresh=fresh)
+
+
+def test_spans_resume_carries_compacted_memory_across_sessions(spark):
+    # ADVICE r8 (medium): the retention policy is only real if a
+    # compacted registry can seed the NEXT session. Session 1 registers
+    # _T25; compact_span_registry folds the log; session 2 RESUMES and
+    # replays the text under a new doc_id -- it must be flagged against
+    # the carried (compacted) memory, and the spans output must be
+    # session-2-only.
+    import shutil
+
+    from os___mapreduceframework_spark.streaming.incremental import (
+        compact_span_registry,
+    )
+
+    root = tempfile.mkdtemp(prefix="inc_spans_resume_")
+    out1 = _spans_session(spark, root, "s1", [(1, _T25), (2, _T25)], fresh=True)
+    assert sorted(int(r.doc_id) for r in out1.collect()) == [2]
+    stats = compact_span_registry(spark, os.path.join(root, "state"))
+    assert stats["rows_after"] == 6
+    out2 = _spans_session(spark, root, "s2", [(9, _T25), (10, _U25)], fresh=False)
+    got = {
+        int(r.doc_id): (int(r.span_start), int(r.span_end), int(r.n_windows))
+        for r in out2.collect()
+    }
+    # doc 9 replays session-1 content: flagged by the compacted registry;
+    # doc 2's session-1 span is NOT in the session-2 output.
+    assert got == {9: (1, 25, 6)}
+    # batch stamps continue past the prior session's horizon (session 1
+    # ended at b=0; session 2's single batch stamps b=1), so a
+    # retain_batches horizon spans sessions monotonically.
+    reg = spark.read.parquet(os.path.join(root, "state", "window_registry"))
+    assert reg.agg({"b": "max"}).collect()[0][0] == 1
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_spans_fresh_session_forgets_by_design(spark):
+    # the default (fresh=True) is the per-query contract: a replayed
+    # text in a NEW fresh session becomes a fresh canonical. This is
+    # the control run proving resume (above) is what carries memory.
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="inc_spans_fresh_")
+    _spans_session(spark, root, "s1", [(1, _T25)], fresh=True)
+    out2 = _spans_session(spark, root, "s2", [(9, _T25)], fresh=True)
+    assert out2.count() == 0
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_spans_registry_swap_crash_recovery(spark):
+    # every crash point of the compaction swap leaves a recoverable
+    # state: (a) ._compact only -> discarded; (b) live dir renamed to
+    # ._old, new rename not yet done -> ._old restored; (c) both live
+    # and ._old -> leftover dropped. A resumed session after (b) still
+    # dedups (the memory was never lost).
+    import shutil
+
+    from os___mapreduceframework_spark.streaming.incremental import (
+        _recover_span_registry,
+    )
+
+    root = tempfile.mkdtemp(prefix="inc_spans_crash_")
+    _spans_session(spark, root, "s1", [(1, _T25)], fresh=True)
+    reg = os.path.join(root, "state", "window_registry")
+
+    # (a) incomplete compaction write
+    shutil.copytree(reg, reg + "._compact")
+    _recover_span_registry(reg)
+    assert not os.path.isdir(reg + "._compact") and os.path.isdir(reg)
+
+    # (b) crash between the two renames: NO live registry on disk --
+    # the exact window ADVICE r8 flagged. Recovery restores it, and a
+    # resumed session flags the replay.
+    os.rename(reg, reg + "._old")
+    assert not os.path.isdir(reg)
+    out2 = _spans_session(spark, root, "s2", [(9, _T25)], fresh=False)
+    assert sorted(int(r.doc_id) for r in out2.collect()) == [9]
+
+    # (c) crash after the swap completed but before cleanup
+    shutil.copytree(reg, reg + "._old")
+    _recover_span_registry(reg)
+    assert not os.path.isdir(reg + "._old") and os.path.isdir(reg)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_spans_short_docs_have_no_windows(spark):
     # docs under SPAN_W tokens contribute no windows: no spans, no
     # registry entries, and the empty-output schema still reads back.
