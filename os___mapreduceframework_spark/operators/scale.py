@@ -338,9 +338,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_audit(spark, sf_dir, ivf_detail_topk(spark, sf_dir))
 
 
-def ivf_topk(emb: DataFrame, assignments: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Score each query vector against only its IVF_PROBE nearest
+def ivf_topk(
+    emb: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    n_queries: int = N_QUERIES,
+    nprobe: int = IVF_PROBE,
+) -> DataFrame:
+    """Score each query vector against only its ``nprobe`` nearest
     cells' members (shared serving path for all IVF variants).
+
+    ``n_queries``/``nprobe`` default to the registered queries'
+    constants (plans bit-identical); the ANN recall audit
+    (scripts/ann_recall_audit.py) widens the query set and sweeps
+    nprobe through THIS path, so the audited generator is the
+    production serving join verbatim.
 
     The corpus-assignments join is fact-to-fact (assignments has corpus
     cardinality): the merge hint pins it to a shuffle join -- at small
@@ -349,8 +361,8 @@ def ivf_topk(emb: DataFrame, assignments: DataFrame, centroids: DataFrame) -> Da
     this)."""
     corpus = emb.join(assignments.hint("merge"), "vec_id")
 
-    # each query probes its IVF_PROBE nearest centroids
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # each query probes its nprobe nearest centroids
+    queries_df = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     wc = W.partitionBy("query_id").orderBy(F.col("cdist").desc(), F.col("cell"))
@@ -358,7 +370,7 @@ def ivf_topk(emb: DataFrame, assignments: DataFrame, centroids: DataFrame) -> Da
         queries_df.crossJoin(F.broadcast(centroids))
         .withColumn("cdist", _cosine(F.col("qe"), F.col("centroid")))
         .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= IVF_PROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "qe", "cell")
     )
 

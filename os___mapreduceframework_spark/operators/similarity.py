@@ -1379,6 +1379,36 @@ def _pq_lut_sql(p: str) -> str:
     "plus the same LUT algebra.",
 )
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_detail_topk(spark, sf_dir)
+
+
+def pq_adc_detail_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_MEANS_K,
+    n_queries: int = N_QUERIES,
+    with_distortion: bool = False,
+    n_subspaces: int = 2,
+):
+    """PQ ADC serving (the registered query's whole body). ``k`` (codes
+    per subspace codebook) and ``n_queries`` default to the registered
+    constants, so q_ann_pq_adc_topk's plan is unchanged; the ANN recall
+    audit (scripts/ann_recall_audit.py) sweeps codebook size through
+    THIS path so the recall-vs-distortion curve measures the production
+    dataflow verbatim.
+
+    ``with_distortion=True`` additionally returns the per-(vector,
+    subspace) quantization error frame ``(vec_id, sub, dist)`` from the
+    SAME trained codebooks — the audit pairs each measured recall with
+    the distortion that produced it.
+
+    ``n_subspaces`` generalizes the split M-ways (equal dim ranges,
+    one codebook per range — per-vector memory M*log2(k) bits, LUT
+    cost M*k per query, the FAISS IVF-PQ layout). The M=2 default is
+    the registered/oracled instance (two-CTE-chain oracle complexity
+    caps the demo at 2); the audit measures how recall recovers with M
+    at fixed k — the knob a 100 TB deployment actually turns, since
+    distortion falls with subspace dimensionality."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -1388,12 +1418,30 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
         .localCheckpoint(eager=False)
     )
+    dim = embedding_dim(spark, sf_dir)
+    if n_subspaces == 2:
+        # the registered instance, spelled exactly as before so the
+        # oracled query's plan stays bit-identical
+        splits = [(0, F.col("dim") <= half), (1, F.col("dim") > half)]
+    else:
+        bounds = [round(i * dim / n_subspaces) for i in range(n_subspaces + 1)]
+        splits = [
+            (s, (F.col("dim") > bounds[s]) & (F.col("dim") <= bounds[s + 1]))
+            for s in range(n_subspaces)
+        ]
     per_sub = []
-    for flt in (F.col("dim") <= half, F.col("dim") > half):
+    distortions = []
+    for sub, flt in splits:
         sub_dims = dims.filter(flt)
-        assign, cent = _kmeans_assign_dims(emb, sub_dims, return_centroids=True)
+        assign, cent = _kmeans_assign_dims(
+            emb, sub_dims, k=k, return_centroids=True
+        )
+        if with_distortion:
+            distortions.append(
+                assign.select("vec_id", F.lit(sub).alias("sub"), "dist")
+            )
         lut = (
-            sub_dims.filter(F.col("vec_id") < N_QUERIES)
+            sub_dims.filter(F.col("vec_id") < n_queries)
             .withColumnRenamed("vec_id", "qid")
             .join(F.broadcast(cent), "dim")
             .groupBy("qid", "cid")
@@ -1404,14 +1452,16 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "qid", "vec_id", "d"
             )
         )
+    from functools import reduce
+
     adc = (
-        per_sub[0].unionByName(per_sub[1])
+        reduce(lambda a, b: a.unionByName(b), per_sub)
         .groupBy("qid", "vec_id")
         .agg(F.round(F.log1p(F.sum("d")), 6).alias("ln_adc"))
         .filter(F.col("vec_id") != F.col("qid"))
     )
     w = W.partitionBy("qid").orderBy("ln_adc", "vec_id")
-    return (
+    topk = (
         adc.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select(
@@ -1419,3 +1469,6 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "ln_adc", "vec_id")
     )
+    if with_distortion:
+        return topk, reduce(lambda a, b: a.unionByName(b), distortions)
+    return topk

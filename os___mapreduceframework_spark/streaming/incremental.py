@@ -361,7 +361,9 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from os___mapreduceframework_spark.operators.dedup import (  # noqa: E402
     SPAN_W,
+    _SPAN_ISLAND_CTES,
     _SPAN_KEEP_FIRST_ORACLE,
+    _SPAN_TOKEN_CTES,
     _merge_islands,
     _span_window_hashes,
 )
@@ -629,6 +631,75 @@ def q_stream_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = scratch_dir("inc_spans_state")
     docs = documents_stream(spark, sf_dir).select("doc_id", "text")
     out = incremental_span_dedup(docs, state_dir)
+    return out.orderBy("doc_id", "span_start")
+
+
+# Arrival-order vote for the two-session lifecycle: session 1 = even
+# doc_ids, session 2 = the rest (odd + NULL). An occurrence is a
+# removal hit iff ANY occurrence precedes it in (session, doc_id,
+# start) order — session-1 registrations via the carried registry,
+# session-2 precedence via the within-batch keep-first vote. Output is
+# session 2's spans only (session 1's are a previous session's output).
+_SPAN_RESUME_ORACLE = f"""
+    WITH {_SPAN_TOKEN_CTES},
+    ranked AS (SELECT doc_id, strt,
+                      ROW_NUMBER() OVER (PARTITION BY h
+                          ORDER BY (CASE WHEN doc_id IS NOT NULL
+                                          AND doc_id % 2 = 0
+                                     THEN 0 ELSE 1 END),
+                                   doc_id NULLS FIRST,
+                                   strt NULLS FIRST) AS rn
+               FROM wins),
+    hits AS (SELECT doc_id, strt, strt + {SPAN_W - 1} AS e
+             FROM ranked
+             WHERE rn > 1
+               AND NOT (doc_id IS NOT NULL AND doc_id % 2 = 0)),
+    {_SPAN_ISLAND_CTES}
+    SELECT doc_id, MIN(strt) AS span_start, MAX(e) AS span_end,
+           CAST(SUM(m) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """
+
+
+@query(
+    "stream_incremental_spans_resume",
+    oracle=_SPAN_RESUME_ORACLE,
+    doc="The span-dedup registry LIFECYCLE as one query: session 1 "
+    "streams the even-doc_id half of the corpus (fresh registry), "
+    "compact_span_registry folds the append log (the between-sessions "
+    "maintenance job), then session 2 RESUMES (fresh=False, the ADVICE "
+    "r8 resume mode) over the remaining docs — its removal spans are "
+    "voted against the carried COMPACTED memory plus session-2 "
+    "keep-first precedence. Oracle: the keep-first vote under the "
+    "arrival order (parity, doc_id, start), hits restricted to "
+    "session-2 docs — compaction without retention must be invisible "
+    "to results, so any compaction/resume defect breaks the hash "
+    "match. Registry growth/retention policy measured in "
+    "SCALE_r09_stream_spans_steady.json.",
+)
+def q_stream_incremental_spans_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from os___mapreduceframework_spark.sources import load_table
+
+    state_dir = scratch_dir("inc_spans_resume_state")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_even = F.coalesce(F.col("doc_id") % 2 == 0, F.lit(False))
+    s1_dir = scratch_dir("inc_spans_resume_s1")
+    s2_dir = scratch_dir("inc_spans_resume_s2")
+    # one file per session dir -> one micro-batch per session
+    docs.filter(is_even).coalesce(1).write.mode("overwrite").parquet(s1_dir)
+    docs.filter(~is_even).coalesce(1).write.mode("overwrite").parquet(s2_dir)
+
+    def session_stream(d: str) -> DataFrame:
+        return spark.readStream.schema("doc_id long, text string").parquet(d)
+
+    incremental_span_dedup(session_stream(s1_dir), state_dir, fresh=True)
+    compact_span_registry(spark, state_dir)
+    out = incremental_span_dedup(
+        session_stream(s2_dir), state_dir, fresh=False
+    )
     return out.orderBy("doc_id", "span_start")
 
 

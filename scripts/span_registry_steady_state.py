@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Span-dedup registry STEADY-STATE maintenance loop (VERDICT r8
+item 4): the r8 growth campaign (span_registry_growth.py) measured 10
+batches and a one-shot retention pass; the 100 TB claim is a
+maintenance LOOP — sessions of ingest interleaved with
+compact_span_registry(retain_batches=N) — whose registry bytes must
+plateau (sawtooth), not grow monotonically.
+
+This script runs 30 micro-batches of 30x-scale documents as THREE
+10-batch streaming sessions with the retention compaction applied
+between sessions (the documented between-sessions contract;
+incremental_span_dedup resumes with fresh=False, the ADVICE-r8 resume
+mode that makes the loop possible at all). Traffic is churned the way
+a real pipeline's is:
+
+  * every batch carries one NOVEL 1/30 slice of the 30x corpus
+    (steady new content — what grows the registry), and
+  * from batch 12 on, a REPLAY of the slice from 12 batches earlier
+    under fresh doc_ids (the re-crawl / retry shape). Twelve batches
+    is past the retention horizon at compaction time, so replays hit
+    hashes the previous compaction DROPPED — the documented
+    re-admission tradeoff, now measured per compaction instead of
+    asserted.
+
+Measured signals (all load-insensitive rows/bytes):
+  * per-batch registry bytes across all 30 batches — the sawtooth:
+    rising within a session, cut at each compaction;
+  * per-compaction rows/bytes before and after, and the DROPPED hash
+    count (retention's cut);
+  * per-session RE-ADMISSION count: hashes appended by session s that
+    the previous compaction had dropped (each one is a duplicated
+    window the registry re-admits as a fresh canonical — the price of
+    the TTL, paid only by content that scrolls past the horizon and
+    then returns);
+  * session peak bytes: sessions 2 and 3 must peak near session 1's
+    level (plateau) instead of 2x/3x it (the r8 monotone line).
+
+Usage: python scripts/span_registry_steady_state.py \
+           --out SCALE_r09_stream_spans_steady.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+WORK = "/tmp/spark_graft_scale/span_registry_steady"
+N_BATCHES = 30
+SESSION_LEN = 10
+RETAIN = 5
+REPLAY_LAG = 12  # replays arrive after the slice scrolled past retention
+DOC_ID_STRIDE = 10_000_000  # replayed docs get fresh ids (retry shape)
+
+
+def dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(d)
+        for f in fs
+    ) if os.path.isdir(d) else 0
+
+
+def build_batches(docs_30x: pa.Table) -> None:
+    """Write one parquet file per batch into its session's source dir:
+    batch g = novel slice g (+ replay of slice g-REPLAY_LAG under
+    offset doc_ids). Ascending mtimes order the file-source batches."""
+    n = docs_30x.num_rows
+    step = (n + N_BATCHES - 1) // N_BATCHES
+    for g in range(N_BATCHES):
+        session = g // SESSION_LEN
+        dest = os.path.join(WORK, f"src_s{session}")
+        os.makedirs(dest, exist_ok=True)
+        parts = [docs_30x.slice(g * step, step)]
+        if g - REPLAY_LAG >= 0:
+            old = docs_30x.slice((g - REPLAY_LAG) * step, step)
+            ids = old.column("doc_id").to_numpy()
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            ids + DOC_ID_STRIDE * (g + 1), type=pa.int64()
+                        ),
+                        "text": old.column("text"),
+                    }
+                )
+            )
+        batch = pa.concat_tables(
+            [p.select(["doc_id", "text"]) for p in parts]
+        )
+        path = os.path.join(dest, f"b{g:03d}.parquet")
+        pq.write_table(batch, path)
+        os.utime(path, (time.time() + g, time.time() + g))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALE_r09_stream_spans_steady.json")
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from os___mapreduceframework_spark.session import get_session
+    from os___mapreduceframework_spark.streaming.incremental import (
+        compact_span_registry,
+        incremental_span_dedup,
+    )
+    from scripts.make_scale_fixture import _strides, scale_table
+
+    spark = get_session(app_name="span_registry_steady_state")
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK, exist_ok=True)
+
+    docs_30x = scale_table(
+        "/root/testdata/sf0.1", "documents", 30, _strides("/root/testdata/sf0.1")
+    ).select(["doc_id", "text"])
+    build_batches(docs_30x)
+
+    state = os.path.join(WORK, "state")
+    registry_dir = os.path.join(state, "window_registry")
+    dropped_dir = os.path.join(WORK, "dropped_prev")  # audit-side only
+
+    report = {
+        "batches": N_BATCHES,
+        "session_len": SESSION_LEN,
+        "retain_batches": RETAIN,
+        "replay_lag_batches": REPLAY_LAG,
+        "doc_rows_30x": docs_30x.num_rows,
+        "note": "3 streaming sessions x 10 batches, retention "
+        "compaction between sessions (the maintenance loop); replays "
+        "arrive past the horizon so re-admission is exercised, not "
+        "just asserted. rows/bytes are load-insensitive; walls carry "
+        "the shared-box caveat.",
+        "per_batch_registry_bytes": [],
+        "sessions": [],
+    }
+
+    for s in range(N_BATCHES // SESSION_LEN):
+        base = s * SESSION_LEN
+        growth: list[dict] = []
+
+        def on_batch(batch_id: int, base=base, growth=growth) -> None:
+            growth.append(
+                {
+                    "batch": base + batch_id,
+                    "registry_bytes": dir_bytes(registry_dir),
+                }
+            )
+
+        docs = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(WORK, f"src_s{s}"))
+        )
+        t0 = time.perf_counter()
+        spans = incremental_span_dedup(
+            docs, state, on_batch=on_batch, fresh=(s == 0)
+        )
+        n_spans = spans.count()
+        wall = round(time.perf_counter() - t0, 2)
+        report["per_batch_registry_bytes"].extend(growth)
+
+        # re-admissions: hashes this session appended (stamp in the
+        # session's b range) that the PREVIOUS compaction dropped
+        readmitted = None
+        if s > 0 and os.path.isdir(dropped_dir):
+            appended = (
+                spark.read.parquet(registry_dir)
+                .filter(F.col("b") >= base)
+                .select("h")
+                .distinct()
+            )
+            readmitted = (
+                appended.join(
+                    spark.read.parquet(dropped_dir).hint("shuffle_hash"),
+                    "h",
+                    "left_semi",
+                ).count()
+            )
+
+        pre = spark.read.parquet(registry_dir).select("h").distinct()
+        pre.write.mode("overwrite").parquet(os.path.join(WORK, "pre_hashes"))
+        stats = compact_span_registry(spark, state, retain_batches=RETAIN)
+        post = spark.read.parquet(registry_dir).select("h")
+        dropped = (
+            spark.read.parquet(os.path.join(WORK, "pre_hashes"))
+            .join(post.hint("shuffle_hash"), "h", "left_anti")
+        )
+        dropped.write.mode("overwrite").parquet(dropped_dir)
+        n_dropped = spark.read.parquet(dropped_dir).count()
+
+        entry = {
+            "session": s,
+            "batches": [base, base + SESSION_LEN - 1],
+            "spans_emitted": n_spans,
+            "wall_s": wall,
+            "session_peak_registry_bytes": max(
+                g["registry_bytes"] for g in growth
+            ),
+            "readmitted_from_prev_drop": readmitted,
+            "compaction": stats,
+            "dropped_by_retention": n_dropped,
+        }
+        report["sessions"].append(entry)
+        print(f"# session {s}: {json.dumps(entry)}", file=sys.stderr,
+              flush=True)
+
+    peaks = [e["session_peak_registry_bytes"] for e in report["sessions"]]
+    report["plateau"] = {
+        "session_peaks_bytes": peaks,
+        "last_over_first": round(peaks[-1] / peaks[0], 3),
+        "note": "bounded sawtooth = later peaks ~1x the first (novel "
+        "inflow per session is constant by construction); the r8 "
+        "monotone line would read ~Nx",
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
