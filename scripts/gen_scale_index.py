@@ -136,6 +136,16 @@ ROWS: dict[str, tuple[str, str, str]] = {
         "registry linear in NOVEL windows (5.8->167.5 MB at 30x, flat "
         "per batch); retain-5 pass halves it; policy in SCALING.md r8",
     ),
+    "SCALE_r09_stream_spans_steady.json": (
+        "30x documents, 40 micro-batches in 4 sessions",
+        "span-registry MAINTENANCE LOOP: retention compaction "
+        "(retain 5) between sessions, churned replay traffic past the "
+        "horizon",
+        "bounded sawtooth: steady-state peak ratio 1.001, "
+        "post-compaction floor constant (~42 MB), re-admission "
+        "measured per compaction (~888k hashes = exactly the "
+        "horizon-crossing replays)",
+    ),
     "SCALE_r08_multimodal.json": (
         "sf0.1/0.3/1.0",
         "multimodal decode families' first ratio curve",

@@ -54,7 +54,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 WORK = "/tmp/spark_graft_scale/span_registry_steady"
-N_BATCHES = 30
+N_BATCHES = 40  # sessions 0-1 ramp up (less replay traffic, smaller
+#                 carried state); sessions 2 and 3 see identical traffic
+#                 shape, so their matching peaks ARE the steady state
 SESSION_LEN = 10
 RETAIN = 5
 REPLAY_LAG = 12  # replays arrive after the slice scrolled past retention
@@ -214,12 +216,19 @@ def main() -> int:
               flush=True)
 
     peaks = [e["session_peak_registry_bytes"] for e in report["sessions"]]
+    floors = [e["compaction"]["bytes_after"] for e in report["sessions"]]
     report["plateau"] = {
         "session_peaks_bytes": peaks,
-        "last_over_first": round(peaks[-1] / peaks[0], 3),
-        "note": "bounded sawtooth = later peaks ~1x the first (novel "
-        "inflow per session is constant by construction); the r8 "
-        "monotone line would read ~Nx",
+        "post_compaction_bytes": floors,
+        # steady state = the last two sessions (identical traffic
+        # shape: full replay lag active, carried state converged)
+        "steady_peak_ratio": round(peaks[-1] / peaks[-2], 3),
+        "steady_floor_ratio": round(floors[-1] / floors[-2], 3),
+        "note": "bounded sawtooth: post-compaction floor constant from "
+        "session 1 on, peaks converge once replay traffic and carried "
+        "state reach their steady shape (~1.0 ratios); without the "
+        "maintenance loop the registry line is monotone in novel "
+        "windows (SCALE_r08_stream_spans.json)",
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
