@@ -55,7 +55,7 @@ from os___mapreduceframework_spark.operators.minhash import (  # noqa: F401
     embedding_band_buckets,
     embedding_scored_pairs,
 )
-from os___mapreduceframework_spark.queries import REGISTRY, query
+from os___mapreduceframework_spark.queries import query
 from os___mapreduceframework_spark.sources import (
     embedding_count,
     embedding_dim,
@@ -397,7 +397,13 @@ def embedding_near_exact(emb: DataFrame, threshold: float) -> DataFrame:
     "parity is exact. The scale path for 100 TB corpora where "
     "quadratic comparison is impossible.",
 )
-def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) >= COSINE_NEAR_THRESHOLD, UNSORTED -- the
+    shared detect stage of dedup_embedding_near (which adds the output
+    orderBy) and dedup_embedding_clusters (whose CC consumes the edge
+    set order-free; feeding it the sorted form paid a range-partition
+    exchange + sort for rows the union/distinct immediately re-hashed).
+    """
     # canonical vector per id (duplicate-replay contract; cemb twin);
     # several consumers (banding + corpus/bridge vector sides) share one
     # lazy localCheckpoint instead of re-shuffling the corpus each time
@@ -407,7 +413,7 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=False)
     # candidates + exact cosine in ONE pass: vectors ride the band rows
-    # and the bucket self-join emits narrow (id, id, cs) rows directly
+    # and the bucket groups emit narrow (id, id, cs) rows directly
     # (embedding_scored_pairs) -- the r6 verify composition shuffled the
     # second corpus join's input with the first side's vector attached,
     # ~pairs x 550 B, which DNF'd this box's disk at the 600k-vector
@@ -421,15 +427,15 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only -- the 2M-vector completes-on-one-box fix)
         min_cs=COSINE_NEAR_THRESHOLD,
     )
-    return (
-        scored.select(
-            F.col("id_a").alias("vec_a"),
-            F.col("id_b").alias("vec_b"),
-            F.col("cs").alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= COSINE_NEAR_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
-    )
+    return scored.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.col("cs").alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= COSINE_NEAR_THRESHOLD)
+
+
+def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_near_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
 
 
 # audit floor of the strict detector's output: scored candidates below
@@ -577,8 +583,12 @@ def connected_components(
         import pandas as pd
         from pyspark.sql import types as T
 
+        # one Arrow transfer of the (gate-bounded, <= 16 MB) edge list:
+        # toLocalIterator streamed row objects through py4j one at a
+        # time, paying per-row deserialization on the driver
+        edges_pdf = sym.toPandas()
         labels = _union_find_min_labels(
-            (r["a"], r["b"]) for r in sym.toLocalIterator()
+            zip(edges_pdf["a"].tolist(), edges_pdf["b"].tolist())
         )
         node_type = sym.schema["a"].dataType
         schema = T.StructType(
@@ -947,9 +957,10 @@ def q_dedup_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs.",
 )
 def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    near = REGISTRY["dedup_embedding_near"].fn(spark, sf_dir).select(
-        "vec_a", "vec_b"
-    )
+    # the UNSORTED near-pair builder: CC consumes the edge set
+    # order-free, so the registered near query's output orderBy would
+    # be a pure range-exchange + sort tax here (same pairs either way)
+    near = _embedding_near_pairs(spark, sf_dir).select("vec_a", "vec_b")
     cc = connected_components(near, src="vec_a", dst="vec_b")
     return cc.select(
         F.col("doc_id").alias("vec_id"),

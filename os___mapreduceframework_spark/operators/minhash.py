@@ -720,6 +720,137 @@ def embedding_band_buckets(
     return emb.mapInPandas(compute, schema="vec_id long, band long, bucket long")
 
 
+def _pair_dot_den(min_cs: float | None):
+    """Partition scorer for ``embedding_scored_pairs``: all i < j pairs
+    within each (band, bucket, _salt) group, with the cosine's raw
+    numerator/denominator computed by numpy -- the guide-section-4.2
+    move (hand whole batches to vectorized native code) applied to the
+    hottest expression in the repo. The r8-measured per-candidate cost
+    of the JVM ``aggregate(zip_with(...))`` fold was 0.96-1.37 us; the
+    elementwise-product + axis-sum below is ~0.01 us/candidate.
+
+    DETERMINISM CONTRACT (the equal-cs invariant consumers rely on):
+    the dot is ``(a * b).sum(last_axis)`` -- numpy's pairwise reduction
+    over the dim axis is a pure function of the two vectors ALONE
+    (verified: identical bits whether computed via the group's 3-d
+    broadcast, a 2-row matrix, or the scalar pair path), so the same
+    pair colliding in several bands/groups -- or appearing as a bridge
+    -- always carries the same raw dot, hence the same rounded cs.
+    The division, NULL-on-zero-denominator guard and 4-decimal HALF_UP
+    round stay in Spark (same expressions as before), so engine-side
+    rounding semantics are unchanged.
+
+    NULL semantics: a mixed-length pair's dot is emitted as NaN, which
+    the Arrow boundary converts to NULL -- exactly the old
+    ``zip_with`` fold's NULL-padded product. (A corpus with NaN
+    embedding VALUES would previously score NaN and now scores NULL;
+    no fixture or oracle exercises NaN embeddings, and both fail every
+    threshold filter identically.)
+
+    ``min_cs``: conservative map-side prefilter ``dot >= (min_cs -
+    6e-5) * den`` (den > 0) -- a strict superset of the consumer's
+    ``round(cs, 4) >= min_cs`` (which implies cs >= min_cs - 5e-5), so
+    only rows the exact Spark-side filter would drop anyway are culled
+    before they cross the Arrow boundary."""
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        out_a, out_b, out_s, out_d = [], [], [], []
+        for _, g in pdf.groupby(["band", "bucket", "_salt"], sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            vecs = g["e"].to_numpy()[order]
+            nv = g["nv"].to_numpy(dtype=np.float64)[order]
+            lens = np.fromiter((len(v) for v in vecs), dtype=np.int64, count=n)
+            iu, ju = np.triu_indices(n, k=1)
+            if (lens == lens[0]).all():
+                E = np.vstack(vecs).astype(np.float64, copy=False)
+                dots = (E[:, None, :] * E[None, :, :]).sum(axis=2)[iu, ju]
+            else:  # ragged corpus: per-pair, NULL (NaN) on length mismatch
+                dots = np.fromiter(
+                    (
+                        (vecs[i] * vecs[j]).sum()
+                        if lens[i] == lens[j]
+                        else np.nan
+                        for i, j in zip(iu, ju)
+                    ),
+                    dtype=np.float64,
+                    count=len(iu),
+                )
+            dens = (nv[iu] * nv[ju]).astype(np.float64)
+            if min_cs is not None:
+                keep = dots >= (min_cs - 6e-5) * dens
+                # den == 0 or NaN dot rows fail the exact filter too
+                keep &= dens > 0
+                iu, ju = iu[keep], ju[keep]
+                dots, dens = dots[keep], dens[keep]
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+            out_s.append(dots)
+            out_d.append(dens)
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "dot": np.concatenate(out_s),
+                    "den": np.concatenate(out_d),
+                }
+            )
+
+    return score
+
+
+def _bridge_dot_den(batches):
+    """Row-wise twin of ``_pair_dot_den`` for the bridge pairs: same
+    ``(a * b).sum(last_axis)`` reduction (bit-identical for a pair that
+    also collides inside a bucket), NaN -> NULL on length mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        ea, eb = pdf["ea"].to_numpy(), pdf["eb"].to_numpy()
+        lens_ok = np.fromiter(
+            (len(a) == len(b) for a, b in zip(ea, eb)),
+            dtype=bool,
+            count=len(pdf),
+        )
+        if lens_ok.all() and len(pdf) and len(set(len(a) for a in ea)) == 1:
+            dots = (np.vstack(ea) * np.vstack(eb)).sum(axis=1)
+        else:
+            dots = np.fromiter(
+                (
+                    (a * b).sum() if ok else np.nan
+                    for a, b, ok in zip(ea, eb, lens_ok)
+                ),
+                dtype=np.float64,
+                count=len(pdf),
+            )
+        yield pd.DataFrame(
+            {
+                "id_a": pdf["id_a"].to_numpy(),
+                "id_b": pdf["id_b"].to_numpy(),
+                "dot": dots,
+                "den": (
+                    pdf["na"].to_numpy(dtype=np.float64)
+                    * pdf["nb"].to_numpy(dtype=np.float64)
+                ),
+            }
+        )
+
+
 def embedding_scored_pairs(
     emb: DataFrame,
     dim: int | None = None,
@@ -731,7 +862,7 @@ def embedding_scored_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cs): exactly ``bucket_pairs`` over the embedding
     band rows, with each pair's rounded cosine scored INSIDE the bucket
-    self-join -- the scale fix for the verify stage's fat pair stream.
+    groups -- the scale fix for the verify stage's fat pair stream.
 
     The r6 verify composition (candidate pairs -> join corpus side a ->
     join corpus side b -> cosine) shuffles the SECOND join's input with
@@ -741,39 +872,41 @@ def embedding_scored_pairs(
     zstd, SCALE_r06_300x / SCALE_r07). This version never puts a vector
     on a pair row: vectors ride the BAND rows (one copy per band
     membership, corpus x nbands rows ~= 36 GB at 600k -- 18x less), the
-    bucket self-join emits narrow (id_a, id_b, cs) directly, and every
-    downstream exchange (dedup groupBy, threshold filter, top-k) is
-    id+double-sized. Pair set and cosine values are bit-identical to
-    bucket_pairs + _cosine_prenorm verify by construction: the salting
-    is the shared ``_salted_rows``, the join condition and the bridge
-    window are verbatim, and the score expression is the same fold on
-    the same operand order (x = smaller vec_id = side 'a'; symmetry
-    pinned bitwise in round 6). Duplicate (a, b) occurrences across
-    bands carry equal cs, so the de-dup is ``max`` instead of
-    DISTINCT-then-score -- scoring dupes costs ~1% extra folds on the
-    measured fixtures (distinct/candidates was 0.99 at 200k).
+    bucket groups emit narrow (id_a, id_b, dot, den) directly, and
+    every downstream exchange (dedup groupBy, threshold filter, top-k)
+    is id+double-sized.
 
-    The fat band rows are repartitioned to an explicit count derived
-    from ``n_vectors`` (~128 MB each) so the self-join's shuffle-hash
-    build stays per-partition bounded at any corpus size (32 fixed
-    partitions would put the whole 36 GB in concurrent builds); the
-    explicit repartition is also the single exchange both self-join
-    sides reuse. Oracles are unchanged: DuckDB still scores the ecand
-    pairs against cemb -- same pairs, same values.
+    ROUND 9 (optimization): the bucket all-pairs scoring moved from a
+    shuffled-hash self-join evaluating one interpreted
+    ``aggregate(zip_with(...))`` fold per candidate (r8-measured at
+    0.96-1.37 us/candidate -- THE dominant term of the 1M-vector
+    campaign's 4,289 s wall) to a ``mapInPandas`` pass over the
+    repartitioned fat band rows: each (band, bucket, _salt) group's
+    pairs are one numpy broadcast-multiply + axis-sum (~0.01
+    us/candidate), the guide's section-4.2 vectorized-native rule.
+    The pair SET is unchanged (same ``_salted_rows`` salting, i < j
+    within groups, same bridge window); the cosine pipeline keeps
+    division, the NULL-on-zero-denominator guard and the 4-decimal
+    round in Spark expressions, and the numpy dot is deterministic per
+    PAIR (see ``_pair_dot_den``), so the equal-cs-across-occurrences
+    invariant that the de-dup ``max`` and the ``min_cs`` pushdown rely
+    on still holds by construction. One shuffle (the explicit
+    repartition) replaces the old two-consumer persist + self-join:
+    the non-spillable SHJ build memory concern is gone, and the
+    partition sizing now only bounds the Python worker's per-task
+    concat (~32 MB + one group's n^2 x dim broadcast temp, n <= cap).
 
     ``min_cs``: consumers that threshold the scored stream (near-dup at
     0.45, the strict family's 0.30 audit floor) pass that threshold
-    here so the filter runs BELOW the pair de-dup, map-side inside the
-    self-join stage. Bit-identical by the equal-cs invariant above:
-    every occurrence of a pair carries the same cs, so either all pass
-    the filter or none do, and max-after-filter == filter-after-max
-    (a fully filtered pair would be dropped by the consumer's own
-    threshold anyway). The win is the de-dup exchange: without the
-    pushdown it carries EVERY candidate pair (~2.16G rows / ~30 GB of
-    shuffle at 2M vectors -- measured as the component that ran this
-    box out of disk); with it, only the survivors (~1% of pairs at the
-    0.30 floor on decorrelated corpora) cross the wire. Consumers that
-    need the full stream (kNN top-k) leave it None.
+    here so a conservative superset filter runs INSIDE the scorer
+    (dot >= (min_cs - 6e-5) * den -- strictly wider than the exact
+    rounded filter the consumer applies), and the exact filter runs
+    below the pair de-dup as before. Bit-identical by the equal-cs
+    invariant: every occurrence of a pair carries the same cs, so
+    either all pass the filter or none do, and max-after-filter ==
+    filter-after-max. The win is unchanged from r7: the de-dup
+    exchange carries survivors only (~1% of pairs at the 0.30 floor).
+    Consumers that need the full stream (kNN top-k) leave it None.
     """
     import math
 
@@ -790,7 +923,6 @@ def embedding_scored_pairs(
         )
     if n_vectors is None:
         n_vectors = emb.count()
-    from pyspark.storagelevel import StorageLevel
 
     bands = embedding_band_buckets(
         emb, dim=dim, n_vectors=n_vectors, nbands=nbands
@@ -800,46 +932,23 @@ def embedding_scored_pairs(
     if nbands is None:
         nbands = emb_adaptive_bands(n_vectors)
     # ~600 B per fat band row (64 float64 + keys + row overhead);
-    # ~32 MB partitions keep the shuffled-hash build small: SHJ builds
-    # cannot spill, and at 128 MB the 600k-vector point's concurrent
-    # builds exhausted execution memory (SparkOutOfMemoryError)
+    # ~32 MB partitions bound the Python worker's per-task state (the
+    # whole-partition concat plus one group's n^2 x dim broadcast temp,
+    # n <= cap) -- and the repartition is what guarantees every
+    # (band, bucket, _salt) group lands whole inside one partition
     fat_bytes = n_vectors * nbands * 600
     nparts = max(32, math.ceil(fat_bytes / (32 << 20)))
-    # materialize the fat band rows ONCE: both self-join sides read the
-    # same blocks, and the preserved (band, bucket, _salt) partitioning
-    # means the join needs NO further exchange -- the corpus's vectors
-    # cross exactly one shuffle in the whole pass. Past ~2 GiB the
-    # blocks go DISK_ONLY: deserialized MEMORY_AND_DISK blocks (~2x the
-    # on-wire size) competed with the self-join's (non-spillable)
-    # shuffled-hash builds for unified memory and OOM'd the
-    # 600k-vector point; small corpora keep the in-memory level
-    level = (
-        StorageLevel.DISK_ONLY
-        if fat_bytes > (2 << 30)
-        else StorageLevel.MEMORY_AND_DISK
-    )
+    # single consumer now (the scorer streams the partition once): no
+    # persist, no shuffled-hash build -- the corpus's vectors cross
+    # exactly one shuffle in the whole pass, then die inside Python
     fat = (
         s.join(corpus.hint("shuffle_hash"), "vec_id")
         .repartition(nparts, F.col("band"), F.col("bucket"), F.col("_salt"))
-        .persist(level)
+        .select("vec_id", "band", "bucket", "_salt", "e", "nv")
     )
-
-    def _cs4(ea, eb, na, nb):
-        return F.round(_cosine_prenorm(ea, eb, na, nb), 4)
-
-    x, y = fat.alias("x"), fat.alias("y")
-    within = x.hint("shuffle_hash").join(
-        y.hint("shuffle_hash"),
-        (F.col("x.band") == F.col("y.band"))
-        & (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col("x._salt") == F.col("y._salt"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
-    ).select(
-        F.col("x.vec_id").alias("id_a"),
-        F.col("y.vec_id").alias("id_b"),
-        _cs4(
-            F.col("x.e"), F.col("y.e"), F.col("x.nv"), F.col("y.nv")
-        ).alias("cs"),
+    within_raw = fat.mapInPandas(
+        _pair_dot_den(min_cs),
+        schema="id_a long, id_b long, dot double, den double",
     )
     # bridge pairs (sub-bucket boundary members, bucket_pairs verbatim)
     # are ~rows/cap -- narrow id joins fetch their two vectors; corpus
@@ -857,20 +966,31 @@ def embedding_scored_pairs(
     cb = corpus.select(
         F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nv").alias("nb")
     )
-    bridges = (
+    bridges_raw = (
         bridge_ids.join(ca.hint("shuffle_hash"), "id_a")
         .join(cb.hint("shuffle_hash"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            _cs4(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("cs"),
+        .select("id_a", "id_b", "ea", "eb", "na", "nb")
+        .mapInPandas(
+            _bridge_dot_den,
+            schema="id_a long, id_b long, dot double, den double",
         )
     )
-    occurrences = within.unionByName(bridges)
+    # division, NULL-on-zero-denominator and the 4-decimal round stay
+    # Spark expressions -- identical semantics to the old
+    # round(_cosine_prenorm(...), 4) with only the dot's producer moved
+    # to numpy (deterministic per pair; see _pair_dot_den)
+    occurrences = within_raw.unionByName(bridges_raw).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.when(F.col("den") != 0, F.col("dot") / F.col("den")), 4
+        ).alias("cs"),
+    )
     if min_cs is not None:
-        # pushed below the de-dup (see docstring): NULL cs (zero-norm
-        # sides) fails the predicate, matching the consumer's own
-        # threshold filter, which would drop the NULL row post-de-dup
+        # exact filter, pushed below the de-dup (see docstring): NULL
+        # cs (zero-norm sides) fails the predicate, matching the
+        # consumer's own threshold filter; the scorer already culled
+        # the conservative superset map-side
         occurrences = occurrences.filter(F.col("cs") >= F.lit(min_cs))
     if not dedup:
         # duplicate (a, b) occurrences (same pair colliding in several
