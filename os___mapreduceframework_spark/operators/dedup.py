@@ -314,10 +314,15 @@ _HAM_MASK = (1 << HAM_BAND_BITS) - 1
     "collision-bound, and the verify join is candidate-sized.",
 )
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 8-byte simhash RIDES the band rows (bucket_pairs carry=) so
+    # verification is a scan-local bit_count(xor) on the pair row --
+    # the r8 form joined the candidate list back to the corpus-sized
+    # simhash table TWICE (two shuffle-hash joins + four exchanges)
+    # to fetch what the band rows already knew. Same pair set, same
+    # hamming values; at 100 TB the band-row widening is corpus x 4 x
+    # 8 bytes while the eliminated joins re-shuffled the candidate set
+    # AND the corpus signature table.
     sim = _simhash_df(load_table(spark, sf_dir, "documents"))
-    # one localCheckpoint: sim feeds the band explode AND both verify
-    # sides; without it the 28-aggregate pass runs three times
-    sim = sim.localCheckpoint(eager=False)
     bands = sim.select(
         "doc_id",
         "simhash",
@@ -328,26 +333,16 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"shiftright(simhash, band * {HAM_BAND_BITS}) & {_HAM_MASK}"
         ).alias("bval"),
+        "simhash",
     )
-    cand = bucket_pairs(bands, "doc_id", ("band", "bval")).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    # shuffle_hash: the simhash table is CORPUS-sized (one row per doc
-    # -- 16 GB at 1e9 docs), so the verify joins must never broadcast
-    # it; hash beats merge because the candidate side arrives unsorted
-    x = sim.hint("shuffle_hash").select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
-    )
-    y = sim.hint("shuffle_hash").select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
-    )
+    cand = bucket_pairs(bands, "doc_id", ("band", "bval"), carry=("simhash",))
     return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        cand.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= HAM_K)
         .orderBy("doc_a", "doc_b")

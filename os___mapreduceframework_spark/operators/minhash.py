@@ -69,17 +69,24 @@ def _capped_pairs_sql(
 
 
 def _salted_rows(
-    sigs: DataFrame, id_col: str, k1: str, k2: str, cap: int
+    sigs: DataFrame,
+    id_col: str,
+    k1: str,
+    k2: str,
+    cap: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Salted bucket rows shared by ``bucket_pairs`` and
     ``embedding_scored_pairs`` -- ONE definition so the capped
     candidate-pair set is identical by construction in both: a
     row_number window (same shuffle key as the downstream self-join)
     assigns each bucket member a contiguous sub-bucket (``_salt``) of
-    at most ``cap``."""
+    at most ``cap``. ``carry`` names extra per-row payload columns the
+    caller wants to ride through (e.g. the 8-byte simhash, so verify
+    never needs a corpus join)."""
     w = Window.partitionBy(k1, k2).orderBy(id_col)
     return (
-        sigs.select(id_col, k1, k2)
+        sigs.select(id_col, k1, k2, *carry)
         .withColumn("_rn", F.row_number().over(w) - F.lit(1))
         .withColumn("_salt", F.floor(F.col("_rn") / cap))
         # three consumers (both self-join sides + the bridge window)
@@ -97,6 +104,7 @@ def bucket_pairs(
     id_col: str,
     key_cols: tuple[str, str],
     cap: int = LSH_BUCKET_CAP,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_a, id_b) undirected candidate pairs from bucket co-membership,
     hot-bucket-guarded (see ``LSH_BUCKET_CAP``).
@@ -109,9 +117,25 @@ def bucket_pairs(
     sub-buckets' first members are bridged so the bucket's connected
     component is preserved. Deterministic (ordered by id on both
     engines); DuckDB mirror in ``_capped_pairs_sql``.
-    """
+
+    ``carry`` columns ride through to the output as ``<c>_a`` /
+    ``<c>_b`` (same pair set; distinct over the widened row is
+    cardinality-identical because the payload is functionally dependent
+    on the id). This is the shuffle-a-proxy move for verify stages
+    whose per-row payload is SMALL (a simhash is 8 bytes): the verify
+    join against a corpus-sized signature table disappears entirely.
+    Payloads that are large (embedding vectors) take the
+    ``embedding_scored_pairs`` path instead, which scores inside the
+    bucket groups rather than widening the pair rows.
+
+    (Round-9 measurement note: an explicit repartition feeding the
+    self-join was tried and REVERTED -- the static plan keeps two
+    per-side ENSURE_REQUIREMENTS exchanges either way (AQE reuses the
+    identical shuffle stage at runtime), and a REPARTITION_BY_COL
+    exchange opts out of AQE partition coalescing, measuring ~0.2 s
+    WORSE on dedup_minhash_pairs at sf0.1.)"""
     k1, k2 = key_cols
-    s = _salted_rows(sigs, id_col, k1, k2, cap)
+    s = _salted_rows(sigs, id_col, k1, k2, cap, carry)
     x, y = s.alias("x"), s.alias("y")
     # shuffle_hash, not merge: the checkpointed rows arrive unsorted, so
     # SMJ would pay two per-side sorts the hash join skips (measured
@@ -129,15 +153,23 @@ def bucket_pairs(
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            *[F.col(f"x.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"y.{c}").alias(f"{c}_b") for c in carry],
         )
     )
     wl = Window.partitionBy(k1, k2).orderBy("_salt")
     bridges = (
         s.filter(F.col("_rn") % cap == 0)
         .withColumn("_prev", F.lag(id_col).over(wl))
-        .filter(F.col("_prev").isNotNull())
-        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
+        .select(
+            F.col("_prev").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.lag(c).over(wl).alias(f"{c}_a") for c in carry],
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+        )
+        .filter(F.col("id_a").isNotNull())
     )
     return within.unionByName(bridges).distinct()
 
