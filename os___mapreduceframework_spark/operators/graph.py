@@ -84,42 +84,67 @@ def pagerank_suppliers(
     non-bipartite iteration dataflow (per-iteration shuffled partial
     sums) is exercised by ``connected_components``' distributed path.
     """
-    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    outdeg = e.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = (
-        e.select("c").distinct().agg(F.count(F.lit(1)).alias("ncust"))
-        .crossJoin(e.select("s").distinct().agg(F.count(F.lit(1)).alias("nsupp")))
-        .select((F.col("ncust") + F.col("nsupp")).alias("n"))
-        # an empty graph has no ranks: dropping the 1-row scalar frame
-        # empties every crossJoin downstream (vs 1/0 under ANSI)
-        .filter(F.col("n") > 0)
-        .localCheckpoint(eager=True)  # 1 row
+    # Lazy checkpoints (round-9): lineage truncation is unchanged (the
+    # plan wraps a LogicalRDD either way) but no separate driver-
+    # blocking job runs per checkpoint -- the first consumer action
+    # materializes them. The r8 form additionally localCheckpoint'd a
+    # fresh 1-row scalars frame PER ITERATION; each of those calls
+    # plans its whole subtree through Catalyst eagerly even when lazy,
+    # and that driver-side planning (not cluster work) was ~60% of the
+    # query's wall at sf0.1.
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    # outdeg feeds w AND the ncust count below -- checkpoint so the
+    # edge-sized groupBy runs once
+    outdeg = (
+        e.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # iteration-invariant weighted in-degree: one edge-sized shuffle, ever
     w = (
         e.join(outdeg, "c")
         .groupBy("s")
         .agg(F.sum(F.lit(1.0) / F.col("deg")).alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    prc = n_nodes.select((F.lit(1.0) / F.col("n")).alias("prc"))  # 1 row
-    prs = w.crossJoin(n_nodes).select("s", (F.lit(1.0) / F.col("n")).alias("pr"))
+    # |distinct customers| IS the outdeg row count and |distinct
+    # suppliers| the w row count (the c-join preserves every s: outdeg
+    # is derived from e) -- the two extra edge-distinct shuffles the
+    # r8 form paid for these counts are deleted, not deferred
+    n_row = (
+        outdeg.agg(F.count(F.lit(1)).alias("ncust"))
+        .crossJoin(w.agg(F.count(F.lit(1)).alias("nsupp")))
+        .select((F.col("ncust") + F.col("nsupp")).alias("n"))
+        # an empty graph has no ranks (vs 1/0 under ANSI)
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    if not n_row:
+        return w.select("s", F.lit(0.0).alias("pr_norm")).filter(F.lit(False))
+    n = int(n_row[0]["n"])
+    # The per-node state collapses to TWO SCALARS per iteration (base,
+    # prc) plus the dangling-mass aggregate; the recurrence runs as a
+    # driver loop over 1-row collects -- O(n_iter) metadata-sized
+    # collects, the same device every production PageRank uses for its
+    # convergence check. Arithmetic is bit-identical to the r8 frame
+    # algebra: the dangling mass stays the SAME Spark sum over the same
+    # prs projection (so float accumulation order is unchanged), and
+    # the scalar updates are the same IEEE double expressions evaluated
+    # in Python instead of a 1-row crossJoin (same operand order:
+    # (1-d)/n + (d*dm)/n, base + (d*prc)*w(s), round(pr*n, 6)).
+    prc = 1.0 / n
+    base = 1.0 / n  # iteration-0 supplier rank is the uniform 1/n
+    prs = w.select("s", (F.lit(1.0) / F.lit(n)).alias("pr"))
     for _ in range(n_iter):
-        dang = prs.agg(F.sum("pr").alias("dm"))  # suppliers are dangling
-        base = F.lit(1.0 - d) / F.col("n") + F.lit(d) * F.col("dm") / F.col("n")
-        scalars = (
-            n_nodes.crossJoin(dang)
-            .crossJoin(prc)
-            .select(base.alias("base"), F.col("prc"))
-            .localCheckpoint(eager=True)  # 1 row: keeps lineage flat
-        )
-        prc = scalars.select(F.col("base").alias("prc"))
-        prs = w.crossJoin(scalars).select(
+        dm = prs.agg(F.sum("pr").alias("dm")).collect()[0]["dm"]
+        new_base = (1.0 - d) / n + d * dm / n
+        prc, base = base, new_base
+        prs = w.select(
             "s",
-            (F.col("base") + F.lit(d) * F.col("prc") * F.col("w")).alias("pr"),
+            (F.lit(base) + F.lit(d) * F.lit(prc) * F.col("w")).alias("pr"),
         )
-    return prs.crossJoin(n_nodes).select(
-        "s", F.round(F.col("pr") * F.col("n"), 6).alias("pr_norm")
+    return prs.select(
+        "s", F.round(F.col("pr") * F.lit(n), 6).alias("pr_norm")
     )
 
 
@@ -178,13 +203,15 @@ def _oracle_pagerank(n_iter: int = N_ITER, d: float = DAMPING) -> str:
     "graph_pagerank_suppliers",
     oracle=_oracle_pagerank(),
     doc="PageRank (k=3, d=0.85) over the bipartite customer->supplier "
-    "purchase graph; per-iteration dataflow is one shuffled partial-sum "
-    "on the destination key plus two 1-row broadcast aggregates "
-    "(|nodes|, dangling mass); edges and rank vectors localCheckpoint "
-    "per iteration (lineage truncation). The oracle unrolls the GENERAL "
-    "unfactored recurrence (per-node vector, per-iteration edge join) "
-    "as chained CTEs, independently validating the Spark side's "
-    "bipartite factoring rather than sharing its assumptions.",
+    "purchase graph; the edge-sized shuffle runs ONCE (the iteration-"
+    "invariant weighted in-degree w(s)), each iteration is one 1-row "
+    "dangling-mass aggregate collected to the driver (the standard "
+    "convergence-check device) feeding a scalar recurrence, and the "
+    "rank vector is a projection over the checkpointed w. The oracle "
+    "unrolls the GENERAL unfactored recurrence (per-node vector, "
+    "per-iteration edge join) as chained CTEs, independently "
+    "validating the Spark side's bipartite factoring rather than "
+    "sharing its assumptions.",
 )
 def q_graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_suppliers(spark, sf_dir).orderBy(
