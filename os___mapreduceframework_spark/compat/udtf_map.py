@@ -82,9 +82,18 @@ def q_udtf_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         if w in name:
             yield name, 1
 
-    names = load_table(spark, sf_dir, "part").select(
-        "p_name", F.lit(word).alias("word")
-    )
+    # JVM prefilter with the map's EXACT predicate (Python `w in name`
+    # == Column.contains for a literal needle): rows the UDTF would
+    # emit nothing for never cross the Python boundary, and contains()
+    # translates to a parquet StringContains pushdown (instr(...) > 0,
+    # tried first, stayed a post-scan DataFilter). The UDTF's emission
+    # set is provably unchanged -- it remains the authority on what is
+    # emitted; the filter only prunes rows whose emission set is
+    # empty. Guide rule: pass only the rows/columns the function needs
+    # across the JVM<->Python boundary.
+    names = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(word)
+    ).select("p_name", F.lit(word).alias("word"))
     emitted = map_as_udtf(names, search_map, "key string, value int")
     return (
         emitted.groupBy(F.col("key").alias("name"))
