@@ -440,17 +440,28 @@ def perplexity_stats(docs: DataFrame) -> DataFrame:
     c1 = c2.groupBy("w1").agg(F.sum("c").alias("c1"))
     v = c1.agg(F.count(F.lit(1)).cast("double").alias("vsz"))
     lp = F.log((F.col("c") + 1) / (F.col("c1") + F.col("vsz")))
+    # the two vocab-scale count tables pre-join into ONE (w1, w2, lp)
+    # table BEFORE touching the fact-scale stream (round-9: the r8
+    # form joined bg -> c2 on (w1,w2) and then the joined stream ->
+    # c1 on w1, i.e. the corpus's bigram rows crossed two exchanges;
+    # folding c1 into the lp table makes the model join vocab x vocab
+    # work and the fact stream cross exactly one score exchange).
+    # Per-bigram lp is the identical expression over identical inputs,
+    # so every scored row carries the same value as before.
+    lp_table = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("w1", "w2", lp.alias("lp"))
+    )
     return (
         # bg is the fact-scale bigram stream: merge-hint it so the
-        # score joins shuffle hash-to-hash (the aggregated count
-        # tables may broadcast when small; the raw stream never)
-        bg.hint("merge").join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(v))
+        # score join shuffles hash-to-hash (the aggregated lp table
+        # may broadcast when small; the raw stream never)
+        bg.hint("merge").join(lp_table, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.exp(-F.avg(lp)).alias("ppl_raw"),
+            F.exp(-F.avg("lp")).alias("ppl_raw"),
         )
     )
 
