@@ -136,6 +136,15 @@ ROWS: dict[str, tuple[str, str, str]] = {
         "registry linear in NOVEL windows (5.8->167.5 MB at 30x, flat "
         "per batch); retain-5 pass halves it; policy in SCALING.md r8",
     ),
+    "SCALE_r09.json": (
+        "200k / 1M embeddings (quiet box, warm-min of 2)",
+        "heavy embedding points re-measured after the r9 pair-scoring "
+        "vectorization (numpy batch replaces the per-candidate JVM "
+        "fold)",
+        "1M calibration 4289->530 s (8.1x; 0.157 µs/candidate, was "
+        "1.27), 1M strict 1448->256 s; disk envelopes unchanged "
+        "(73.5/17.3 GB) -- closes VERDICT r8 item 2's quiet re-run",
+    ),
     "SCALE_r09_stream_spans_steady.json": (
         "30x documents, 40 micro-batches in 4 sessions",
         "span-registry MAINTENANCE LOOP: retention compaction "
