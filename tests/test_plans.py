@@ -302,7 +302,11 @@ EXPECTED_MAX_SHUFFLES = {
     "sketch_bloom_probe": 10,         # dim-side distincts counted twice (dim-sized); probe side scans once
     "embedding_whitening_check": 0,   # moment jobs run at construction; result is a local row
     "text_perplexity_bigram": 8,      # bigram aggs (c2,c1,v) + score joins + per-doc agg + sort
-    "curation_pipeline_v3": 14,       # three gate subplans + doc_id joins + source rollup
+    # three gate subplans + doc_id joins + source rollup; r9: the
+    # perplexity gate's lp model table adds one VOCAB-scale exchange
+    # (c2 |><| c1 pre-join) while the FACT-scale bigram stream drops
+    # from two score exchanges to one -- count up, bytes down
+    "curation_pipeline_v3": 15,
     "feature_quantile_bucketize": 3,  # boundary agg (1-row broadcast) + cell agg + sort
     "dedup_embedding_clusters": 2,    # post-checkpoint: label join + sort (CC iterations checkpointed)
     "window_moving_zscore": 2,        # per-series window + class agg
