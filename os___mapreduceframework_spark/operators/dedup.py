@@ -399,14 +399,15 @@ def _embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set order-free; feeding it the sorted form paid a range-partition
     exchange + sort for rows the union/distinct immediately re-hashed).
     """
-    # canonical vector per id (duplicate-replay contract; cemb twin);
-    # several consumers (banding + corpus/bridge vector sides) share one
-    # lazy localCheckpoint instead of re-shuffling the corpus each time
+    # canonical vector per id (duplicate-replay contract; cemb twin).
+    # r10: the scored-pairs pipeline consumes emb exactly ONCE (the
+    # banding pass carries the vectors), so the r9 multi-consumer
+    # localCheckpoint became a pure materialization tax and is gone
     emb = canonical_embeddings(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-    ).localCheckpoint(eager=False)
+    )
     # candidates + exact cosine in ONE pass: vectors ride the band rows
     # and the bucket groups emit narrow (id, id, cs) rows directly
     # (embedding_scored_pairs) -- the r6 verify composition shuffled the
@@ -479,11 +480,13 @@ EMB_STRICT_REPORT_FLOOR = 0.30
     "same plane pool and decode.",
 )
 def q_dedup_embedding_near_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single consumer since r10 (banding carries the vectors): no
+    # localCheckpoint -- see _embedding_near_pairs
     emb = canonical_embeddings(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-    ).localCheckpoint(eager=False)
+    )
     n = embedding_count(spark, sf_dir)
     scored = embedding_scored_pairs(
         emb,

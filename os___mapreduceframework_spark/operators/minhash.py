@@ -667,9 +667,21 @@ def embedding_band_buckets(
     dim: int | None = None,
     n_vectors: int | None = None,
     nbands: int | None = None,
+    carry_vector: bool = False,
 ) -> DataFrame:
-    """(vec_id, band, bucket): banded hyperplane signatures in ONE
+    """(vec_id, band, bucket[, e]): banded hyperplane signatures in ONE
     scan-local Arrow-batched pass -- zero shuffle.
+
+    ``carry_vector=True`` (round 10): ``emb`` must additionally carry a
+    precomputed ``nv double`` column (the Spark ``_norm`` fold, one
+    evaluation per corpus row); every band row then emits the ORIGINAL
+    embedding array and that norm, carried through byte-identically, so
+    ``embedding_scored_pairs`` can repartition straight to the bucket
+    groups without the s |><| corpus vec_id join (and its corpus-wide
+    shuffle + hash build). The vector objects are repeated by REFERENCE
+    python-side; the real cost is the Arrow emit (~nbands x 544 B per
+    input row), which is sliced to ~64k-row yields so one batch never
+    balloons.
 
     All band-bit dot products per vector are a single numpy matmul
     (``E @ W.T``) inside ``mapInPandas``; sign bits roll into per-band
@@ -741,32 +753,73 @@ def embedding_band_buckets(
             ids = pdf["vec_id"].values[keep]
             bits = (E @ W.T >= 0).reshape(len(E), n_bands, nbits)
             buckets = (bits * pows).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, n_bands),
-                    "band": np.tile(np.arange(n_bands, dtype="int64"), len(E)),
-                    "bucket": buckets.reshape(-1).astype("int64"),
-                }
+            if not carry_vector:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, n_bands),
+                        "band": np.tile(np.arange(n_bands, dtype="int64"), len(E)),
+                        "bucket": buckets.reshape(-1).astype("int64"),
+                    }
+                )
+                continue
+            # fat emit: slice so one yielded frame stays ~64k rows
+            # (~35 MB of Arrow at 64 float64 dims) however large the
+            # input batch. The vector travels as its RAW float64 bytes
+            # (one binary cell per row, decoded zero-copy by
+            # np.frombuffer in the scorer): bit-exact round trip by
+            # construction, and the Arrow/UnsafeRow boundary handles one
+            # memcpy per row instead of a 64-element list per row --
+            # emitting array<double> instead measured +0.8 s on the
+            # sf0.1 near-pairs A/B (1.79 vs 0.98 s median, interleaved).
+            kept_vals = np.asarray(
+                [np.asarray(vals[i], dtype=np.float64).tobytes() for i in keep],
+                dtype=object,
             )
+            # precomputed per-vector norm rides through byte-identically
+            # (computed ONCE per corpus row by the Spark _norm fold
+            # upstream -- evaluating that interpreted fold per BAND row
+            # instead measured +0.25 s at sf0.1)
+            nvs = pdf["nv"].values[keep]
+            step = max(1, 65536 // n_bands)
+            for lo in range(0, len(keep), step):
+                hi = min(lo + step, len(keep))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids[lo:hi], n_bands),
+                        "band": np.tile(
+                            np.arange(n_bands, dtype="int64"), hi - lo
+                        ),
+                        "bucket": buckets[lo:hi].reshape(-1).astype("int64"),
+                        "e": np.repeat(kept_vals[lo:hi], n_bands),
+                        "nv": np.repeat(nvs[lo:hi], n_bands),
+                    }
+                )
 
-    return emb.mapInPandas(compute, schema="vec_id long, band long, bucket long")
+    schema = "vec_id long, band long, bucket long"
+    if carry_vector:
+        schema += ", e binary, nv double"
+    return emb.mapInPandas(compute, schema=schema)
 
 
-def _pair_dot_den(min_cs: float | None):
-    """Partition scorer for ``embedding_scored_pairs``: all i < j pairs
-    within each (band, bucket, _salt) group, with the cosine's raw
-    numerator/denominator computed by numpy -- the guide-section-4.2
-    move (hand whole batches to vectorized native code) applied to the
-    hottest expression in the repo. The r8-measured per-candidate cost
-    of the JVM ``aggregate(zip_with(...))`` fold was 0.96-1.37 us; the
-    elementwise-product + axis-sum below is ~0.01 us/candidate.
+def _bucket_pair_dot_den(min_cs: float | None, cap: int):
+    """Partition scorer for ``embedding_scored_pairs``: within each
+    (band, bucket) group, the rows are sorted by vec_id, chunked into
+    contiguous sub-buckets of ``cap`` (EXACTLY the ``_salted_rows``
+    row_number derivation -- same order, same chunk boundaries), all
+    i < j pairs are scored within each chunk, and consecutive chunks'
+    FIRST members are scored as the bridge pairs. This folds what used
+    to be a corpus-wide window (+ localCheckpoint), an s |><| corpus
+    shuffled-hash join, a bridge lag window and TWO bridge corpus
+    joins into plain numpy index arithmetic inside the one pass the
+    data already makes -- the guide-section-2.4 shuffle deletion on
+    top of the r9 section-4.2 vectorization.
 
     DETERMINISM CONTRACT (the equal-cs invariant consumers rely on):
     the dot is ``(a * b).sum(last_axis)`` -- numpy's pairwise reduction
     over the dim axis is a pure function of the two vectors ALONE
-    (verified: identical bits whether computed via the group's 3-d
+    (verified: identical bits whether computed via the chunk's 3-d
     broadcast, a 2-row matrix, or the scalar pair path), so the same
-    pair colliding in several bands/groups -- or appearing as a bridge
+    pair colliding in several bands/chunks -- or appearing as a bridge
     -- always carries the same raw dot, hence the same rounded cs.
     The division, NULL-on-zero-denominator guard and 4-decimal HALF_UP
     round stay in Spark (same expressions as before), so engine-side
@@ -774,16 +827,17 @@ def _pair_dot_den(min_cs: float | None):
 
     NULL semantics: a mixed-length pair's dot is emitted as NaN, which
     the Arrow boundary converts to NULL -- exactly the old
-    ``zip_with`` fold's NULL-padded product. (A corpus with NaN
-    embedding VALUES would previously score NaN and now scores NULL;
-    no fixture or oracle exercises NaN embeddings, and both fail every
-    threshold filter identically.)
+    ``zip_with`` fold's NULL-padded product. NULL/empty vectors never
+    reach this function at all: the banding pass emits no band row for
+    them (same reason they never joined the old corpus side).
 
-    ``min_cs``: conservative map-side prefilter ``dot >= (min_cs -
-    6e-5) * den`` (den > 0) -- a strict superset of the consumer's
-    ``round(cs, 4) >= min_cs`` (which implies cs >= min_cs - 5e-5), so
-    only rows the exact Spark-side filter would drop anyway are culled
-    before they cross the Arrow boundary."""
+    ``min_cs``: conservative prefilter ``dot >= (min_cs - 6e-5) * den``
+    (den > 0) -- a strict superset of the consumer's ``round(cs, 4) >=
+    min_cs`` (which implies cs >= min_cs - 5e-5), so only rows the
+    exact Spark-side filter would drop anyway are culled before they
+    cross the Arrow boundary. Applied to bridge pairs too (the r9 form
+    only culled within-pairs): the exact filter below the de-dup
+    discards the same rows, so the post-filter stream is unchanged."""
 
     def score(batches):
         import numpy as np
@@ -794,42 +848,73 @@ def _pair_dot_den(min_cs: float | None):
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         out_a, out_b, out_s, out_d = [], [], [], []
-        for _, g in pdf.groupby(["band", "bucket", "_salt"], sort=False):
+
+        def emit(ia, ib, dots, dens):
+            if min_cs is not None:
+                keep = dots >= (min_cs - 6e-5) * dens
+                # den == 0 or NaN dot rows fail the exact filter too
+                keep &= dens > 0
+                ia, ib = ia[keep], ib[keep]
+                dots, dens = dots[keep], dens[keep]
+            if len(ia):
+                out_a.append(ia)
+                out_b.append(ib)
+                out_s.append(dots)
+                out_d.append(dens)
+
+        for _, g in pdf.groupby(["band", "bucket"], sort=False):
             n = len(g)
             if n < 2:
                 continue
             ids = g["vec_id"].to_numpy()
             order = np.argsort(ids, kind="stable")
             ids = ids[order]
-            vecs = g["e"].to_numpy()[order]
+            # e arrives as raw float64 bytes (binary cells); frombuffer
+            # is a zero-copy float64 view -- bit-exact round trip
+            raw = g["e"].to_numpy()[order]
+            vecs = [np.frombuffer(b, dtype=np.float64) for b in raw]
             nv = g["nv"].to_numpy(dtype=np.float64)[order]
             lens = np.fromiter((len(v) for v in vecs), dtype=np.int64, count=n)
-            iu, ju = np.triu_indices(n, k=1)
-            if (lens == lens[0]).all():
-                E = np.vstack(vecs).astype(np.float64, copy=False)
-                dots = (E[:, None, :] * E[None, :, :]).sum(axis=2)[iu, ju]
-            else:  # ragged corpus: per-pair, NULL (NaN) on length mismatch
+            for lo in range(0, n, cap):
+                hi = min(lo + cap, n)
+                m = hi - lo
+                if m < 2:
+                    continue
+                iu, ju = np.triu_indices(m, k=1)
+                clens = lens[lo:hi]
+                if (clens == clens[0]).all():
+                    E = np.vstack(vecs[lo:hi]).astype(np.float64, copy=False)
+                    dots = (E[:, None, :] * E[None, :, :]).sum(axis=2)[iu, ju]
+                else:  # ragged corpus: per-pair, NULL (NaN) on mismatch
+                    dots = np.fromiter(
+                        (
+                            (vecs[lo + i] * vecs[lo + j]).sum()
+                            if clens[i] == clens[j]
+                            else np.nan
+                            for i, j in zip(iu, ju)
+                        ),
+                        dtype=np.float64,
+                        count=len(iu),
+                    )
+                dens = (nv[lo:hi][iu] * nv[lo:hi][ju]).astype(np.float64)
+                emit(ids[lo:hi][iu], ids[lo:hi][ju], dots, dens)
+            if n > cap:
+                # bridge pairs: (first of chunk c-1, first of chunk c),
+                # ascending ids by construction -- the bucket_pairs
+                # lag-over-pos-0 window, computed locally
+                firsts = np.arange(0, n, cap)
+                ia, ib = firsts[:-1], firsts[1:]
                 dots = np.fromiter(
                     (
                         (vecs[i] * vecs[j]).sum()
                         if lens[i] == lens[j]
                         else np.nan
-                        for i, j in zip(iu, ju)
+                        for i, j in zip(ia, ib)
                     ),
                     dtype=np.float64,
-                    count=len(iu),
+                    count=len(ia),
                 )
-            dens = (nv[iu] * nv[ju]).astype(np.float64)
-            if min_cs is not None:
-                keep = dots >= (min_cs - 6e-5) * dens
-                # den == 0 or NaN dot rows fail the exact filter too
-                keep &= dens > 0
-                iu, ju = iu[keep], ju[keep]
-                dots, dens = dots[keep], dens[keep]
-            out_a.append(ids[iu])
-            out_b.append(ids[ju])
-            out_s.append(dots)
-            out_d.append(dens)
+                emit(ids[ia], ids[ib], dots, (nv[ia] * nv[ib]).astype(np.float64))
         if out_a:
             yield pd.DataFrame(
                 {
@@ -841,46 +926,6 @@ def _pair_dot_den(min_cs: float | None):
             )
 
     return score
-
-
-def _bridge_dot_den(batches):
-    """Row-wise twin of ``_pair_dot_den`` for the bridge pairs: same
-    ``(a * b).sum(last_axis)`` reduction (bit-identical for a pair that
-    also collides inside a bucket), NaN -> NULL on length mismatch."""
-    import numpy as np
-    import pandas as pd
-
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        ea, eb = pdf["ea"].to_numpy(), pdf["eb"].to_numpy()
-        lens_ok = np.fromiter(
-            (len(a) == len(b) for a, b in zip(ea, eb)),
-            dtype=bool,
-            count=len(pdf),
-        )
-        if lens_ok.all() and len(pdf) and len(set(len(a) for a in ea)) == 1:
-            dots = (np.vstack(ea) * np.vstack(eb)).sum(axis=1)
-        else:
-            dots = np.fromiter(
-                (
-                    (a * b).sum() if ok else np.nan
-                    for a, b, ok in zip(ea, eb, lens_ok)
-                ),
-                dtype=np.float64,
-                count=len(pdf),
-            )
-        yield pd.DataFrame(
-            {
-                "id_a": pdf["id_a"].to_numpy(),
-                "id_b": pdf["id_b"].to_numpy(),
-                "dot": dots,
-                "den": (
-                    pdf["na"].to_numpy(dtype=np.float64)
-                    * pdf["nb"].to_numpy(dtype=np.float64)
-                ),
-            }
-        )
 
 
 def embedding_scored_pairs(
@@ -913,20 +958,29 @@ def embedding_scored_pairs(
     ``aggregate(zip_with(...))`` fold per candidate (r8-measured at
     0.96-1.37 us/candidate -- THE dominant term of the 1M-vector
     campaign's 4,289 s wall) to a ``mapInPandas`` pass over the
-    repartitioned fat band rows: each (band, bucket, _salt) group's
-    pairs are one numpy broadcast-multiply + axis-sum (~0.01
-    us/candidate), the guide's section-4.2 vectorized-native rule.
-    The pair SET is unchanged (same ``_salted_rows`` salting, i < j
-    within groups, same bridge window); the cosine pipeline keeps
-    division, the NULL-on-zero-denominator guard and the 4-decimal
-    round in Spark expressions, and the numpy dot is deterministic per
-    PAIR (see ``_pair_dot_den``), so the equal-cs-across-occurrences
-    invariant that the de-dup ``max`` and the ``min_cs`` pushdown rely
-    on still holds by construction. One shuffle (the explicit
-    repartition) replaces the old two-consumer persist + self-join:
-    the non-spillable SHJ build memory concern is gone, and the
-    partition sizing now only bounds the Python worker's per-task
-    concat (~32 MB + one group's n^2 x dim broadcast temp, n <= cap).
+    repartitioned fat band rows: each sub-bucket chunk's pairs are one
+    numpy broadcast-multiply + axis-sum (~0.01 us/candidate), the
+    guide's section-4.2 vectorized-native rule.
+
+    ROUND 10 (optimization): the banding pass now carries the vector
+    itself (``carry_vector=True``), so the whole candidate+score
+    pipeline is banding -> ONE repartition by (band, bucket) -> scorer.
+    Deleted outright (guide section 2.4): the ``_salted_rows``
+    row_number window and its localCheckpoint, the s |><| corpus
+    vec_id shuffled-hash join (a corpus-wide vector shuffle + hash
+    build), and the bridge path's lag window + two corpus-wide vector
+    joins + separate ``mapInPandas``. Salt chunking and bridge pairs
+    are index arithmetic inside the scorer (``_bucket_pair_dot_den``):
+    rows sorted by vec_id within the (band, bucket) group, contiguous
+    chunks of ``cap`` -- exactly the row_number derivation -- with
+    consecutive chunks' first members as the bridges. The pair SET is
+    unchanged; the cosine pipeline keeps division, the
+    NULL-on-zero-denominator guard and the 4-decimal round in Spark
+    expressions, and the numpy dot is deterministic per PAIR, so the
+    equal-cs-across-occurrences invariant that the de-dup ``max`` and
+    the ``min_cs`` pushdown rely on still holds by construction.
+    Partition sizing bounds the Python worker's per-task concat
+    (~32 MB + one chunk's n^2 x dim broadcast temp, n <= cap).
 
     ``min_cs``: consumers that threshold the scored stream (near-dup at
     0.45, the strict family's 0.30 audit floor) pass that threshold
@@ -956,62 +1010,44 @@ def embedding_scored_pairs(
     if n_vectors is None:
         n_vectors = emb.count()
 
+    # ROUND 10: the banding pass itself carries the vector, so the ONLY
+    # exchange in the whole candidate+score pipeline is the repartition
+    # to the (band, bucket) groups. The r9 shape additionally paid: the
+    # _salted_rows row_number window (+ its localCheckpoint), the
+    # s |><| corpus vec_id shuffled-hash join (a corpus-wide vector
+    # shuffle + hash build), and the bridge path's lag window + TWO
+    # corpus-wide vector joins. Salt chunking and bridge pairs are
+    # index arithmetic inside the scorer now (_bucket_pair_dot_den) --
+    # same pair set by construction. The shuffle still replicates each
+    # vector nbands times (inherent to scoring inside bucket groups);
+    # what is gone is every OTHER shuffle.
+    # nv is the exact Spark _norm expression, evaluated ONCE per corpus
+    # row (bit-identical to the old corpus-side column) and carried
+    # through the banding emit -- evaluating the interpreted fold per
+    # BAND row instead measured +0.25 s at sf0.1
     bands = embedding_band_buckets(
-        emb, dim=dim, n_vectors=n_vectors, nbands=nbands
+        emb.select("vec_id", "e", _norm("e").alias("nv")),
+        dim=dim, n_vectors=n_vectors, nbands=nbands, carry_vector=True,
     )
-    s = _salted_rows(bands, "vec_id", "band", "bucket", cap)
-    corpus = emb.select("vec_id", "e", _norm("e").alias("nv"))
     if nbands is None:
         nbands = emb_adaptive_bands(n_vectors)
     # ~600 B per fat band row (64 float64 + keys + row overhead);
     # ~32 MB partitions bound the Python worker's per-task state (the
-    # whole-partition concat plus one group's n^2 x dim broadcast temp,
+    # whole-partition concat plus one chunk's n^2 x dim broadcast temp,
     # n <= cap) -- and the repartition is what guarantees every
-    # (band, bucket, _salt) group lands whole inside one partition
+    # (band, bucket) group lands whole inside one partition
     fat_bytes = n_vectors * nbands * 600
     nparts = max(32, math.ceil(fat_bytes / (32 << 20)))
-    # single consumer now (the scorer streams the partition once): no
-    # persist, no shuffled-hash build -- the corpus's vectors cross
-    # exactly one shuffle in the whole pass, then die inside Python
-    fat = (
-        s.join(corpus.hint("shuffle_hash"), "vec_id")
-        .repartition(nparts, F.col("band"), F.col("bucket"), F.col("_salt"))
-        .select("vec_id", "band", "bucket", "_salt", "e", "nv")
-    )
-    within_raw = fat.mapInPandas(
-        _pair_dot_den(min_cs),
+    fat = bands.repartition(nparts, F.col("band"), F.col("bucket"))
+    pairs_raw = fat.mapInPandas(
+        _bucket_pair_dot_den(min_cs, cap),
         schema="id_a long, id_b long, dot double, den double",
-    )
-    # bridge pairs (sub-bucket boundary members, bucket_pairs verbatim)
-    # are ~rows/cap -- narrow id joins fetch their two vectors; corpus
-    # sides hash-build, never broadcast (they are corpus-derived)
-    wl = Window.partitionBy("band", "bucket").orderBy("_salt")
-    bridge_ids = (
-        s.filter(F.col("_rn") % cap == 0)
-        .withColumn("_prev", F.lag("vec_id").over(wl))
-        .filter(F.col("_prev").isNotNull())
-        .select(F.col("_prev").alias("id_a"), F.col("vec_id").alias("id_b"))
-    )
-    ca = corpus.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nv").alias("na")
-    )
-    cb = corpus.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nv").alias("nb")
-    )
-    bridges_raw = (
-        bridge_ids.join(ca.hint("shuffle_hash"), "id_a")
-        .join(cb.hint("shuffle_hash"), "id_b")
-        .select("id_a", "id_b", "ea", "eb", "na", "nb")
-        .mapInPandas(
-            _bridge_dot_den,
-            schema="id_a long, id_b long, dot double, den double",
-        )
     )
     # division, NULL-on-zero-denominator and the 4-decimal round stay
     # Spark expressions -- identical semantics to the old
     # round(_cosine_prenorm(...), 4) with only the dot's producer moved
-    # to numpy (deterministic per pair; see _pair_dot_den)
-    occurrences = within_raw.unionByName(bridges_raw).select(
+    # to numpy (deterministic per pair; see _bucket_pair_dot_den)
+    occurrences = pairs_raw.select(
         "id_a",
         "id_b",
         F.round(

@@ -965,9 +965,10 @@ _SQL_COS4_PAIR = (
 )
 def q_ann_knn_join_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical vector per id (duplicate-replay contract; cemb twin);
-    # four consumers (banding, both norm sides, the final id list) --
-    # one lazy localCheckpoint materializes the canonical agg once
-    # instead of re-shuffling the corpus per consumer
+    # two consumers since r10 (the banding pass, which carries the
+    # vectors itself, and the final id list) -- one lazy
+    # localCheckpoint materializes the canonical agg once instead of
+    # re-shuffling the corpus per consumer
     emb = canonical_embeddings(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for every bench HEADLINE query into
-plans/r09/<query>_<tag>.txt (tag = before/after, argv[1]).
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (tag = before/after,
+argv[1]; round dir defaults to r10).
 
 The optimization-round evidence artifact: the judge cannot run Spark,
 so plan claims in OPTIMIZATION_r09.md are checked against these files.
@@ -26,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
     import bench

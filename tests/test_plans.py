@@ -310,15 +310,14 @@ EXPECTED_MAX_SHUFFLES = {
     "feature_quantile_bucketize": 3,  # boundary agg (1-row broadcast) + cell agg + sort
     "dedup_embedding_clusters": 2,    # post-checkpoint: label join + sort (CC iterations checkpointed)
     "window_moving_zscore": 2,        # per-series window + class agg
-    # Since the r7 score-in-bucket inline (no pair checkpoint) the full
-    # lineage is in-plan, so the static count is high while the runtime
-    # cost is not: the band-row cache build appears under BOTH
-    # InMemoryRelation branches but executes once; the bridge-pair
-    # branch's vector-fetch joins move only sub-bucket boundary rows
-    # (~n_buckets-sized); the real data movers are the two capped
-    # bucket-self-join sides + argmax agg + left join + final sort.
-    # Regenerate the golden + re-derive this note before raising.
-    "ann_knn_join_all": 11,
+    # r10: banding carries the vectors, so the whole candidate+score
+    # pipeline is one REPARTITION_BY_NUM exchange into the (band,
+    # bucket) groups; the salt window, s|><|corpus join and the bridge
+    # path's two corpus joins are deleted (salt chunking + bridges are
+    # index arithmetic inside the scorer). Remaining: band-group
+    # repartition + argmax agg + final sort (the id-list join
+    # broadcasts). Was 11 in r7-r9.
+    "ann_knn_join_all": 3,
 }
 
 
