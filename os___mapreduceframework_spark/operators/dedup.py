@@ -585,6 +585,18 @@ def connected_components(
         # toLocalIterator streamed row objects through py4j one at a
         # time, paying per-row deserialization on the driver
         edges_pdf = sym.toPandas()
+        # Arrow->pandas silently widens a nullable integer column to
+        # float64 (NaN for NULL), which would feed floats into the
+        # union-find and corrupt labels (ADVICE r9). Candidate edges
+        # are non-null by construction; assert it rather than relabel
+        # garbage if that ever changes.
+        for col in ("a", "b"):
+            if edges_pdf[col].dtype.kind == "f":
+                raise TypeError(
+                    f"connected_components: edge column {col!r} arrived "
+                    f"as {edges_pdf[col].dtype} (NULL ids in the edge "
+                    "list?); union-find needs exact integer node ids"
+                )
         labels = _union_find_min_labels(
             zip(edges_pdf["a"].tolist(), edges_pdf["b"].tolist())
         )

@@ -83,6 +83,15 @@ def pagerank_suppliers(
     edge-cache every production PageRank uses); the general
     non-bipartite iteration dataflow (per-iteration shuffled partial
     sums) is exercised by ``connected_components``' distributed path.
+
+    EAGER-CONSTRUCTION CONTRACT (ADVICE r9): building this DataFrame
+    runs the whole iterative recurrence -- n_iter + 1 blocking 1-row
+    collects -- and bakes the resulting scalars into the returned plan
+    as literals. Callers that merely construct/explain the query pay
+    the full iterative cost, and re-executing the returned DataFrame
+    reflects the source data AS OF construction time. Both are
+    deliberate (the driver recurrence is what deleted ~60% of the
+    wall); capture_plans.py documents the same caveat.
     """
     # Lazy checkpoints (round-9): lineage truncation is unchanged (the
     # plan wraps a LogicalRDD either way) but no separate driver-

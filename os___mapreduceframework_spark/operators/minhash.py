@@ -825,6 +825,13 @@ def _bucket_pair_dot_den(min_cs: float | None, cap: int):
     round stay in Spark (same expressions as before), so engine-side
     rounding semantics are unchanged.
 
+    CROSS-ENGINE note (ADVICE r9): numpy's pairwise dot is not
+    bit-identical to DuckDB's sequential list_inner_product fold, so
+    oracle parity additionally relies on no cosine landing within ~1
+    ulp of a 0.00005 rounding boundary -- same class of assumption the
+    entropy oracle documents, negligible on real-valued fixtures, and
+    the 6e-5 prefilter margin absorbs it on the cull side.
+
     NULL semantics: a mixed-length pair's dot is emitted as NaN, which
     the Arrow boundary converts to NULL -- exactly the old
     ``zip_with`` fold's NULL-padded product. NULL/empty vectors never
