@@ -417,7 +417,7 @@ def incremental_span_dedup(
     First-seen-wins across batches: the canonical occurrence of every
     duplicated substring is the first one to ARRIVE; later batches can
     only add removal spans, never steal a canonical. State is one
-    32-char md5 per distinct window — the same rows the batch detect
+    16-byte md5 digest per distinct window — the same rows the batch detect
     stage shuffles; at 100 TB the registry is a Delta/Iceberg table
     (step 2 a key semi-join against it, step 4 a MERGE), exactly the
     online-assign / offline-table split of ``incremental_minhash_dedup``.
