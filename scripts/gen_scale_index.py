@@ -161,6 +161,16 @@ ROWS: dict[str, tuple[str, str, str]] = {
         "image_decode 0.91 / audio_spectrum 0.76 worst time-per-data — "
         "both sublinear, no root-cause note needed",
     ),
+    "SCALE_r10.json": (
+        "200k / 1M embeddings (same fixtures/method as SCALE_r09)",
+        "heavy embedding points re-measured after the r10 carry-vector "
+        "banding restructure (salt window, corpus join and bridge "
+        "joins deleted; raw-bytes vector transport)",
+        "1M calibration 530->313 s (1.7x; 0.093 µs/candidate), 1M "
+        "strict 256->125 s (2.05x); disk envelopes intact (72.0/20.0 "
+        "GB); cumulative over both optimization rounds 4289->313 s "
+        "(13.7x)",
+    ),
 }
 
 HEADER = """# SCALE_INDEX — one row per scale-evidence campaign
