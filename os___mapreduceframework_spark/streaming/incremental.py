@@ -580,6 +580,19 @@ def compact_span_registry(
 
     registry_dir = os.path.join(state_dir, "window_registry")
     _recover_span_registry(registry_dir)
+    if not os.path.isdir(registry_dir):
+        # a session over an EMPTY corpus never fires a batch, so no
+        # registry dir exists: nothing to compact, and the next
+        # resumed session already treats the missing dir as
+        # first-batch. Reading unconditionally raised PATH_NOT_FOUND
+        # here (caught by the r10 degenerate-matrix sweep; latent
+        # since the r9 registration).
+        return {
+            "rows_before": 0,
+            "rows_after": 0,
+            "bytes_before": 0,
+            "bytes_after": 0,
+        }
 
     def _dir_bytes(d: str) -> int:
         return sum(

@@ -148,3 +148,21 @@ def test_ragged_pairs_score_null(spark, hot_corpus):
         lb = {695: 7, 696: 3, 697: 5}.get(r["id_b"], 16)
         if la != lb:
             assert r["cs"] is None, r
+
+
+def test_compact_span_registry_tolerates_missing_registry(spark, tmp_path):
+    """An empty corpus never fires a micro-batch, so no registry dir is
+    ever written; the between-sessions compaction must be a no-op, not
+    a PATH_NOT_FOUND (latent since the r9 resume-query registration;
+    surfaced by the degenerate-matrix sweep's empty mode)."""
+    from os___mapreduceframework_spark.streaming.incremental import (
+        compact_span_registry,
+    )
+
+    stats = compact_span_registry(spark, str(tmp_path / "no_such_state"))
+    assert stats == {
+        "rows_before": 0,
+        "rows_after": 0,
+        "bytes_before": 0,
+        "bytes_after": 0,
+    }
